@@ -1,0 +1,57 @@
+"""Benchmark harness: run the headline queries and print ONE JSON line.
+
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+
+Per query: one warm-up-free timed run measuring full plan execution via a
+count-style action that forces all partitions without driver collection
+(write to noop-like sink = df.write format noop is jvm-only; we use
+``df._jdf.count()`` equivalent: DataFrame.count / collect of limited rows).
+Prints: {"metric": "...", "value": total_sec, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": sf}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from flink_tank_spark.plans.registry import all_queries
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("flink_tank_spark-bench")
+
+    specs = [s for s in all_queries().values() if s.bench]
+    specs.sort(key=lambda s: s.name)
+
+    # Warm the JVM/codegen/catalog on a trivial plan so per-query numbers
+    # measure execution, not first-touch initialization.
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        # Warm run first (codegen compile, parquet footer cache, broadcast
+        # build), then the timed run measures steady-state execution —
+        # collect() is fine because every headline query returns a small
+        # (aggregated) result.
+        spec.spark(spark, sf_dir).collect()
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).collect()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from flink_tank_spark.functions.numeric import davg, dsum
+
+__all__ = ["dsum", "davg"]

@@ -1,0 +1,57 @@
+"""Parquet table catalog for the driver-generated test data.
+
+The tables form a TPC-H-ish star schema plus event/document/embedding
+tables (see /root/repo/FIXTURES.md §5). At cluster scale these would be
+partitioned/bucketed parquet or an Iceberg/Delta catalog; reading through
+``spark.read.parquet`` keeps predicate pushdown and column pruning —
+every query in ``plans/`` is written so its filters and projections reach
+the scan (verify with ``.explain``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor: region
+# and nation are fixed-cardinality (5 / 25 rows) regardless of SF, so
+# joins against them must never shuffle the fact side.
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def sf_dir_default() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view.
+
+    Returns the name→DataFrame mapping so callers can use either the
+    DataFrame API or ``spark.sql`` over the same logical plans.
+    """
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
