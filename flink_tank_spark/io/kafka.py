@@ -1,0 +1,118 @@
+"""Kafka source/sink helpers (S1/S2, K1/K2) + generic streaming wiring.
+
+Reference wiring: KafkaSource with earliest offsets and value-only string
+deserialization (``EventProcessorJob.kt:57-63``, ``AggregationJob.kt:
+224-230``); KafkaSink per topic with JSON string values
+(``EventProcessorJob.kt:65-74``, ``AggregationJob.kt:233-241``);
+checkpointing every 60 s ⇒ at-least-once (SURVEY §2.2) — Structured
+Streaming's Kafka sink + checkpointLocation gives the same guarantee.
+
+The Kafka connector jar (spark-sql-kafka) may be absent in offline test
+environments; ``kafka_available`` gates it, and the jobs accept any
+string-valued source/sink (file JSONL works identically for tests —
+sources are interchangeable because topologies are pure functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_CHECKPOINT_INTERVAL = "60 seconds"  # EventProcessorJob.kt:161
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1/S2: value-only string deserialization + Kafka offset as the
+    per-partition arrival order (what Flink's FIFO per-partition order
+    provides implicitly)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("value").cast("string").alias("value"),
+        F.col("offset").alias("arrival"),
+    )
+
+
+def read_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stand-in source for tests/local runs.
+
+    Format: ``<arrival>\\t<json message>`` per line — the explicit arrival
+    number plays the role of the Kafka offset (file sources expose no
+    offset, and monotonically_increasing_id is not allowed on streams).
+    Raw tab characters cannot appear inside JSON string literals, so the
+    delimiter is unambiguous.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return (
+        spark.readStream.schema(
+            StructType(
+                [
+                    StructField("arrival", LongType()),
+                    StructField("value", StringType()),
+                ]
+            )
+        )
+        .options(sep="\t", quote="", escape="")
+        .csv(path)
+    )
+
+
+def write_kafka_stream(
+    json_df: DataFrame,
+    brokers: str,
+    topic: str,
+    checkpoint_dir: str,
+    query_name: str,
+    trigger_interval: str | None = None,
+):
+    """K1/K2: JSON string per record to one topic, checkpointed."""
+    writer = (
+        json_df.select(F.col("value").cast("binary").alias("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def write_jsonl_stream(
+    json_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool = False,
+):
+    writer = (
+        json_df.writeStream.format("text")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
