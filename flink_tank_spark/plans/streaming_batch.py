@@ -1,3 +1,343 @@
-"""Placeholder — populated in a later milestone."""
+"""Batch analogues of the streaming operator surface, oracle-checked.
 
-QUERIES: list = []
+Each entry runs a reference streaming operator's semantics (SURVEY §2:
+P1/F2 parse-route, M3/M4 serialize/enrich, P2 sequence, P3/A1/A2 sliding
+windows, §2.10 JSON scalar functions) as a deterministic batch query over
+the driver's ``events`` table, with a DuckDB oracle — putting the
+streaming semantics under the driver's hash-verified correctness gate
+(wall-clock fields pinned with a fixed "now", per SURVEY §7.4 pt 3).
+
+The M3→P1 entries round-trip REAL serialization: events are serialized
+to the JSON wire format with ``to_json`` and re-parsed with the actual
+``parse_and_route`` operator, so the gate covers the same code path the
+streaming jobs run.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.functions.numeric import dsum, sql_dsum
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators.parse import parse_and_route
+from flink_tank_spark.plans.registry import QuerySpec
+
+FIXED_NOW = "2024-06-01 12:00:00"
+FIXED_NOW_MS = 1_717_243_200_000
+
+
+def _events_as_wire(spark: SparkSession, sf_dir: str, corrupt_every: int = 0) -> DataFrame:
+    """Serialize the events table into the InputEvent JSON wire format
+    (M3 in reverse); optionally corrupt every Nth message."""
+    ev = load_table(spark, sf_dir, "events")
+    value = F.to_json(
+        F.struct(
+            F.col("user_id").cast("string").alias("id"),
+            F.col("event_type").alias("type"),
+            F.unix_millis(F.col("ts")).alias("timestamp"),
+            F.parse_json(F.col("props")).alias("data"),
+        )
+    )
+    if corrupt_every:
+        value = F.when(
+            F.col("event_id") % corrupt_every == 0, F.concat(F.lit("{bad "), value)
+        ).otherwise(value)
+    return ev.select(F.col("event_id").alias("arrival"), value.alias("value"))
+
+
+# --------------------------------------------------------------------------
+# ev_parse_route — M3 serialize → P1 parse → typed projection
+# --------------------------------------------------------------------------
+
+def ev_parse_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = _events_as_wire(spark, sf_dir)
+    valid, _ = parse_and_route(wire, now=F.to_timestamp(F.lit(FIXED_NOW)))
+    return valid.select("id", "type", "timestamp", "data")
+
+
+EV_PARSE_ROUTE_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT CAST(user_id AS VARCHAR) AS id,
+           event_type AS type,
+           epoch_ms(ts) AS timestamp,
+           json(props)::VARCHAR AS data
+    FROM events
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_error_routing — F2/R1: corrupt messages route to the error branch
+# --------------------------------------------------------------------------
+
+def ev_error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = _events_as_wire(spark, sf_dir, corrupt_every=20)
+    valid, errors = parse_and_route(wire, now=F.to_timestamp(F.lit(FIXED_NOW)))
+    return (
+        valid.select(F.lit("valid").alias("branch"))
+        .union(errors.select(F.lit("error").alias("branch")))
+        .groupBy("branch")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("branch")
+    )
+
+
+EV_ERROR_ROUTING_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT CASE WHEN event_id % 20 = 0 THEN 'error' ELSE 'valid' END AS branch,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_sequence — P2 batch analogue: per-key monotone sequence
+# --------------------------------------------------------------------------
+
+def ev_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("int").alias("sequence"),
+    )
+
+
+EV_SEQUENCE_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS sequence
+    FROM events
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_enrich — M4: full enrichment projection with a pinned clock
+# --------------------------------------------------------------------------
+
+def ev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_tank_spark.operators.enrich import enrich
+
+    wire = _events_as_wire(spark, sf_dir)
+    valid, _ = parse_and_route(wire, now=F.to_timestamp(F.lit(FIXED_NOW)))
+    out = enrich(
+        valid,
+        now=F.to_timestamp(F.lit(FIXED_NOW)),
+        order_by=["arrival"],
+    )
+    return out.select(
+        "originalId", "eventType", "processedAt", "processingDelay", "enrichedData", "sequence"
+    )
+
+
+# NOTE on the oracle: `data` reaching enrich comes from to_json(parse_json(props)),
+# which canonicalizes the JSON to compact form ({"k": 69} -> {"k":69}); the
+# oracle mirrors that via DuckDB's json round-trip (CAST TO JSON normalizes).
+EV_ENRICH_SQL = dedent(f"""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    base AS (
+      SELECT CAST(user_id AS VARCHAR) AS originalId,
+             event_type AS eventType,
+             epoch_ms(ts) AS ts_ms,
+             json(props)::VARCHAR AS data,
+             event_id,
+             user_id
+      FROM events
+    )
+    SELECT originalId, eventType,
+           '2024-06-01T12:00:00.000Z' AS processedAt,
+           {FIXED_NOW_MS} - ts_ms AS processingDelay,
+           substr(data, 1, length(data) - 1)
+             || CASE WHEN length(regexp_replace(substr(data, 1, length(data) - 1), '^\\s*\\{{\\s*$', '{{')) > 1
+                     THEN ',' ELSE '' END
+             || '"original_timestamp":' || CAST(ts_ms AS VARCHAR)
+             || ',"processing_pipeline":"flink-event-processor"}}' AS enrichedData,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS sequence
+    FROM base
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_sliding_peak — P3/A1: full 10-min/5-s sliding window, per-user peak
+# --------------------------------------------------------------------------
+
+def ev_sliding_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_window = (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 seconds").alias("w"),
+            "user_id",
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_window.groupBy("user_id")
+        .agg(
+            F.max("cnt").cast("int").alias("peak_count"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SLIDING_PEAK_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT user_id,
+           CAST(MAX(cnt) AS INTEGER) AS peak_count,
+           COUNT(*) AS n_windows
+    FROM (
+      SELECT user_id,
+             FLOOR(epoch(ts) / 5) * 5 - 5 * i AS wstart,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN generate_series(0, 119) AS t(i)
+      GROUP BY 1, 2
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_type_counts — A2: per-key per-type counts
+# --------------------------------------------------------------------------
+
+def ev_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+EV_TYPE_COUNTS_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_sessionize — session windows (gaps-and-islands oracle)
+# --------------------------------------------------------------------------
+
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    return sessions.orderBy("user_id", "session_start")
+
+
+EV_SESSIONIZE_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_json_extract — §2.10 JSON scalar functions over the open props map
+# --------------------------------------------------------------------------
+
+def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_JSON_EXTRACT_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(json_extract_string(props, '$.k')) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_tumbling_hourly — tumbling window counts + exact value sums
+# --------------------------------------------------------------------------
+
+def ev_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EV_TUMBLING_HOURLY_SQL = dedent(f"""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+""")
+
+
+QUERIES = [
+    QuerySpec("ev_parse_route", ev_parse_route, EV_PARSE_ROUTE_SQL,
+              "M3→P1: JSON wire serialize + parse_and_route round-trip", ("streaming", "parse")),
+    QuerySpec("ev_error_routing", ev_error_routing, EV_ERROR_ROUTING_SQL,
+              "F2/R1: corrupt-message routing to the error branch", ("streaming", "route")),
+    QuerySpec("ev_sequence", ev_sequence, EV_SEQUENCE_SQL,
+              "P2: per-key monotone sequence (batch row_number form)", ("streaming", "state")),
+    QuerySpec("ev_enrich", ev_enrich, EV_ENRICH_SQL,
+              "M4: enrichment projection incl. JSON splice, pinned clock", ("streaming", "enrich")),
+    QuerySpec("ev_sliding_peak", ev_sliding_peak, EV_SLIDING_PEAK_SQL,
+              "P3/A1: 10min/5s sliding windows, per-user peak", ("streaming", "window"), bench=True),
+    QuerySpec("ev_type_counts", ev_type_counts, EV_TYPE_COUNTS_SQL,
+              "A2: per-key per-type counts", ("streaming", "agg")),
+    QuerySpec("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL,
+              "session windows vs gaps-and-islands oracle", ("streaming", "window")),
+    QuerySpec("ev_json_extract", ev_json_extract, EV_JSON_EXTRACT_SQL,
+              "JSON scalar functions over the open props map", ("streaming", "json")),
+    QuerySpec("ev_tumbling_hourly", ev_tumbling_hourly, EV_TUMBLING_HOURLY_SQL,
+              "tumbling hourly counts + exact sums", ("streaming", "window")),
+]

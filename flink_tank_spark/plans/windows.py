@@ -1,3 +1,283 @@
-"""Placeholder — populated in a later milestone."""
+"""Analytic window functions, grouping sets, and set operations.
 
-QUERIES: list = []
+All absent in the reference (SURVEY §2.12 — no sorts, no top-k, no set
+operations, no grouping sets) — this module is extension surface, built
+entirely on built-in Spark operators so Catalyst plans them (window
+exchange reuse, partial aggregation, AQE).
+
+Determinism notes (drive every design choice here):
+- Running/windowed SUMs over doubles are ORDER-DEPENDENT in IEEE float —
+  worse, DuckDB evaluates windowed aggregates with a segment tree
+  (pairwise merge order) while Spark accumulates sequentially, so raw
+  double window sums can never hash-match. Every windowed sum goes
+  through the fixed-point recipe (functions/numeric.py): long micro-units
+  summed exactly, one final division.
+- Every window ORDER BY carries a unique tiebreak column so rank/lag
+  results are engine-independent.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.functions.numeric import dsum, sql_dsum
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.plans.registry import QuerySpec
+
+MICRO = 1_000_000.0
+
+
+def _scaled_long(col: str) -> F.Column:
+    return F.floor(F.col(col) * F.lit(MICRO) + F.lit(0.5))
+
+
+# --------------------------------------------------------------------------
+# win_running_total — running revenue per customer over order history
+# --------------------------------------------------------------------------
+
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(_scaled_long("o_totalprice")).over(w) / F.lit(MICRO)).alias("running_total"),
+    )
+
+
+WIN_RUNNING_TOTAL_SQL = dedent("""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0 AS running_total
+    FROM orders
+""")
+
+
+# --------------------------------------------------------------------------
+# win_top_orders_per_cust — rank + filter top-3 orders per customer
+# --------------------------------------------------------------------------
+
+def win_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+WIN_TOP_ORDERS_SQL = dedent("""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+      FROM orders)
+    WHERE rk <= 3
+""")
+
+
+# --------------------------------------------------------------------------
+# win_order_gaps — lag: days since the customer's previous order
+# --------------------------------------------------------------------------
+
+def win_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+WIN_ORDER_GAPS_SQL = dedent("""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS days_since_prev
+    FROM orders
+""")
+
+
+# --------------------------------------------------------------------------
+# win_moving_avg — 10-event moving average of `value` per user (events)
+# --------------------------------------------------------------------------
+
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    mv = (F.sum(_scaled_long("value")).over(w) / F.lit(MICRO)) / F.count(F.lit(1)).over(w)
+    return ev.select("event_id", "user_id", mv.alias("moving_avg_value"))
+
+
+WIN_MOVING_AVG_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                OVER w AS DOUBLE) / 1000000.0 / COUNT(*) OVER w AS moving_avg_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""")
+
+
+# --------------------------------------------------------------------------
+# win_balance_quartiles — ntile + per-bucket stats
+# --------------------------------------------------------------------------
+
+def win_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            dsum("c_acctbal", "sum_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+WIN_BALANCE_QUARTILES_SQL = dedent(f"""
+    SELECT quartile, COUNT(*) AS n,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           {sql_dsum('c_acctbal')} AS sum_bal
+    FROM (
+      SELECT c_acctbal,
+             CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+      FROM customer)
+    GROUP BY quartile
+    ORDER BY quartile
+""")
+
+
+# --------------------------------------------------------------------------
+# agg_rollup_region_nation — ROLLUP revenue hierarchy
+# --------------------------------------------------------------------------
+
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nat, reg = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "nation", "region")
+    )
+    dims = nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("region", "nation")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("region").asc_nulls_first(), F.col("nation").asc_nulls_first()
+        )
+    )
+
+
+AGG_ROLLUP_SQL = dedent(f"""
+    SELECT r_name AS region, n_name AS nation,
+           {sql_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+""")
+
+
+# --------------------------------------------------------------------------
+# set_churned_customers — EXCEPT: active in 1996, gone in 1997
+# --------------------------------------------------------------------------
+
+def set_churned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nat = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "nation")
+    )
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics) — exceptAll would leak
+    # customers whose 1996 order count merely exceeds their 1997 count.
+    churned = y96.distinct().subtract(y97.distinct())
+    return (
+        churned.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+        .orderBy("n_name")
+    )
+
+
+SET_CHURNED_SQL = dedent("""
+    WITH churned AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    )
+    SELECT n_name, COUNT(*) AS n_churned
+    FROM churned JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+""")
+
+
+# --------------------------------------------------------------------------
+# set_loyal_customers — INTERSECT: active in both years
+# --------------------------------------------------------------------------
+
+def set_loyal_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    return (
+        y96.intersect(y97)
+        .agg(F.count(F.lit(1)).alias("n_loyal"))
+    )
+
+
+SET_LOYAL_SQL = dedent("""
+    SELECT COUNT(*) AS n_loyal FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    )
+""")
+
+
+QUERIES = [
+    QuerySpec("win_running_total", win_running_total, WIN_RUNNING_TOTAL_SQL,
+              "running revenue per customer (exact fixed-point window sum)", ("window",)),
+    QuerySpec("win_top_orders_per_cust", win_top_orders_per_cust, WIN_TOP_ORDERS_SQL,
+              "row_number top-3 orders per customer", ("window", "topk")),
+    QuerySpec("win_order_gaps", win_order_gaps, WIN_ORDER_GAPS_SQL,
+              "lag: days between consecutive orders", ("window",)),
+    QuerySpec("win_moving_avg", win_moving_avg, WIN_MOVING_AVG_SQL,
+              "10-event moving average per user", ("window",), bench=True),
+    QuerySpec("win_balance_quartiles", win_balance_quartiles, WIN_BALANCE_QUARTILES_SQL,
+              "ntile quartiles of customer balances", ("window",)),
+    QuerySpec("agg_rollup_region_nation", agg_rollup_region_nation, AGG_ROLLUP_SQL,
+              "ROLLUP revenue by region/nation", ("groupingsets",)),
+    QuerySpec("set_churned_customers", set_churned_customers, SET_CHURNED_SQL,
+              "EXCEPT: customers active in 1996 but not 1997", ("setops",)),
+    QuerySpec("set_loyal_customers", set_loyal_customers, SET_LOYAL_SQL,
+              "INTERSECT: customers active in both years", ("setops",)),
+]
