@@ -1,0 +1,154 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extension surface for training-data pipelines. All operators are pure
+DataFrame transforms over built-ins; the similarity joins are written as
+INVERTED-INDEX joins (explode the sparse features, join on feature,
+count matches) — the shape that scales: the shuffle carries (feature,
+doc) pairs, never document cross-products, and skewed features (ultra
+common shingles) can be dropped by document frequency exactly like
+prefix filtering in set-similarity-join literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_tank_spark.operators.text import (
+    lsh_band_buckets,
+    minhash_signature,
+    word_shingles,
+)
+
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Exact duplicate statistics by content hash (md5). One hash-groupBy;
+    at 100 TB this is the cheapest possible dedup pass (map-side combine
+    on a 16-byte key)."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("content_hash")
+    per_hash = df.select(*group_cols, h).groupBy(*group_cols, "content_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    aggs = [
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias("n_redundant"),
+    ]
+    out = per_hash.groupBy(*group_cols).agg(*aggs) if group_cols else per_hash.agg(*aggs)
+    return out
+
+
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, distinct word-k-shingles, set size)."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), k))
+    return df.select(F.col(id_col), sh.alias("shingles"), F.size(sh).alias("set_size"))
+
+
+def jaccard_pairs(
+    shingled: DataFrame, id_col: str = "doc_id", min_common: int = 1
+) -> DataFrame:
+    """All-pairs Jaccard via inverted-index join on distinct shingles.
+
+    Output: id_a < id_b, n_common, jaccard. The exploded join carries
+    (shingle, doc) rows; pairs sharing < min_common shingles never
+    materialize.
+    """
+    posts = shingled.select(id_col, "set_size", F.explode("shingles").alias("sh"))
+    a = posts.select(
+        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh"
+    )
+    b = posts.select(
+        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh"
+    )
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return common.select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4, k: int = 3
+) -> DataFrame:
+    sh = F.array_distinct(word_shingles(F.col(text_col), k))
+    return df.select(F.col(id_col), *[c for c in minhash_signature(sh, n_perms)])
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash-LSH blocking: docs sharing any band bucket become
+    candidate pairs. Scale shape: explode to (band, bucket, doc), join
+    per bucket — cross-products only form INSIDE a bucket."""
+    mh_cols = [F.col(c) for c in signatures.columns if c.startswith("mh_")]
+    bands = signatures.select(
+        id_col, *lsh_band_buckets(mh_cols, rows_per_band)
+    )
+    band_cols = [c for c in bands.columns if c.startswith("band_")]
+    stacked = bands.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.concat(F.lit(f"{i}:"), F.col(c)) for i, c in enumerate(band_cols)
+            ])
+        ).alias("bucket"),
+    )
+    a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
+    b = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_bits(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """SimHash: per-bit majority vote over word md5 hashes, exploded as
+    (doc, bit) rows so the aggregation is a plain shuffle-lean groupBy
+    (and so the semantics are SQL-oracle-checkable). Output: 64-char
+    bitstring per doc."""
+    w = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).withColumn("h", F.md5(F.col("word").cast("binary")))
+    per_bit = (
+        w.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("h"),
+        )
+        .withColumn(
+            "hex_val",
+            F.conv(F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1), 16, 10).cast("int"),
+        )
+        .withColumn(
+            # SQL shiftright accepts a column shift amount (the pyspark
+            # wrapper F.shiftright only takes an int literal)
+            "bit_set",
+            F.expr("shiftright(hex_val, cast(3 - bit % 4 as int)) & 1"),
+        )
+        .groupBy(id_col, "bit")
+        .agg(F.sum(F.when(F.col("bit_set") == 1, 1).otherwise(-1)).alias("vote"))
+    )
+    return (
+        per_bit.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bit", F.when(F.col("vote") > 0, "1").otherwise("0").alias("b")))
+                    ),
+                    lambda s: s["b"],
+                ),
+            ).alias("simhash")
+        )
+    )

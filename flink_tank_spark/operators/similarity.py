@@ -1,0 +1,124 @@
+"""Embedding similarity operators: exact + fixed-point cosine, top-k ANN.
+
+Extension surface for training-data pipelines: brute-force cosine top-k
+as the exact baseline, and an IVF-style (inverted-file) variant as the
+scale path — assign vectors to the nearest of C centroids once, then
+search only the query's cell (C× less work; the standard ANN recall/cost
+trade).
+
+Determinism: dot products use the fixed-point recipe
+(functions/numeric.py rationale): each element product is computed in
+double (float32 inputs promote exactly), scaled to 1e-12 units with
+``floor(x*1e12 + 0.5)`` — pure IEEE ops — and summed EXACTLY as
+integral doubles (≤2^53). Any partitioning, any engine, same bits; this
+is what makes cosine scores hash-verifiable against a SQL oracle AND
+reproducible run-to-run on a cluster.
+
+Scale notes: brute-force is a cartesian join — fine for a bounded query
+set (broadcast the queries; each executor scans its corpus partition
+once). All-pairs near-dup at corpus scale must go through blocking
+(IVF cells here, or LSH bands — operators/dedup.py) before the exact
+rescoring; the entries in plans/llm.py demonstrate both shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1e12
+
+
+def _fp_sum(arr: Column) -> Column:
+    """Exact sum of an array of doubles via fixed-point floor-scaling."""
+    return F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc + F.floor(x * F.lit(SCALE) + F.lit(0.5)),
+    ) / F.lit(SCALE)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact fixed-point dot product of two double arrays."""
+    return _fp_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fp_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double_array(a: Column) -> Column:
+    """float32 → double promotion (exact) so all math runs in double."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: broadcast the (small) query set against the corpus.
+
+    One pass over the corpus per partition, no shuffle of the corpus
+    side; the only shuffle is the final per-query top-k (tiny).
+    """
+    from pyspark.sql.window import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (IVF cells).
+
+    Centroids are broadcast; assignment is one corpus scan. Ties break
+    on centroid id for determinism.
+    """
+    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        "v",
+        "centroid_id",
+        cosine(F.col("v"), F.col("cv")).alias("c_sim"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), "centroid_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "v", "centroid_id")
+    )

@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Extension surface (absent in the reference — SURVEY §2.12): language ID,
+quality scoring, token counting, shingling, MinHash, SimHash, and
+document fingerprints, all as pure DataFrame→DataFrame transforms built
+on JVM-side built-ins (split/transform/aggregate/md5) — no Python UDFs
+in any hot path, so whole-stage codegen applies and the operators run
+identically on a 1000-executor cluster.
+
+Hashing design: every hash is ``md5`` of a UTF-8 string, compared/min'd
+LEXICOGRAPHICALLY as hex strings. md5 is identical across Spark, DuckDB,
+and Python, which makes every operator here oracle-checkable — a
+deliberate trade (md5 is ~2× slower than murmur3, but engine-portable
+and collision-safe for dedup purposes). The i-th MinHash "permutation"
+is ``md5(i ++ ':' ++ shingle)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword profiles for the n-gram/stopword language-ID heuristic.
+# Tiny by design (the point is the operator shape, not lexicon quality).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "und", "die", "das", "ein"],
+    "es": ["el", "los", "de", "la", "que"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, or single punctuation.
+# Kept to a dialect-portable subset (works identically in Java regex and
+# RE2/DuckDB) so token counts are oracle-checkable.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-grams as strings; a doc with <k words yields [full text]."""
+    w = words(text)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + F.lit(j + 1)) for j in range(k)]),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(text))
+
+
+def char_ngrams(text: Column, k: int = 8) -> Column:
+    """Character k-grams; a doc with <k chars yields [full text]."""
+    n = F.length(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(k - 1)),
+        lambda i: F.substring(text, i, F.lit(k)),
+    )
+    return F.when(n >= k, grams).otherwise(F.array(text))
+
+
+def minhash(shingles: Column, perm: int) -> Column:
+    """MinHash for one md5 "permutation": min hex digest over shingles."""
+    return F.array_min(
+        F.transform(
+            shingles,
+            lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s).cast("binary")),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_perms: int = 4) -> list[Column]:
+    return [minhash(shingles, p).alias(f"mh_{p}") for p in range(n_perms)]
+
+
+def lsh_band_buckets(mh_cols: list[Column], rows_per_band: int = 2) -> list[Column]:
+    """Group MinHashes into bands; bucket id = md5 of the concatenated
+    band. Docs sharing any band bucket are near-dup candidates."""
+    bands = []
+    for b in range(0, len(mh_cols), rows_per_band):
+        band = mh_cols[b : b + rows_per_band]
+        bands.append(
+            F.md5(F.concat_ws("|", *band).cast("binary")).alias(f"band_{b // rows_per_band}")
+        )
+    return bands
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over a padded lowercase text."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = {}
+    for lang, stopwords in LANG_PROFILES.items():
+        score = None
+        for wd in stopwords:
+            hit = (
+                F.length(padded)
+                - F.length(F.replace(padded, F.lit(f" {wd} "), F.lit("")))
+            ) / F.lit(len(wd) + 2)
+            score = hit if score is None else score + hit
+        out[lang] = score.cast("long")
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by stopword hits; ties break on language code."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_PROFILES)
+        ]
+    )
+    # Deterministic argmax: sort by (-score, lang), take the first —
+    # ties break on the alphabetically first language code.
+    ranked = F.array_sort(
+        F.transform(
+            pairs,
+            lambda p: F.struct((-p["score"]).alias("neg"), p["lang"].alias("lang")),
+        )
+    )
+    return F.element_at(ranked, 1)["lang"]
+
+
+def token_stats(text: Column) -> dict[str, Column]:
+    return {
+        "n_chars": F.length(text).cast("long"),
+        "n_ws_tokens": F.size(words(text)).cast("long"),
+        "n_bpe_tokens": F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic (deterministic integer-ratio math):
+    alpha ratio, whitespace sanity, mean word length band, stopword hits.
+    """
+    n = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    n_space = F.length(F.regexp_replace(text, r"[^ ]", "")).cast("double")
+    n_words = F.size(words(text)).cast("double")
+    mean_wlen = (n - n_space) / n_words
+    en_hits = lang_scores(text)["en"].cast("double")
+    alpha_ratio = n_alpha / n
+    space_ratio = n_space / n
+    wlen_ok = F.when((mean_wlen >= 3.0) & (mean_wlen <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(en_hits / n_words > 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.abs(space_ratio - F.lit(1.0 / 6.0)))
+        + F.lit(0.2) * wlen_ok
+        + F.lit(0.2) * stop_ok
+    )
+
+
+def fingerprint(text: Column, k: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min md5 over char k-grams.
+    Equal fingerprints ⇒ shared rare substring — cheap near-dup signal."""
+    return F.array_min(F.transform(char_ngrams(text, k), lambda g: F.md5(g.cast("binary"))))

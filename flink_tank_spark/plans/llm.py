@@ -1,3 +1,536 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM training-data pipeline queries: dedup, similarity, text, multimodal.
 
-QUERIES: list = []
+Extension surface (BASELINE.json north star; absent in the reference —
+SURVEY §2.12). Every entry is a pure-built-in Spark plan from
+operators/{text,dedup,similarity,multimodal}.py with a DuckDB oracle, so
+the driver's hash gate covers the whole layer — including the multimodal
+decode, whose fake-container header is arithmetically derivable.
+
+Oracle portability rests on two deliberate choices (operators/text.py):
+md5-as-hex-string hashing (identical in Spark/DuckDB/Python) and
+fixed-point dot products (pure IEEE ops, identical in both engines).
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import dedup, multimodal, similarity, text
+from flink_tank_spark.plans.registry import QuerySpec
+
+# Shared oracle CTE: distinct word-3-shingle sets per doc (mirrors
+# operators/text.word_shingles + array_distinct).
+SHINGLES_CTE = dedent("""
+    shingled AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                    ELSE [text] END) AS shingles
+      FROM documents
+    )
+""").strip()
+
+
+# --------------------------------------------------------------------------
+# doc_dedup_stats — exact dedup by content hash, per source
+# --------------------------------------------------------------------------
+
+def doc_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs, group_cols=("source",)).orderBy("source")
+
+
+DOC_DEDUP_STATS_SQL = dedent("""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_redundant
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_minhash — MinHash signatures (4 md5 permutations over 3-shingles)
+# --------------------------------------------------------------------------
+
+def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, n_perms=4).orderBy("doc_id")
+
+
+DOC_MINHASH_SQL = dedent(f"""
+    WITH {SHINGLES_CTE}
+    SELECT doc_id,
+           list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh_0,
+           list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh_1,
+           list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh_2,
+           list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh_3
+    FROM shingled
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_lsh_near_dups — MinHash-LSH blocking + exact Jaccard rescoring
+# --------------------------------------------------------------------------
+
+def doc_lsh_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_perms=4)
+    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
+    shingled = dedup.shingle_sets(docs)
+    verified = (
+        cands.join(
+            shingled.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_common", "jaccard").orderBy("id_a", "id_b")
+
+
+DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
+    WITH {SHINGLES_CTE},
+    sigs AS (
+      SELECT doc_id, shingles,
+             list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh_0,
+             list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh_1,
+             list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh_2,
+             list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh_3
+      FROM shingled
+    ),
+    buckets AS (
+      SELECT doc_id, shingles,
+             unnest(['0:' || md5(mh_0 || '|' || mh_1),
+                     '1:' || md5(mh_2 || '|' || mh_3)]) AS bucket
+      FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.shingles AS sh_a, b.shingles AS sh_b
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sh_a, sh_b)) AS n_common,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM cands
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    ORDER BY id_a, id_b
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_jaccard_topk — inverted-index all-pairs Jaccard, top 20
+# --------------------------------------------------------------------------
+
+def doc_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(dedup.shingle_sets(docs), min_common=1)
+    return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)
+
+
+DOC_JACCARD_TOPK_SQL = dedent(f"""
+    WITH {SHINGLES_CTE},
+    posts AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM shingled),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
+             COUNT(*) AS n_common
+      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) AS jaccard
+    FROM pairs
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_simhash — 64-bit SimHash signatures
+# --------------------------------------------------------------------------
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_bits(docs).orderBy("doc_id")
+
+
+DOC_SIMHASH_SQL = dedent("""
+    WITH w AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
+    ),
+    per_bit AS (
+      SELECT doc_id, b.bit,
+             SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, CAST(b.bit // 4 + 1 AS INTEGER), 1)) - 1)
+                            // CAST(pow(2, 3 - b.bit % 4) AS INTEGER) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM w CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+    FROM per_bit
+    GROUP BY doc_id
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_lang_id — stopword-profile language ID
+# --------------------------------------------------------------------------
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            text.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in text.LANG_PROFILES[lang]
+    ]
+    return " + ".join(terms)
+
+
+DOC_LANG_ID_SQL = dedent(f"""
+    WITH padded AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, s.lang, s.score FROM padded,
+      LATERAL (
+        SELECT unnest(['de','en','es','fr','zh']) AS lang,
+               unnest([{_sql_lang_score('de')},
+                       {_sql_lang_score('en')},
+                       {_sql_lang_score('es')},
+                       {_sql_lang_score('fr')},
+                       {_sql_lang_score('zh')}]) AS score
+      ) s
+    ),
+    best AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk
+      FROM scores
+    )
+    SELECT lang AS pred_lang, COUNT(*) AS n_docs
+    FROM best WHERE rk = 1
+    GROUP BY 1 ORDER BY 1
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_quality — composite quality scores, bucketed histogram
+# --------------------------------------------------------------------------
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = text.quality_score(F.col("text"))
+    return (
+        docs.select("doc_id", q.alias("quality"))
+        .withColumn("bucket", F.floor(F.col("quality") * 10).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+DOC_QUALITY_SQL = dedent("""
+    WITH q AS (
+      SELECT doc_id,
+             0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE))
+           + 0.2 * (1.0 - abs(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE) - 1.0/6.0))
+           + 0.2 * (CASE WHEN (length(text) - length(regexp_replace(text, '[^ ]', '', 'g')))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE) BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN (
+                  CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5 AS BIGINT)
+                + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5 AS BIGINT)
+                + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4 AS BIGINT)
+                + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' to ', ''))) / 4 AS BIGINT)
+                + CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3 AS BIGINT)
+                ) / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05 THEN 1.0 ELSE 0.0 END)
+             AS quality
+      FROM documents
+    )
+    SELECT CAST(FLOOR(quality * 10) AS INTEGER) AS bucket, COUNT(*) AS n_docs
+    FROM q GROUP BY 1 ORDER BY 1
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_token_stats — whitespace + BPE-ish token counting
+# --------------------------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.token_stats(F.col("text"))
+    return (
+        docs.select("lang", *[v.alias(k) for k, v in stats.items()])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_TOKEN_STATS_SQL = dedent(f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(length(text)) AS total_chars,
+           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+           SUM(len(regexp_extract_all(text, '{text.TOKEN_REGEX}'))) AS total_bpe_tokens
+    FROM documents
+    GROUP BY lang ORDER BY lang
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_fingerprint — winnowing-style min-hash char-8-gram fingerprint
+# --------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.fingerprint(F.col("text"), 8).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = dedent("""
+    SELECT doc_id,
+           list_min(CASE WHEN length(text) >= 8
+                         THEN list_transform(range(1, length(text) - 6),
+                                             i -> md5(substr(text, i, 8)))
+                         ELSE [md5(text)] END) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_cosine_topk — exact brute-force cosine top-5 for 10 query vectors
+# --------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> floor(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12 + 0.5))) / 1e12"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> floor(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE) * 1e12 + 0.5))) / 1e12)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_SQL_DOT.format(a=a, b=b)}) / "
+        f"(({_SQL_NORM.format(a=a)}) * ({_SQL_NORM.format(a=b)}))"
+    )
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rk")
+
+
+EMB_COSINE_TOPK_SQL = dedent(f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY query_id, rk
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_topk — IVF-style ANN: search only the query's centroid cell
+# --------------------------------------------------------------------------
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    assigned = similarity.ivf_assign(emb, centroids)
+    queries = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("centroid_id").alias("q_cell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(queries),
+            (F.col("centroid_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            similarity.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+EMB_IVF_TOPK_SQL = dedent(f"""
+    WITH assign_scored AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id,
+             {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
+      FROM embeddings v JOIN embeddings c ON c.vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id) AS rk
+        FROM assign_scored) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_sim
+      FROM assigned q
+      JOIN assigned n ON n.centroid_id = q.centroid_id AND n.vec_id <> q.vec_id
+      JOIN embeddings qe ON qe.vec_id = q.vec_id
+      JOIN embeddings ne ON ne.vec_id = n.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 5
+    ORDER BY query_id, rk
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_near_dup_pairs — embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), similarity.as_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), similarity.as_double_array("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", similarity.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+EMB_NEAR_DUP_SQL = dedent(f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+    ORDER BY id_a, id_b
+""")
+
+
+# --------------------------------------------------------------------------
+# mm_decode — multimodal fake-container decode via mapInPandas
+# --------------------------------------------------------------------------
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_fake(docs, "doc_id", "text", kind="image")
+    return multimodal.decode_stub(media).orderBy("media_id")
+
+
+# The fake header encodes width/height/frames as functions of payload
+# length, so the Arrow-batched decode is hash-checkable against pure SQL.
+MM_DECODE_SQL = dedent("""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST(length(text) % 640 + 16 AS INTEGER) AS width,
+           CAST(length(text) % 480 + 16 AS INTEGER) AS height,
+           CAST(length(text) % 30 + 1 AS INTEGER) AS n_frames,
+           length(text) AS n_payload_bytes
+    FROM documents
+    ORDER BY media_id
+""")
+
+
+QUERIES = [
+    QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
+              "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
+    QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
+              "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),
+    QuerySpec("doc_lsh_near_dups", doc_lsh_near_dups, DOC_LSH_NEAR_DUPS_SQL,
+              "MinHash-LSH blocking + exact Jaccard >= 0.8", ("llm", "dedup"), bench=True),
+    QuerySpec("doc_jaccard_topk", doc_jaccard_topk, DOC_JACCARD_TOPK_SQL,
+              "inverted-index all-pairs Jaccard top-20", ("llm", "dedup")),
+    QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
+              "64-bit SimHash signatures", ("llm", "dedup")),
+    QuerySpec("doc_lang_id", doc_lang_id, DOC_LANG_ID_SQL,
+              "stopword-profile language ID histogram", ("llm", "text")),
+    QuerySpec("doc_quality", doc_quality, DOC_QUALITY_SQL,
+              "composite quality score histogram", ("llm", "text")),
+    QuerySpec("doc_token_stats", doc_token_stats, DOC_TOKEN_STATS_SQL,
+              "whitespace + BPE-ish token counts per lang", ("llm", "text"), bench=True),
+    QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL,
+              "winnowing-style min char-8-gram fingerprint", ("llm", "text")),
+    QuerySpec("emb_cosine_topk", emb_cosine_topk, EMB_COSINE_TOPK_SQL,
+              "exact cosine top-5 for 10 queries (fixed-point dot)", ("llm", "similarity"), bench=True),
+    QuerySpec("emb_ivf_topk", emb_ivf_topk, EMB_IVF_TOPK_SQL,
+              "IVF-cell ANN top-5 (search only the query's cell)", ("llm", "similarity")),
+    QuerySpec("emb_near_dup_pairs", emb_near_dup_pairs, EMB_NEAR_DUP_SQL,
+              "embedding-cosine near-dup pairs >= 0.45", ("llm", "dedup")),
+    QuerySpec("mm_decode", mm_decode, MM_DECODE_SQL,
+              "multimodal fake-container decode via mapInPandas", ("llm", "multimodal")),
+]
