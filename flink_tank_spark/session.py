@@ -43,6 +43,13 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # RocksDB state store: the backend you'd pick at 100 TB (spills
+        # to disk, incremental checkpoints) — and required by the
+        # transformWithState API family if enabled later.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
