@@ -1,0 +1,62 @@
+"""Job 1 entrypoint: Kafka → parse/route/enrich → Kafka (+ error topic).
+
+Mirrors the reference job's config surface (``EventProcessorJob.kt:48-53``
+ParameterTool args; K8s wiring ``k8s/flink/event-processor-job.yaml:27-38``)
+on Structured Streaming: two queries off one source — the stateful
+sequence requires running inside the streaming query, and Kafka re-reads
+are the idiomatic Spark replacement for Flink side outputs (SURVEY §2.5).
+Checkpointing gives the same at-least-once contract (SURVEY §2.2).
+
+Usage:
+    spark-submit -m event_processor \\
+        --brokers kafka:9092 --input-topic input-events \\
+        --output-topic output-results --error-topic error-events \\
+        --checkpoint-dir /chk/event-processor
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from flink_tank_spark.io.kafka import read_kafka_stream, write_kafka_stream
+from flink_tank_spark.session import get_spark
+from flink_tank_spark.streaming.jobs import (
+    get_output_streams,
+    serialize_errors,
+    serialize_processed,
+)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description="Event Processor Job (Spark)")
+    ap.add_argument("--brokers", default="localhost:9092")
+    ap.add_argument("--input-topic", default="input-events")
+    ap.add_argument("--output-topic", default="output-results")
+    ap.add_argument("--error-topic", default="error-events")
+    ap.add_argument("--checkpoint-dir", required=True)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("event-processor")
+    raw = read_kafka_stream(spark, args.brokers, args.input_topic)
+    processed, errors = get_output_streams(raw, streaming=True)
+
+    q1 = write_kafka_stream(
+        serialize_processed(processed),
+        args.brokers,
+        args.output_topic,
+        f"{args.checkpoint_dir}/processed",
+        "event-processor-main",
+    )
+    q2 = write_kafka_stream(
+        serialize_errors(errors),
+        args.brokers,
+        args.error_topic,
+        f"{args.checkpoint_dir}/errors",
+        "event-processor-errors",
+    )
+    spark.streams.awaitAnyTermination()
+    q1.stop(), q2.stop()
+
+
+if __name__ == "__main__":
+    main()

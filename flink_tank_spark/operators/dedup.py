@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from flink_tank_spark.operators.text import (
     lsh_band_buckets,
     minhash_signature,
-    word_shingles,
+    shingles_from_words,
 )
 
 
@@ -41,9 +41,15 @@ def exact_dedup_stats(
 
 
 def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(id, distinct word-k-shingles, set size)."""
-    sh = F.array_distinct(word_shingles(F.col(text_col), k))
-    return df.select(F.col(id_col), sh.alias("shingles"), F.size(sh).alias("set_size"))
+    """(id, distinct word-k-shingles, set size). The words array is
+    materialized as a column first — see shingles_from_words."""
+    with_words = df.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    sh = F.array_distinct(shingles_from_words(F.col("_w"), F.col(text_col), k))
+    return with_words.select(
+        F.col(id_col), sh.alias("shingles"), F.size(sh).alias("set_size")
+    )
 
 
 def jaccard_pairs(
@@ -76,8 +82,11 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4, k: int = 3
 ) -> DataFrame:
-    sh = F.array_distinct(word_shingles(F.col(text_col), k))
-    return df.select(F.col(id_col), *[c for c in minhash_signature(sh, n_perms)])
+    with_words = df.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_w")
+    )
+    sh = F.array_distinct(shingles_from_words(F.col("_w"), F.col(text_col), k))
+    return with_words.select(F.col(id_col), *[c for c in minhash_signature(sh, n_perms)])
 
 
 def lsh_candidate_pairs(

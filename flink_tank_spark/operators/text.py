@@ -40,9 +40,16 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-grams as strings; a doc with <k words yields [full text]."""
-    w = words(text)
+def shingles_from_words(w: Column, text: Column, k: int = 3) -> Column:
+    """Word k-grams from a MATERIALIZED words-array column.
+
+    ``w`` must be a real column (e.g. ``withColumn("_w", split(text))``),
+    not an inline ``split(...)`` expression: higher-order lambdas are
+    interpreted, and an inline split would be re-evaluated per
+    ``element_at`` — O(words²·k) per document (profiled as a hang on
+    5k docs). A bound column reference evaluates once per row.
+    A doc with <k words yields [full text].
+    """
     n = F.size(w)
     grams = F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),

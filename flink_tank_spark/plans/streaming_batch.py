@@ -168,18 +168,45 @@ EV_ENRICH_SQL = dedent(f"""
 # --------------------------------------------------------------------------
 
 def ev_sliding_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 10-min/5-s sliding-window count per user, WITHOUT the 120×
+    window-explosion ``F.window(slide)`` would generate.
+
+    Rewrite: counts per aligned 5-s bucket (one small shuffle), then
+    - peak: a RANGE-frame sliding sum over bucket indices. Any maximal
+      window can be shifted right until its left edge hits an occupied
+      bucket without losing events, so evaluating window starts at
+      occupied buckets only is lossless.
+    - n_windows (distinct windows containing ≥1 event): each occupied
+      bucket contributes ``min(gap_to_previous, 120)`` windows (lag).
+
+    Shuffled rows: #occupied buckets (≤ #events), vs 120× #events for
+    the naive explode — the difference between 12 M and 100 k rows at
+    sf0.1, and between feasible and not at 100 TB.
+    """
     ev = load_table(spark, sf_dir, "events")
-    per_window = (
+    buckets = (
         ev.groupBy(
-            F.window("ts", "10 minutes", "5 seconds").alias("w"),
             "user_id",
+            F.floor(F.unix_micros("ts") / F.lit(5_000_000)).alias("bucket"),
         ).agg(F.count(F.lit(1)).alias("cnt"))
     )
+    w_slide = (
+        W.partitionBy("user_id").orderBy("bucket").rangeBetween(0, 119)
+    )
+    w_lag = W.partitionBy("user_id").orderBy("bucket")
+    per_bucket = buckets.select(
+        "user_id",
+        F.sum("cnt").over(w_slide).alias("win_cnt"),
+        F.least(
+            F.coalesce(F.col("bucket") - F.lag("bucket").over(w_lag), F.lit(120)),
+            F.lit(120),
+        ).alias("new_windows"),
+    )
     return (
-        per_window.groupBy("user_id")
+        per_bucket.groupBy("user_id")
         .agg(
-            F.max("cnt").cast("int").alias("peak_count"),
-            F.count(F.lit(1)).alias("n_windows"),
+            F.max("win_cnt").cast("int").alias("peak_count"),
+            F.sum("new_windows").alias("n_windows"),
         )
         .orderBy("user_id")
     )

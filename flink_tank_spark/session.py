@@ -39,6 +39,14 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Local test files are single-digit-MB single parquet files; the
+        # 128 MB default would scan each table as ONE partition and
+        # serialize every downstream pipeline onto one core. 4 MB keeps
+        # local scans parallel; on a real cluster raise it back via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,122 @@
+"""Kafka ops CLI — same command surface as the reference's ktool
+(`kafka-tools/ktool.py`, SURVEY §2.13: list-topics / describe / consume /
+produce / query), reimplemented fresh for the Spark deployment.
+
+Engine-adjacent tooling, not engine code: each subcommand shells out to
+the Kafka console tools inside the broker pod via kubectl exec (the same
+operational approach the reference takes, with this repo's own layout
+and flags).
+
+Usage:
+    python -m flink_tank_spark.tools.stool list-topics
+    python -m flink_tank_spark.tools.stool describe -t input-events
+    python -m flink_tank_spark.tools.stool consume -t output-results -n 10 --from-beginning
+    python -m flink_tank_spark.tools.stool produce -t input-events -m '{"id":"u1",...}'
+    python -m flink_tank_spark.tools.stool query -t input-events
+"""
+
+from __future__ import annotations
+
+import argparse
+import shlex
+import subprocess
+import sys
+
+DEFAULT_NAMESPACE = "kafka"
+DEFAULT_POD = "kafka-cluster-kafka-0"
+BOOTSTRAP = "localhost:9092"
+KAFKA_BIN = "/opt/kafka/bin"
+
+
+def _kexec(ns: str, pod: str, cmd: str, stdin: str | None = None) -> int:
+    full = ["kubectl", "exec", "-n", ns]
+    if stdin is not None:
+        full.append("-i")
+    full += [pod, "--", "sh", "-c", cmd]
+    proc = subprocess.run(full, input=stdin.encode() if stdin else None)
+    return proc.returncode
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="stool", description="Kafka ops for the Spark deployment")
+    ap.add_argument("-n", "--namespace", default=DEFAULT_NAMESPACE)
+    ap.add_argument("-p", "--pod", default=DEFAULT_POD)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list-topics", help="list all topics")
+
+    d = sub.add_parser("describe", help="describe a topic")
+    d.add_argument("-t", "--topic", required=True)
+
+    c = sub.add_parser("consume", help="console-consume a topic")
+    c.add_argument("-t", "--topic", required=True)
+    c.add_argument("-n", "--max-messages", type=int, default=None)
+    c.add_argument("--from-beginning", action="store_true")
+    c.add_argument("--partition", type=int, default=None)
+    c.add_argument("--offset", default=None)
+    c.add_argument("--show-key", action="store_true")
+
+    p = sub.add_parser("produce", help="console-produce to a topic")
+    p.add_argument("-t", "--topic", required=True)
+    p.add_argument("-m", "--message", default=None, help="message (else read stdin)")
+    p.add_argument("-f", "--file", default=None, help="file with one message per line")
+    p.add_argument("--key-separator", default=":", help="'key:value' splitting for keyed sends")
+
+    q = sub.add_parser("query", help="high-water-mark offsets for a topic")
+    q.add_argument("-t", "--topic", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list-topics":
+        cmd = f"{KAFKA_BIN}/kafka-topics.sh --bootstrap-server {BOOTSTRAP} --list"
+    elif args.cmd == "describe":
+        cmd = (
+            f"{KAFKA_BIN}/kafka-topics.sh --bootstrap-server {BOOTSTRAP} "
+            f"--describe --topic {shlex.quote(args.topic)}"
+        )
+    elif args.cmd == "consume":
+        parts = [
+            f"{KAFKA_BIN}/kafka-console-consumer.sh --bootstrap-server {BOOTSTRAP}",
+            f"--topic {shlex.quote(args.topic)}",
+        ]
+        if args.from_beginning:
+            parts.append("--from-beginning")
+        if args.max_messages is not None:
+            parts.append(f"--max-messages {args.max_messages}")
+        if args.partition is not None:
+            parts.append(f"--partition {args.partition}")
+        if args.offset is not None:
+            parts.append(f"--offset {shlex.quote(str(args.offset))}")
+        if args.show_key:
+            parts.append("--property print.key=true --property key.separator=:")
+        cmd = " ".join(parts)
+    elif args.cmd == "produce":
+        parts = [
+            f"{KAFKA_BIN}/kafka-console-producer.sh --bootstrap-server {BOOTSTRAP}",
+            f"--topic {shlex.quote(args.topic)}",
+            "--property parse.key=true",
+            f"--property key.separator={shlex.quote(args.key_separator)}",
+        ]
+        cmd = " ".join(parts)
+        if args.message is not None:
+            stdin = args.message
+        elif args.file is not None:
+            with open(args.file) as f:
+                stdin = f.read()
+        else:
+            stdin = sys.stdin.read()
+        return _kexec(args.namespace, args.pod, cmd, stdin=stdin)
+    elif args.cmd == "query":
+        cmd = (
+            f"{KAFKA_BIN}/kafka-get-offsets.sh --bootstrap-server {BOOTSTRAP} "
+            f"--topic {shlex.quote(args.topic)}"
+        )
+    else:  # pragma: no cover
+        ap.error(f"unknown command {args.cmd}")
+        return 2
+
+    return _kexec(args.namespace, args.pod, cmd)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
