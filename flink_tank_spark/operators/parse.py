@@ -71,10 +71,20 @@ def parse_and_route(
         now = F.current_timestamp()
     p = parse_events(raw_df, value_col)
 
+    # from_json leaves the corrupt marker unset for empty input and the
+    # bare JSON literal `null` (it returns an all-null row instead), but
+    # Jackson's readValue throws on both — route them to errors
+    # explicitly. (Edge found by the hypothesis contract test.)
+    is_error = (
+        F.col(f"_parsed.{CORRUPT_COL}").isNotNull()
+        | F.col(value_col).isNull()
+        | F.trim(F.col(value_col)).isin("", "null")
+    )
+
     # Source metadata columns (e.g. the `arrival` offset) pass through the
     # valid branch — the stateful sequence operator needs the order.
     passthrough = [c for c in raw_df.columns if c != value_col]
-    valid = p.filter(F.col(f"_parsed.{CORRUPT_COL}").isNull()).select(
+    valid = p.filter(~is_error).select(
         F.coalesce(F.col("_parsed.id"), F.lit("")).alias("id"),
         F.coalesce(F.col("_parsed.type"), F.lit("")).alias("type"),
         F.coalesce(F.col("_parsed.timestamp"), F.lit(0).cast("long")).alias("timestamp"),
@@ -82,7 +92,7 @@ def parse_and_route(
         *[F.col(c) for c in passthrough],
     )
 
-    errors = p.filter(F.col(f"_parsed.{CORRUPT_COL}").isNotNull()).select(
+    errors = p.filter(is_error).select(
         F.col(value_col).alias("rawMessage"),
         F.lit(PARSE_ERROR).alias("errorType"),
         F.concat(

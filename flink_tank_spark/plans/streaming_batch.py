@@ -348,6 +348,85 @@ EV_TUMBLING_HOURLY_SQL = dedent(f"""
 """)
 
 
+
+
+# --------------------------------------------------------------------------
+# ev_asof_login — as-of join: latest login at-or-before each purchase
+# --------------------------------------------------------------------------
+
+def ev_asof_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_tank_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    logins = ev.filter(F.col("event_type") == "login").select("user_id", "ts")
+    return asof_join(
+        purchases, logins,
+        key="user_id", left_ts="ts", right_ts="ts",
+        right_value="ts", value_alias="last_login_ts",
+    ).orderBy("event_id")
+
+
+# The carried value IS the ordering key (ts), so equal-timestamp login
+# ties cannot produce different results in either engine.
+EV_ASOF_LOGIN_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    u AS (
+      SELECT user_id, ts, 1 AS side, event_id, CAST(NULL AS TIMESTAMP) AS lts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, NULL, ts FROM events WHERE event_type = 'login'
+    )
+    SELECT event_id, user_id, ts,
+           last_value(lts IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, side
+                   ROWS UNBOUNDED PRECEDING) AS last_login_ts
+    FROM u
+    QUALIFY side = 1
+    ORDER BY event_id
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_interval_clicks — interval join: clicks within 5 min before an error
+# --------------------------------------------------------------------------
+
+def ev_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_tank_spark.operators.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        errors, clicks,
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower=F.expr("INTERVAL -5 MINUTES"), upper=F.expr("INTERVAL 0 SECONDS"),
+        how="left",
+    )
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count("r_ts").alias("n_clicks_5m_before"))
+        .orderBy("event_id")
+    )
+
+
+EV_INTERVAL_CLICKS_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
+    SELECT e.event_id, e.user_id, COUNT(c.ts) AS n_clicks_5m_before
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND c.ts >= e.ts - INTERVAL 5 MINUTE AND c.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    ORDER BY e.event_id
+""")
+
+
 QUERIES = [
     QuerySpec("ev_parse_route", ev_parse_route, EV_PARSE_ROUTE_SQL,
               "M3→P1: JSON wire serialize + parse_and_route round-trip", ("streaming", "parse")),
@@ -367,4 +446,8 @@ QUERIES = [
               "JSON scalar functions over the open props map", ("streaming", "json")),
     QuerySpec("ev_tumbling_hourly", ev_tumbling_hourly, EV_TUMBLING_HOURLY_SQL,
               "tumbling hourly counts + exact sums", ("streaming", "window")),
+    QuerySpec("ev_asof_login", ev_asof_login, EV_ASOF_LOGIN_SQL,
+              "as-of join: latest login at-or-before each purchase", ("streaming", "asof")),
+    QuerySpec("ev_interval_clicks", ev_interval_clicks, EV_INTERVAL_CLICKS_SQL,
+              "interval join: clicks within 5min before each error", ("streaming", "rangejoin")),
 ]

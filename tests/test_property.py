@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the determinism-critical paths.
+
+These pin the invariants everything else rests on:
+- the fixed-point aggregation recipe is partition-order independent and
+  equals an exact decimal reference;
+- the parse contract routes arbitrary JSON-ish inputs consistently with
+  a Python-json reference model of the lenient-Jackson semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+money = st.decimals(
+    min_value=Decimal("-99999.99"),
+    max_value=Decimal("99999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+def _fixed_point_sum(values: list[float]) -> float:
+    # mirror of functions/numeric.dsum in pure python
+    total = sum(int(math.floor(v * 1_000_000.0 + 0.5)) for v in values)
+    return total / 1_000_000.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(money, min_size=1, max_size=50))
+def test_fixed_point_sum_exact_and_order_independent(decs):
+    values = [float(d) for d in decs]
+    expected = float(
+        sum(d.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP) for d in decs)
+    )
+    got = _fixed_point_sum(values)
+    assert got == expected
+    # order independence: reversed and sorted partitions give identical bits
+    assert _fixed_point_sum(list(reversed(values))) == got
+    assert _fixed_point_sum(sorted(values)) == got
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # valid InputEvent-shaped objects
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "id": st.text(
+                        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+                        max_size=8,
+                    ),
+                    "type": st.sampled_from(["login", "view", ""]),
+                    "timestamp": st.integers(min_value=0, max_value=2**40),
+                },
+            ).map(json.dumps),
+            # malformed inputs
+            st.sampled_from(
+                ["{broken", "garbage", "[1,2]", '"str"',
+                 '{"timestamp": "NaN-text"}', ""]
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_parse_route_matches_reference_model(spark, messages):
+    """Route decision must match the lenient-Jackson model: JSON objects
+    (with int-or-missing timestamp) are valid; everything else errors."""
+    from flink_tank_spark.operators.parse import parse_and_route
+    from pyspark.sql import functions as F
+
+    def model_is_valid(m: str) -> bool:
+        try:
+            obj = json.loads(m)
+        except json.JSONDecodeError:
+            return False
+        if not isinstance(obj, dict):
+            return False
+        ts = obj.get("timestamp", 0)
+        return isinstance(ts, int) and not isinstance(ts, bool)
+
+    df = spark.createDataFrame([(i, m) for i, m in enumerate(messages)], ["arrival", "value"])
+    valid, errors = parse_and_route(df, now=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    n_valid, n_err = valid.count(), errors.count()
+    expected_valid = sum(model_is_valid(m) for m in messages)
+    assert n_valid == expected_valid
+    assert n_err == len(messages) - expected_valid
