@@ -72,6 +72,33 @@ def sliding_metrics(
     )
 
 
+def sliding_metrics_watermarked(
+    df: DataFrame,
+    key_col: str = "originalId",
+    type_col: str = "eventType",
+    ts_col: str = "eventTime",
+    window_size: str = "10 minutes",
+    slide: str = "5 seconds",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """EVENT-TIME variant with late-data handling — the semantics the
+    reference explicitly does NOT have (no watermarks anywhere, SURVEY
+    §2.8) but that a production deployment needs: events later than
+    ``watermark`` behind the max seen event time are dropped, and in
+    append mode windows emit exactly once, when finalized. State for
+    closed windows is evicted — this is what bounds state at 100 TB
+    scale (the processing-time heartbeat variant instead bounds state by
+    the window length itself)."""
+    return sliding_metrics_single_agg(
+        df.withWatermark(ts_col, watermark),
+        key_col=key_col,
+        type_col=type_col,
+        ts_col=ts_col,
+        window_size=window_size,
+        slide=slide,
+    )
+
+
 def sliding_metrics_single_agg(
     df: DataFrame,
     key_col: str = "originalId",

@@ -767,6 +767,131 @@ Q22_SQL = dedent(f"""
 """)
 
 
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-unit-price supplier per part (adapted: unit price from
+# lineitem, no partsupp) — correlated-min + join-back pattern
+# --------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nat = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(davg(F.col("l_extendedprice") / F.col("l_quantity"), "unit_price"))
+    )
+    min_unit = unit.groupBy(F.col("l_partkey").alias("mp_partkey")).agg(
+        F.min("unit_price").alias("min_price")
+    )
+    return (
+        unit.join(
+            min_unit,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_price") == F.col("min_price")),
+        )
+        .join(part.filter(F.col("p_size") <= 5), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "min_price")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+Q2_SQL = dedent(f"""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             {sql_davg('l_extendedprice / l_quantity')} AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    mn AS (SELECT l_partkey AS mp_partkey, MIN(unit_price) AS min_price
+           FROM unit GROUP BY l_partkey)
+    SELECT p_partkey, p_name, s_name, n_name AS nation, min_price
+    FROM unit JOIN mn ON l_partkey = mp_partkey AND unit_price = min_price
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size <= 5
+    ORDER BY p_partkey, s_name
+""")
+
+
+# --------------------------------------------------------------------------
+# Q11 — important part stock (adapted): parts whose revenue share exceeds
+# a threshold of the grand total — HAVING vs scalar subquery
+# --------------------------------------------------------------------------
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "part_value")
+    )
+    total = per_part.agg(dsum("part_value")).collect()[0][0]
+    return (
+        per_part.filter(F.col("part_value") > F.lit(total * 0.0005))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = dedent(f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM per_part
+    WHERE part_value > (SELECT {sql_dsum('part_value')} FROM per_part) * 0.0005
+    ORDER BY part_value DESC, l_partkey
+""")
+
+
+# --------------------------------------------------------------------------
+# Q20 — suppliers with excess shipments (adapted): suppliers whose 1996
+# PROMO-part quantity exceeds half their total 1996 quantity
+# --------------------------------------------------------------------------
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nat = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    li96 = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("l_quantity")).otherwise(F.lit(0.0))
+    per_supp = (
+        li96.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(promo, "promo_qty"),
+            dsum("l_quantity", "total_qty"),
+        )
+        .filter(F.col("promo_qty") > F.lit(0.5) * F.col("total_qty"))
+    )
+    return (
+        per_supp.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"), "promo_qty", "total_qty")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = dedent(f"""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_quantity ELSE 0.0 END")} AS promo_qty,
+             {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name AS nation, promo_qty, total_qty
+    FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE promo_qty > 0.5 * total_qty
+    ORDER BY s_name
+""")
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_SQL,
               "TPC-H Q1: scan+filter+groupBy with 8 aggregates", ("tpch", "agg"), bench=True),
@@ -806,4 +931,10 @@ QUERIES = [
               "TPC-H Q21 (adapted): EXISTS + NOT EXISTS", ("tpch", "antijoin")),
     QuerySpec("q22_sales_opportunity", q22_sales_opportunity, Q22_SQL,
               "TPC-H Q22 (adapted): scalar subquery + anti join", ("tpch", "antijoin")),
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL,
+              "TPC-H Q2 (adapted): min-unit-price supplier per part", ("tpch", "subquery")),
+    QuerySpec("q11_important_stock", q11_important_stock, Q11_SQL,
+              "TPC-H Q11 (adapted): revenue share threshold", ("tpch", "subquery")),
+    QuerySpec("q20_excess_shipments", q20_excess_shipments, Q20_SQL,
+              "TPC-H Q20 (adapted): promo-share filter per supplier", ("tpch", "agg")),
 ]
