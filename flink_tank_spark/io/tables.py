@@ -65,3 +65,32 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         dfs[name] = df
     return dfs
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet write — the layout that turns
+    predicate filters into partition PRUNING at read time (directories
+    skipped entirely; verify via PartitionFilters in .explain). At 100 TB
+    this is the difference between scanning a day and scanning a lake."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at
+    WRITE time so later equi-joins/aggs on those columns skip the
+    shuffle exchange (verify: no Exchange above the scan in .explain).
+    The classic pre-shuffle investment for repeatedly-joined fact tables.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -427,6 +427,31 @@ EV_INTERVAL_CLICKS_SQL = dedent("""
 """)
 
 
+
+
+# --------------------------------------------------------------------------
+# ev_salted_counts — skewed-key counting via salted two-stage aggregation
+# --------------------------------------------------------------------------
+
+def ev_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as a plain groupBy count (the oracle proves it), but
+    computed through the salt->preagg->merge path used for hot keys at
+    scale (operators/skew.py)."""
+    from flink_tank_spark.operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, ["user_id", "event_type"], n_salts=8).orderBy(
+        "user_id", "event_type"
+    )
+
+
+EV_SALTED_COUNTS_SQL = dedent("""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+""")
+
+
 QUERIES = [
     QuerySpec("ev_parse_route", ev_parse_route, EV_PARSE_ROUTE_SQL,
               "M3→P1: JSON wire serialize + parse_and_route round-trip", ("streaming", "parse")),
@@ -450,4 +475,6 @@ QUERIES = [
               "as-of join: latest login at-or-before each purchase", ("streaming", "asof")),
     QuerySpec("ev_interval_clicks", ev_interval_clicks, EV_INTERVAL_CLICKS_SQL,
               "interval join: clicks within 5min before each error", ("streaming", "rangejoin")),
+    QuerySpec("ev_salted_counts", ev_salted_counts, EV_SALTED_COUNTS_SQL,
+              "skew-safe salted two-stage aggregation", ("streaming", "skew")),
 ]

@@ -51,6 +51,10 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         # RocksDB state store: the backend you'd pick at 100 TB (spills
         # to disk, incremental checkpoints) — and required by the
         # transformWithState API family if enabled later.

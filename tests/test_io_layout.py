@@ -1,0 +1,55 @@
+"""Write-path layout tests: partition pruning + bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table, write_partitioned
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_year")
+    write_partitioned(
+        orders.withColumn("o_year", F.year("o_orderdate")), path, ["o_year"]
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") == 1996)
+    plan = _explain(back)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # pruned read returns exactly the 1996 orders
+    expected = orders.filter(F.year("o_orderdate") == 1996).count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
+    from flink_tank_spark.io.tables import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "t_orders_b", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b",
+        ["o_orderkey"], n_buckets=8,
+    )
+    a = spark.table("t_orders_b")
+    b = spark.table("t_lineitem_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "o_orderkey")
+        plan = _explain(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    # bucketed-bucketed equi-join on the bucket column: no shuffle
+    # exchange feeds the join (bucket layout replaces it)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
