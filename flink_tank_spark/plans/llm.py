@@ -318,9 +318,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_TOKEN_STATS_SQL = dedent(f"""
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(length(text)) AS total_chars,
-           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
-           SUM(len(regexp_extract_all(text, '{text.TOKEN_REGEX}'))) AS total_bpe_tokens
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{text.TOKEN_REGEX}'))) AS BIGINT) AS total_bpe_tokens
     FROM documents
     GROUP BY lang ORDER BY lang
 """)

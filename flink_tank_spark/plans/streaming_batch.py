@@ -306,7 +306,7 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 EV_JSON_EXTRACT_SQL = dedent("""
     WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events)
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(json_extract_string(props, '$.k')) AS n_with_k
     FROM events
     GROUP BY event_type

@@ -737,13 +737,14 @@ Q21_SQL = dedent("""
 
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders, nat = _t(spark, sf_dir, "customer", "orders", "nation")
-    avg_bal = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg(davg("c_acctbal"))
-        .collect()[0][0]
-    )
+    # Lazy scalar subquery: a 1-row aggregate broadcast into a cross join
+    # (never .collect() at plan-build time — that would eagerly run a job
+    # inside the builder and break composition/reuse of the plan).
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal", "avg_bal"))
     return (
-        cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
         .join(orders.select("o_custkey").distinct(),
               F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -825,9 +826,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), "part_value")
     )
-    total = per_part.agg(dsum("part_value")).collect()[0][0]
+    # Lazy scalar subquery via broadcast cross join (see q22 note).
+    total = per_part.agg(dsum("part_value", "total_value"))
     return (
-        per_part.filter(F.col("part_value") > F.lit(total * 0.0005))
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * F.lit(0.0005))
+        .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 

@@ -31,11 +31,25 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert back.count() == expected
 
 
+def _drop_table_and_location(spark, name: str) -> None:
+    # saveAsTable writes into the session warehouse dir; a table dropped
+    # from a FRESH session's catalog leaves its directory behind, so a
+    # re-run would die with LOCATION_ALREADY_EXISTS. Scrub both.
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     from flink_tank_spark.io.tables import write_bucketed
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    _drop_table_and_location(spark, "t_orders_b")
+    _drop_table_and_location(spark, "t_lineitem_b")
     write_bucketed(orders, "t_orders_b", ["o_orderkey"], n_buckets=8)
     write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b",
