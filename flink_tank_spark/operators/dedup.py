@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from flink_tank_spark.operators.text import (
     lsh_band_buckets,
-    minhash_signature,
+    minhash_from_hashes,
     shingles_from_words,
 )
 
@@ -53,48 +53,126 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
 
 
 def jaccard_pairs(
-    shingled: DataFrame, id_col: str = "doc_id", min_common: int = 1
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    min_common: int = 1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs Jaccard via inverted-index join on distinct shingles.
 
     Output: id_a < id_b, n_common, jaccard. The exploded join carries
     (shingle, doc) rows; pairs sharing < min_common shingles never
     materialize.
+
+    ``max_df``: document-frequency pruning (prefix-filter style). Shingles
+    appearing in more than ``max_df`` docs are dropped from CANDIDATE
+    GENERATION only — the hot shingles whose posting lists would
+    cross-product at corpus scale — and surviving candidate pairs are
+    rescored EXACTLY against the full shingle sets, so n_common/jaccard
+    values are never approximated. Only pairs sharing solely ultra-common
+    shingles can be missed, by construction the lowest-signal pairs.
     """
     posts = shingled.select(id_col, "set_size", F.explode("shingles").alias("sh"))
-    a = posts.select(
-        F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh"
-    )
-    b = posts.select(
-        F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh"
-    )
-    common = (
-        a.join(b, "sh")
+    if max_df is None:
+        a = posts.select(
+            F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"), "sh"
+        )
+        b = posts.select(
+            F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"), "sh"
+        )
+        common = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b", "size_a", "size_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_common)
+        )
+        jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+        return common.select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+    # df-pruned path: rare-shingle candidates, exact rescore.
+    df_counts = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    rare = posts.join(df_counts.filter(F.col("_df") <= max_df), "sh")
+    cand = (
+        rare.select(F.col(id_col).alias("id_a"), "sh")
+        .join(rare.select(F.col(id_col).alias("id_b"), "sh"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
+        .select("id_a", "id_b")
+        .distinct()
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return common.select("id_a", "id_b", "n_common", jac.alias("jaccard"))
+    return rescore_jaccard(cand, shingled, id_col=id_col).filter(
+        F.col("n_common") >= min_common
+    )
+
+
+def rescore_jaccard(
+    pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via array_intersect
+    against the full shingle sets (two equi hash joins, no cross join)."""
+    out = (
+        pairs.join(
+            shingled.select(
+                F.col(id_col).alias("id_a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            shingled.select(
+                F.col(id_col).alias("id_b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+    )
+    return out.select("id_a", "id_b", "n_common", "jaccard")
+
+
+def minhash_from_shingled(
+    shingled: DataFrame, id_col: str = "doc_id", n_perms: int = 4
+) -> DataFrame:
+    """Signatures from a pre-shingled DF (see :func:`shingle_sets`) — the
+    shape to use when shingles are also needed downstream (LSH rescoring):
+    shingle once, hash once, share. The md5 array is materialized as a
+    real column so the per-permutation mins don't re-hash the set."""
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform("shingles", lambda s: F.md5(s.cast("binary"))).alias("_h"),
+    )
+    return hashed.select(F.col(id_col), *minhash_from_hashes(F.col("_h"), n_perms))
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_perms: int = 4, k: int = 3
 ) -> DataFrame:
-    with_words = df.select(
-        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_w")
+    return minhash_from_shingled(
+        shingle_sets(df, id_col=id_col, text_col=text_col, k=k), id_col, n_perms
     )
-    sh = F.array_distinct(shingles_from_words(F.col("_w"), F.col(text_col), k))
-    return with_words.select(F.col(id_col), *[c for c in minhash_signature(sh, n_perms)])
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocking: docs sharing any band bucket become
     candidate pairs. Scale shape: explode to (band, bucket, doc), join
-    per bucket — cross-products only form INSIDE a bucket."""
+    per bucket — cross-products only form INSIDE a bucket.
+
+    ``max_bucket_size`` caps the per-bucket membership: a degenerate
+    bucket (e.g. thousands of near-empty docs sharing a band) would
+    cross-product even inside the blocking scheme, so buckets above the
+    cap are dropped entirely before the self-join — the standard LSH
+    guardrail at corpus scale.
+    """
     mh_cols = [F.col(c) for c in signatures.columns if c.startswith("mh_")]
     bands = signatures.select(
         id_col, *lsh_band_buckets(mh_cols, rows_per_band)
@@ -108,6 +186,11 @@ def lsh_candidate_pairs(
             ])
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        stacked = stacked.join(
+            sizes.filter(F.col("_bsz") <= max_bucket_size).select("bucket"), "bucket"
+        )
     a = stacked.select(F.col(id_col).alias("id_a"), "bucket")
     b = stacked.select(F.col(id_col).alias("id_b"), "bucket")
     return (

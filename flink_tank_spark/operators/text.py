@@ -12,7 +12,8 @@ LEXICOGRAPHICALLY as hex strings. md5 is identical across Spark, DuckDB,
 and Python, which makes every operator here oracle-checkable — a
 deliberate trade (md5 is ~2× slower than murmur3, but engine-portable
 and collision-safe for dedup purposes). The i-th MinHash "permutation"
-is ``md5(i ++ ':' ++ shingle)``.
+is the i-th 8-hex-char slice of ONE ``md5(shingle)`` digest (one hash
+per shingle, 4 independent 32-bit lanes).
 """
 
 from __future__ import annotations
@@ -68,18 +69,31 @@ def char_ngrams(text: Column, k: int = 8) -> Column:
     return F.when(n >= k, grams).otherwise(F.array(text))
 
 
-def minhash(shingles: Column, perm: int) -> Column:
-    """MinHash for one md5 "permutation": min hex digest over shingles."""
-    return F.array_min(
-        F.transform(
-            shingles,
-            lambda s: F.md5(F.concat(F.lit(f"{perm}:"), s).cast("binary")),
-        )
+def minhash_signature(shingles: Column, n_perms: int = 4) -> list[Column]:
+    """MinHash signature: ONE md5 per shingle, sliced into ``n_perms``
+    8-hex-char sub-hashes ("permutations"), min'd lexicographically.
+
+    One digest per shingle instead of one per (shingle, perm) — 4× less
+    hashing, the dominant cost of the shingling stage at corpus scale.
+    The 128-bit md5 is split into independent 32-bit lanes, plenty for
+    LSH banding. Requires n_perms <= 4 (32 hex chars / 8).
+    """
+    if n_perms > 4:
+        raise ValueError("md5-slice minhash supports at most 4 permutations")
+    # NOTE: callers should pass a MATERIALIZED hashed-array column (see
+    # dedup.minhash_signatures) — an inline expression would re-md5 the
+    # whole shingle set once per permutation.
+    return minhash_from_hashes(
+        F.transform(shingles, lambda s: F.md5(s.cast("binary"))), n_perms
     )
 
 
-def minhash_signature(shingles: Column, n_perms: int = 4) -> list[Column]:
-    return [minhash(shingles, p).alias(f"mh_{p}") for p in range(n_perms)]
+def minhash_from_hashes(hashed: Column, n_perms: int = 4) -> list[Column]:
+    """Signature columns from an already-computed md5-array column."""
+    return [
+        F.array_min(F.transform(hashed, lambda h: F.substring(h, 8 * p + 1, 8))).alias(f"mh_{p}")
+        for p in range(n_perms)
+    ]
 
 
 def lsh_band_buckets(mh_cols: list[Column], rows_per_band: int = 2) -> list[Column]:

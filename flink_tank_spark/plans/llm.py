@@ -70,13 +70,17 @@ def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signatures(docs, n_perms=4).orderBy("doc_id")
 
 
+# One md5 per shingle, sliced into four 8-hex-char lanes (operators/text
+# .minhash_from_hashes) — 4× less hashing than per-permutation digests.
+MINHASH_SQL_COLS = ",\n           ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5(s), {8 * p + 1}, 8))) AS mh_{p}"
+    for p in range(4)
+)
+
 DOC_MINHASH_SQL = dedent(f"""
     WITH {SHINGLES_CTE}
     SELECT doc_id,
-           list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh_0,
-           list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh_1,
-           list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh_2,
-           list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh_3
+           {MINHASH_SQL_COLS}
     FROM shingled
     ORDER BY doc_id
 """)
@@ -86,34 +90,20 @@ DOC_MINHASH_SQL = dedent(f"""
 # doc_lsh_near_dups — MinHash-LSH blocking + exact Jaccard rescoring
 # --------------------------------------------------------------------------
 
-def doc_lsh_near_dups(spark: SparkSession, sf_dir: str, threshold: float = 0.8) -> DataFrame:
+def doc_lsh_near_dups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_bucket_size: int = 64
+) -> DataFrame:
+    # Shingle ONCE and persist: the shingled DF feeds both the MinHash
+    # signatures and the exact-Jaccard rescoring join — without the
+    # persist Spark would recompute the (md5-heavy) shingling 3×.
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_perms=4)
-    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2)
-    shingled = dedup.shingle_sets(docs)
-    verified = (
-        cands.join(
-            shingled.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("shingles").alias("sh_a"),
-                F.col("set_size").alias("size_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            shingled.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("shingles").alias("sh_b"),
-                F.col("set_size").alias("size_b"),
-            ),
-            "id_b",
-        )
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    shingled = dedup.shingle_sets(docs).persist()
+    sigs = dedup.minhash_from_shingled(shingled)
+    cands = dedup.lsh_candidate_pairs(
+        sigs, rows_per_band=2, max_bucket_size=max_bucket_size
+    )
+    verified = dedup.rescore_jaccard(cands, shingled).filter(
+        F.col("jaccard") >= threshold
     )
     return verified.select("id_a", "id_b", "n_common", "jaccard").orderBy("id_a", "id_b")
 
@@ -122,10 +112,7 @@ DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
     WITH {SHINGLES_CTE},
     sigs AS (
       SELECT doc_id, shingles,
-             list_min(list_transform(shingles, s -> md5('0:' || s))) AS mh_0,
-             list_min(list_transform(shingles, s -> md5('1:' || s))) AS mh_1,
-             list_min(list_transform(shingles, s -> md5('2:' || s))) AS mh_2,
-             list_min(list_transform(shingles, s -> md5('3:' || s))) AS mh_3
+             {MINHASH_SQL_COLS}
       FROM shingled
     ),
     buckets AS (
@@ -134,10 +121,18 @@ DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
                      '1:' || md5(mh_2 || '|' || mh_3)]) AS bucket
       FROM sigs
     ),
+    -- bucket-size cap (degenerate-bucket guardrail; mirrors
+    -- operators/dedup.lsh_candidate_pairs max_bucket_size)
+    ok_buckets AS (
+      SELECT bucket FROM buckets GROUP BY bucket HAVING COUNT(*) <= 64
+    ),
+    capped AS (
+      SELECT b.* FROM buckets b JOIN ok_buckets USING (bucket)
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.shingles AS sh_a, b.shingles AS sh_b
-      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b,
            len(list_intersect(sh_a, sh_b)) AS n_common,
@@ -154,24 +149,39 @@ DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
 # doc_jaccard_topk — inverted-index all-pairs Jaccard, top 20
 # --------------------------------------------------------------------------
 
-def doc_jaccard_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+def doc_jaccard_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, max_df: int = 50
+) -> DataFrame:
+    # df-pruned candidates + exact rescore: ultra-common shingles (df >
+    # max_df) are dropped from candidate generation so their posting
+    # lists never cross-product; jaccard values stay exact (full-set
+    # rescoring in operators/dedup.jaccard_pairs).
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.shingle_sets(docs), min_common=1)
+    pairs = dedup.jaccard_pairs(dedup.shingle_sets(docs), min_common=1, max_df=max_df)
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)
 
 
 DOC_JACCARD_TOPK_SQL = dedent(f"""
     WITH {SHINGLES_CTE},
-    posts AS (SELECT doc_id, len(shingles) AS sz, unnest(shingles) AS g FROM shingled),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS size_a, b.sz AS size_b,
-             COUNT(*) AS n_common
-      FROM posts a JOIN posts b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4
+    posts AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+    -- document-frequency prune (mirrors dedup.jaccard_pairs max_df=50)
+    rare_g AS (SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 50),
+    rare AS (SELECT p.doc_id, p.g FROM posts p JOIN rare_g USING (g)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    rescored AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+             len(sa.shingles) AS size_a, len(sb.shingles) AS size_b
+      FROM cand
+      JOIN shingled sa ON sa.doc_id = id_a
+      JOIN shingled sb ON sb.doc_id = id_b
     )
     SELECT id_a, id_b, n_common,
            CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) AS jaccard
-    FROM pairs
+    FROM rescored
     ORDER BY jaccard DESC, id_a, id_b
     LIMIT 20
 """)
@@ -405,6 +415,7 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
         F.col("centroid_id").alias("q_cell"),
     )
     scored = (
@@ -415,7 +426,8 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            similarity.cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            (similarity.dot(F.col("qv"), F.col("v"))
+             / (F.col("qnorm") * F.col("vnorm"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -461,23 +473,73 @@ EMB_IVF_TOPK_SQL = dedent(f"""
 # emb_near_dup_pairs — embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.45) -> DataFrame:
+def emb_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_cells: int = 32,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF-blocked near-dup pairs: candidates share one of each vector's
+    2 nearest of 32 cells; exact fixed-point cosine rescoring inside
+    blocks. Never an all-pairs cartesian — the join is an equi join on
+    cell id, so at corpus scale work is O(sum of cell² ) not O(n²)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), similarity.as_double_array("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), similarity.as_double_array("embedding").alias("vb"))
+    centroids = emb.filter(F.col("vec_id") < n_cells)
+    assigned = similarity.ivf_assign(emb, centroids, probes=probes)
+    cand = (
+        assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
+        .join(assigned.select(F.col("vec_id").alias("id_b"), "centroid_id"), "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = emb.select(
+        "vec_id", similarity.as_double_array("embedding").alias("v")
+    ).withColumn("n", similarity.norm(F.col("v")))
+    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", similarity.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (similarity.dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .orderBy("id_a", "id_b")
     )
 
 
 EMB_NEAR_DUP_SQL = dedent(f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.45
+    WITH assign_scored AS (
+      SELECT v.vec_id, c.vec_id AS centroid_id,
+             {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
+      FROM embeddings v JOIN embeddings c ON c.vec_id < 32
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY c_sim DESC, centroid_id) AS rk
+        FROM assign_scored) WHERE rk <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b, {_sql_cosine('ae.embedding', 'be.embedding')} AS cos_sim
+      FROM cand
+      JOIN embeddings ae ON ae.vec_id = id_a
+      JOIN embeddings be ON be.vec_id = id_b
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM scored
+    WHERE cos_sim >= 0.45
     ORDER BY id_a, id_b
 """)
 
@@ -512,9 +574,11 @@ QUERIES = [
     QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
               "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),
     QuerySpec("doc_lsh_near_dups", doc_lsh_near_dups, DOC_LSH_NEAR_DUPS_SQL,
-              "MinHash-LSH blocking + exact Jaccard >= 0.8", ("llm", "dedup"), bench=True),
+              "MinHash-LSH blocking (bucket-capped) + exact Jaccard >= 0.8",
+              ("llm", "dedup"), bench=True),
     QuerySpec("doc_jaccard_topk", doc_jaccard_topk, DOC_JACCARD_TOPK_SQL,
-              "inverted-index all-pairs Jaccard top-20", ("llm", "dedup")),
+              "inverted-index Jaccard top-20 (df-pruned candidates, exact rescore)",
+              ("llm", "dedup")),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),
     QuerySpec("doc_lang_id", doc_lang_id, DOC_LANG_ID_SQL,
@@ -530,7 +594,8 @@ QUERIES = [
     QuerySpec("emb_ivf_topk", emb_ivf_topk, EMB_IVF_TOPK_SQL,
               "IVF-cell ANN top-5 (search only the query's cell)", ("llm", "similarity")),
     QuerySpec("emb_near_dup_pairs", emb_near_dup_pairs, EMB_NEAR_DUP_SQL,
-              "embedding-cosine near-dup pairs >= 0.45", ("llm", "dedup")),
+              "IVF-blocked (32 cells, 2-probe) cosine near-dup pairs >= 0.45",
+              ("llm", "dedup")),
     QuerySpec("mm_decode", mm_decode, MM_DECODE_SQL,
               "multimodal fake-container decode via mapInPandas", ("llm", "multimodal")),
 ]

@@ -142,10 +142,15 @@ WIN_MOVING_AVG_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def win_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NTILE over an UNPARTITIONED window would funnel the whole table
+    # through one task; distributed_ntile (operators/rank.py) computes the
+    # identical ANSI NTILE via range-partitioned local row_numbers +
+    # broadcast offsets — parallel at any scale.
+    from flink_tank_spark.operators.rank import distributed_ntile
+
     cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
     return (
-        cust.withColumn("quartile", F.ntile(4).over(w))
+        distributed_ntile(cust, ["c_acctbal", "c_custkey"], 4, out_col="quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -70,3 +70,73 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     ivf_top1 = {r.query_id: r.neighbor_id for r in ivf.collect() if r.rk == 1}
     agree = sum(1 for r in exact if ivf_top1.get(r.query_id) == r.neighbor_id)
     assert agree >= 3  # partial recall is expected; zero would be a bug
+
+
+def test_jaccard_df_prune_rescores_exactly(spark):
+    """df-pruned candidate generation must (a) drop pairs connected only
+    through hot shingles and (b) return EXACT jaccard for survivors."""
+    rows = [
+        # docs 1,2: near-identical (share rare shingles)
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        # docs 3,4: share ONLY the ubiquitous 'common common common' shingle
+        (3, "common common common three x1 y1"),
+        (4, "common common common four x2 y2"),
+        (5, "common common common five x3 y3"),
+        (6, "common common common six x4 y4"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = dedup.shingle_sets(docs)
+    exact = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+             for r in dedup.jaccard_pairs(shingled).collect()}
+    pruned = {(r.id_a, r.id_b): (r.n_common, r.jaccard)
+              for r in dedup.jaccard_pairs(shingled, max_df=3).collect()}
+    # 'common common common' appears in 4 docs > max_df=3: pairs among
+    # docs 3..6 are connected only through it and must be pruned
+    assert (3, 4) in exact and (3, 4) not in pruned
+    # the rare-shingle pair survives with UNCHANGED exact values
+    assert (1, 2) in pruned
+    assert pruned[(1, 2)] == exact[(1, 2)]
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A bucket holding more docs than max_bucket_size must not generate
+    candidate pairs (degenerate-bucket guardrail)."""
+    # 10 identical docs -> identical signatures -> one bucket of size 10
+    docs = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(10)]
+        + [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    sigs = dedup.minhash_signatures(docs, n_perms=4)
+    uncapped = dedup.lsh_candidate_pairs(sigs, rows_per_band=2).count()
+    capped = dedup.lsh_candidate_pairs(sigs, rows_per_band=2, max_bucket_size=5)
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert uncapped == 45 + 1  # C(10,2) degenerate + the real pair
+    assert capped_pairs == {(100, 101)}  # degenerate bucket dropped entirely
+
+
+def test_ivf_multiprobe_supersets_single_probe(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8)
+    one = {(r.vec_id, r.centroid_id)
+           for r in similarity.ivf_assign(emb, cent, probes=1).collect()}
+    two = {(r.vec_id, r.centroid_id)
+           for r in similarity.ivf_assign(emb, cent, probes=2).collect()}
+    assert one < two and len(two) == 2 * len(one)
+
+
+def test_similarity_layer_has_no_nested_loop_join(spark, sf_dir):
+    """Blocking means equi joins everywhere: no BroadcastNestedLoopJoin
+    may appear in the near-dup or top-k plans."""
+    import io
+    import contextlib
+
+    from flink_tank_spark.plans.llm import emb_near_dup_pairs, emb_ivf_topk
+
+    for q in (emb_near_dup_pairs, emb_ivf_topk):
+        df = q(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "BroadcastNestedLoopJoin" not in buf.getvalue(), q.__name__
