@@ -85,8 +85,14 @@ def write_kafka_stream(
     checkpoint_dir: str,
     query_name: str,
     trigger_interval: str | None = None,
+    available_now: bool = False,
 ):
-    """K1/K2: JSON string per record to one topic, checkpointed."""
+    """K1/K2: JSON string per record to one topic, checkpointed.
+
+    ``available_now`` drains everything currently in the source then
+    stops — the batch-ish mode integration tests use against a real
+    broker.
+    """
     writer = (
         json_df.select(F.col("value").cast("binary").alias("value"))
         .writeStream.format("kafka")
@@ -95,7 +101,9 @@ def write_kafka_stream(
         .option("checkpointLocation", checkpoint_dir)
         .queryName(query_name)
     )
-    if trigger_interval:
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 

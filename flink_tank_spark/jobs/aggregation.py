@@ -16,7 +16,11 @@ import argparse
 
 from pyspark.sql import functions as F
 
-from flink_tank_spark.io.kafka import read_kafka_stream, write_kafka_stream
+from flink_tank_spark.io.kafka import (
+    DEFAULT_CHECKPOINT_INTERVAL,
+    read_kafka_stream,
+    write_kafka_stream,
+)
 from flink_tank_spark.session import get_spark
 from flink_tank_spark.streaming.heartbeat import sliding_metrics_heartbeat
 from flink_tank_spark.streaming.jobs import (
@@ -33,7 +37,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output-topic", default="aggregated-metrics")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--mode", choices=["heartbeat", "declarative"], default="heartbeat")
+    # Micro-batch cadence. In Spark each micro-batch commit checkpoints,
+    # so the trigger interval IS the checkpoint cadence. Declarative mode
+    # defaults to the reference's 60 s (AggregationJob.kt:221); heartbeat
+    # mode must micro-batch fast enough to fire its 5 s processing-time
+    # timers, so it defaults to no fixed trigger (back-to-back batches).
+    ap.add_argument("--trigger-interval", default=None)
     args = ap.parse_args(argv)
+    trigger = args.trigger_interval
+    if trigger is None and args.mode == "declarative":
+        trigger = DEFAULT_CHECKPOINT_INTERVAL
 
     spark = get_spark("aggregation")
     raw = read_kafka_stream(spark, args.brokers, args.input_topic)
@@ -53,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
         args.output_topic,
         f"{args.checkpoint_dir}/metrics",
         "aggregation-metrics",
+        trigger_interval=trigger,
     )
     q.awaitTermination()
 

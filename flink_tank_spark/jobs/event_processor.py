@@ -18,7 +18,11 @@ from __future__ import annotations
 
 import argparse
 
-from flink_tank_spark.io.kafka import read_kafka_stream, write_kafka_stream
+from flink_tank_spark.io.kafka import (
+    DEFAULT_CHECKPOINT_INTERVAL,
+    read_kafka_stream,
+    write_kafka_stream,
+)
 from flink_tank_spark.session import get_spark
 from flink_tank_spark.streaming.jobs import (
     get_output_streams,
@@ -34,6 +38,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output-topic", default="output-results")
     ap.add_argument("--error-topic", default="error-events")
     ap.add_argument("--checkpoint-dir", required=True)
+    # 60 s micro-batch cadence = the reference's checkpoint interval
+    # (EventProcessorJob.kt:161); each micro-batch commit checkpoints,
+    # so the trigger interval IS the at-least-once commit cadence.
+    ap.add_argument("--trigger-interval", default=DEFAULT_CHECKPOINT_INTERVAL)
     args = ap.parse_args(argv)
 
     spark = get_spark("event-processor")
@@ -46,6 +54,7 @@ def main(argv: list[str] | None = None) -> None:
         args.output_topic,
         f"{args.checkpoint_dir}/processed",
         "event-processor-main",
+        trigger_interval=args.trigger_interval,
     )
     q2 = write_kafka_stream(
         serialize_errors(errors),
@@ -53,6 +62,7 @@ def main(argv: list[str] | None = None) -> None:
         args.error_topic,
         f"{args.checkpoint_dir}/errors",
         "event-processor-errors",
+        trigger_interval=args.trigger_interval,
     )
     spark.streams.awaitAnyTermination()
     q1.stop(), q2.stop()

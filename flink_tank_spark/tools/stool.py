@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--partition", type=int, default=None)
     c.add_argument("--offset", default=None)
     c.add_argument("--show-key", action="store_true")
+    # ktool parity: message-timestamp printing + consumer timeout
+    # (/root/reference/kafka-tools/ktool.py:111-153 --print-timestamp /
+    # --timeout-ms)
+    c.add_argument("--print-timestamp", action="store_true")
+    c.add_argument("--timeout-ms", type=int, default=None)
 
     p = sub.add_parser("produce", help="console-produce to a topic")
     p.add_argument("-t", "--topic", required=True)
@@ -66,7 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-t", "--topic", required=True)
 
     args = ap.parse_args(argv)
+    cmd, stdin = build_command(args)
+    return _kexec(args.namespace, args.pod, cmd, stdin=stdin)
 
+
+def build_command(args) -> tuple[str, str | None]:
+    """Pure command-string construction (unit-testable without kubectl)."""
     if args.cmd == "list-topics":
         cmd = f"{KAFKA_BIN}/kafka-topics.sh --bootstrap-server {BOOTSTRAP} --list"
     elif args.cmd == "describe":
@@ -89,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
             parts.append(f"--offset {shlex.quote(str(args.offset))}")
         if args.show_key:
             parts.append("--property print.key=true --property key.separator=:")
+        if args.print_timestamp:
+            parts.append("--property print.timestamp=true")
+        if args.timeout_ms is not None:
+            parts.append(f"--timeout-ms {args.timeout_ms}")
         cmd = " ".join(parts)
     elif args.cmd == "produce":
         parts = [
@@ -105,17 +119,16 @@ def main(argv: list[str] | None = None) -> int:
                 stdin = f.read()
         else:
             stdin = sys.stdin.read()
-        return _kexec(args.namespace, args.pod, cmd, stdin=stdin)
+        return cmd, stdin
     elif args.cmd == "query":
         cmd = (
             f"{KAFKA_BIN}/kafka-get-offsets.sh --bootstrap-server {BOOTSTRAP} "
             f"--topic {shlex.quote(args.topic)}"
         )
     else:  # pragma: no cover
-        ap.error(f"unknown command {args.cmd}")
-        return 2
+        raise SystemExit(f"unknown command {args.cmd}")
 
-    return _kexec(args.namespace, args.pod, cmd)
+    return cmd, None
 
 
 if __name__ == "__main__":

@@ -1,0 +1,68 @@
+"""stool CLI command construction (SURVEY §2.13 ktool parity surface).
+
+Pure unit tests over build_command — no kubectl/broker needed.
+"""
+
+from __future__ import annotations
+
+from flink_tank_spark.tools import stool
+
+
+def _build(argv: list[str], monkeypatch) -> tuple[str, str | None]:
+    captured = {}
+
+    def fake_kexec(ns, pod, cmd, stdin=None):
+        captured["cmd"], captured["stdin"] = cmd, stdin
+        return 0
+
+    monkeypatch.setattr(stool, "_kexec", fake_kexec)
+    assert stool.main(argv) == 0
+    return captured["cmd"], captured["stdin"]
+
+
+def test_list_topics(monkeypatch):
+    cmd, _ = _build(["list-topics"], monkeypatch)
+    assert "kafka-topics.sh" in cmd and "--list" in cmd
+
+
+def test_describe(monkeypatch):
+    cmd, _ = _build(["describe", "-t", "input-events"], monkeypatch)
+    assert "--describe --topic input-events" in cmd
+
+
+def test_consume_full_flag_surface(monkeypatch):
+    cmd, _ = _build(
+        [
+            "consume", "-t", "output-results", "-n", "5", "--from-beginning",
+            "--partition", "0", "--show-key", "--print-timestamp",
+            "--timeout-ms", "10000",
+        ],
+        monkeypatch,
+    )
+    assert "kafka-console-consumer.sh" in cmd
+    assert "--topic output-results" in cmd
+    assert "--from-beginning" in cmd
+    assert "--max-messages 5" in cmd
+    assert "--partition 0" in cmd
+    assert "print.key=true" in cmd
+    assert "print.timestamp=true" in cmd  # ktool.py:111-153 parity
+    assert "--timeout-ms 10000" in cmd
+
+
+def test_produce_message_goes_to_stdin(monkeypatch):
+    cmd, stdin = _build(
+        ["produce", "-t", "input-events", "-m", 'k1:{"id":"u1"}'], monkeypatch
+    )
+    assert "kafka-console-producer.sh" in cmd
+    assert "parse.key=true" in cmd
+    assert stdin == 'k1:{"id":"u1"}'
+
+
+def test_query_offsets(monkeypatch):
+    cmd, _ = _build(["query", "-t", "input-events"], monkeypatch)
+    assert "kafka-get-offsets.sh" in cmd and "--topic input-events" in cmd
+
+
+def test_topic_names_are_shell_quoted(monkeypatch):
+    cmd, _ = _build(["describe", "-t", "weird topic;rm"], monkeypatch)
+    assert "'weird topic;rm'" in cmd
