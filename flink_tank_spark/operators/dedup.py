@@ -204,43 +204,53 @@ def lsh_candidate_pairs(
 def simhash_bits(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """SimHash: per-bit majority vote over word md5 hashes, exploded as
-    (doc, bit) rows so the aggregation is a plain shuffle-lean groupBy
-    (and so the semantics are SQL-oracle-checkable). Output: 64-char
-    bitstring per doc."""
-    w = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("word")
-    ).withColumn("h", F.md5(F.col("word").cast("binary")))
-    per_bit = (
-        w.select(
-            id_col,
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn(
-            "hex_val",
-            F.conv(F.substring(F.col("h"), (F.col("bit") / 4 + 1).cast("int"), 1), 16, 10).cast("int"),
-        )
-        .withColumn(
-            # SQL shiftright accepts a column shift amount (the pyspark
-            # wrapper F.shiftright only takes an int literal)
-            "bit_set",
-            F.expr("shiftright(hex_val, cast(3 - bit % 4 as int)) & 1"),
-        )
-        .groupBy(id_col, "bit")
-        .agg(F.sum(F.when(F.col("bit_set") == 1, 1).otherwise(-1)).alias("vote"))
+    """SimHash: per-bit majority vote over word md5 hashes, computed as a
+    PER-ROW fold (``aggregate`` over the words array accumulating a
+    64-int vote vector) — a pure map with ZERO shuffle. The previous
+    shape exploded every word × 64 bits into (doc, bit) rows: a 64×
+    shuffle amplification that turns a 100 TB corpus into 6.4 PB of
+    shuffle. Output: 64-char bitstring per doc (semantics unchanged;
+    same DuckDB oracle).
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.col(text_col), " "), lambda x: F.md5(x.cast("binary"))
+        ).alias("_h"),
     )
-    return (
-        per_bit.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("bit", F.when(F.col("vote") > 0, "1").otherwise("0").alias("b")))
-                    ),
-                    lambda s: s["b"],
-                ),
-            ).alias("simhash")
+
+    def bits_of(h):
+        # one conv per NIBBLE (16/digest), each expanded to its 4 bits by
+        # integer arithmetic — 4× fewer string ops than per-bit extraction
+        nibbles = F.transform(
+            F.sequence(F.lit(1), F.lit(bits // 4)),
+            lambda i: F.conv(F.substring(h, i.cast("int"), F.lit(1)), 16, 10).cast("int"),
         )
+        return F.flatten(
+            F.transform(
+                nibbles,
+                lambda n: F.array(
+                    (n / 8).cast("int") % 2,
+                    (n / 4).cast("int") % 2,
+                    (n / 2).cast("int") % 2,
+                    n % 2,
+                ),
+            )
+        )
+
+    votes = F.aggregate(
+        F.col("_h"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits_of(h),
+            lambda a, v: a + v * 2 - 1,  # +1 if bit set, else -1
+        ),
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.concat_ws(
+            "",
+            F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")),
+        ).alias("simhash"),
     )

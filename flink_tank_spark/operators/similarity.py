@@ -56,18 +56,22 @@ def as_double_array(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
-def _broadcast_all_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Corpus × (small broadcast set) via a constant-key equi join.
+def _broadcast_all_pairs(
+    left: DataFrame, right: DataFrame, left_id: str, right_id: str
+) -> DataFrame:
+    """Corpus × (small broadcast set) via an always-zero equi join key.
 
     Semantically a cross join, but planned as a BroadcastHashJoin instead
-    of a BroadcastNestedLoopJoin — the hash probe on a constant key is
-    essentially free, and plan audits can assert no BNLJ node appears
-    anywhere in the similarity layer.
+    of a BroadcastNestedLoopJoin — the hash probe on a single-valued key
+    is essentially free, and plan audits can assert no BNLJ node appears
+    anywhere in the similarity layer. The key is ``id % 1`` (0 for every
+    row) — column-DERIVED so constant folding can't collapse the equality
+    back into a cross join, as it does for a literal key.
     """
     key = "_xk"
     return (
-        left.withColumn(key, F.lit(1))
-        .join(F.broadcast(right.withColumn(key, F.lit(1))), key)
+        left.withColumn(key, F.col(left_id) % F.lit(1))
+        .join(F.broadcast(right.withColumn(key, F.col(right_id) % F.lit(1))), key)
         .drop(key)
     )
 
@@ -95,7 +99,7 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
     ).withColumn("cn", norm(F.col("cv")))
     scored = (
-        _broadcast_all_pairs(c, q)
+        _broadcast_all_pairs(c, q, "neighbor_id", "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -132,7 +136,7 @@ def ivf_assign(
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
     ).withColumn("cnorm", norm(F.col("cv")))
-    scored = _broadcast_all_pairs(c, cent).select(
+    scored = _broadcast_all_pairs(c, cent, id_col, "centroid_id").select(
         id_col,
         "v",
         "vnorm",
@@ -147,3 +151,53 @@ def ivf_assign(
         .filter(F.col("rk") <= probes)
         .select(id_col, "v", "vnorm", "centroid_id")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means in pure DataFrame ops → (centroid_id, cv).
+
+    Designed to be ORACLE-REPRODUCIBLE (and cluster-reproducible), which
+    rules out k-means||'s random seeding and raw-double means:
+
+    - init: the first ``k`` vectors by id (deterministic seed set);
+    - assign: nearest centroid by the fixed-point cosine (ties → lowest
+      centroid id) — one broadcast-hash pass per iteration;
+    - update: per-(cell, dim) mean via posexplode + the exact fixed-point
+      sum (functions/numeric.davg), recomposed with array_sort — so the
+      new centroids are bit-identical under ANY partitioning and in the
+      DuckDB oracle mirror.
+
+    Each iteration is one corpus scan + one (cell, dim)-key aggregation
+    (k×dim groups — tiny); centroids stay broadcast-sized throughout.
+    Cells that lose all members drop out (both engines drop identically).
+    """
+    from flink_tank_spark.functions.numeric import davg
+
+    cent = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            vectors,
+            cent.select(F.col("centroid_id").alias(id_col), F.col("cv").alias(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(davg("val", "mval"))
+        )
+        cent = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cv")
+        )
+    return cent

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from flink_tank_spark.functions.numeric import sql_davg
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup, multimodal, similarity, text
 from flink_tank_spark.plans.registry import QuerySpec
@@ -408,11 +409,10 @@ EMB_COSINE_TOPK_SQL = dedent(f"""
 # emb_ivf_topk — IVF-style ANN: search only the query's centroid cell
 # --------------------------------------------------------------------------
 
-def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 8)
-    assigned = similarity.ivf_assign(emb, centroids)
-    queries = assigned.filter(F.col("vec_id") < 10).select(
+def _ivf_cell_topk(assigned: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Search only the query's own cell of an ivf_assign output: broadcast
+    the (tiny) query rows, equi-join on cell id, per-query top-k."""
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("vnorm").alias("qnorm"),
@@ -433,10 +433,17 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 5)
+        .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    assigned = similarity.ivf_assign(emb, centroids)
+    return _ivf_cell_topk(assigned)
 
 
 EMB_IVF_TOPK_SQL = dedent(f"""
@@ -456,6 +463,98 @@ EMB_IVF_TOPK_SQL = dedent(f"""
              {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_sim
       FROM assigned q
       JOIN assigned n ON n.centroid_id = q.centroid_id AND n.vec_id <> q.vec_id
+      JOIN embeddings qe ON qe.vec_id = q.vec_id
+      JOIN embeddings ne ON ne.vec_id = n.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 5
+    ORDER BY query_id, rk
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_ivf_kmeans_topk — IVF ANN over TRAINED centroids (deterministic Lloyd)
+# --------------------------------------------------------------------------
+
+def emb_ivf_kmeans_topk(
+    spark: SparkSession, sf_dir: str, k_cells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Same cell-restricted search as emb_ivf_topk, but over k-means
+    centroids trained by 2 deterministic Lloyd iterations (operators/
+    similarity.kmeans_centroids) instead of arbitrary seed vectors —
+    non-degenerate cells, demonstrably better recall/cost balance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.kmeans_centroids(emb, k=k_cells, iters=iters)
+    assigned = similarity.ivf_assign(
+        emb,
+        cent.select(F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")),
+    )
+    return _ivf_cell_topk(assigned)
+
+
+def _kmeans_cells_sql(k: int, iters: int) -> tuple[str, str]:
+    """CTE chain mirroring kmeans_centroids: assignment by fixed-point
+    cosine, per-(cell, dim) fixed-point means via zipped parallel unnest.
+    Returns (cte_sql, final_centroid_cte_name)."""
+    parts = [dedent(f"""\
+        c0 AS (
+          SELECT vec_id AS centroid_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings WHERE vec_id < {k}
+        )""")]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(dedent(f"""\
+        a{i} AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                                               c.centroid_id) AS rk
+            FROM embeddings v CROSS JOIN {prev} c) t WHERE rk = 1
+        )"""))
+        parts.append(dedent(f"""\
+        e{i} AS (
+          SELECT a.centroid_id,
+                 unnest(range(0, len(e.embedding))) AS dim,
+                 unnest(list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS val
+          FROM a{i} a JOIN embeddings e ON e.vec_id = a.vec_id
+        )"""))
+        parts.append(dedent(f"""\
+        m{i} AS (
+          SELECT centroid_id, dim, {sql_davg('val')} AS mval
+          FROM e{i} GROUP BY centroid_id, dim
+        )"""))
+        parts.append(dedent(f"""\
+        c{i} AS (
+          SELECT centroid_id, list(mval ORDER BY dim) AS cv
+          FROM m{i} GROUP BY centroid_id
+        )"""))
+        prev = f"c{i}"
+    return ",\n    ".join(parts), prev
+
+
+_CELLS_SQL, _FINAL_CELLS = _kmeans_cells_sql(8, 2)
+
+EMB_IVF_KMEANS_TOPK_SQL = dedent(f"""
+    WITH {_CELLS_SQL},
+    final_assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
+                                           c.centroid_id) AS rk
+        FROM embeddings v CROSS JOIN {_FINAL_CELLS} c) t WHERE rk = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             {_sql_cosine('qe.embedding', 'ne.embedding')} AS cos_sim
+      FROM final_assign q
+      JOIN final_assign n ON n.centroid_id = q.centroid_id AND n.vec_id <> q.vec_id
       JOIN embeddings qe ON qe.vec_id = q.vec_id
       JOIN embeddings ne ON ne.vec_id = n.vec_id
       WHERE q.vec_id < 10
@@ -593,6 +692,9 @@ QUERIES = [
               "exact cosine top-5 for 10 queries (fixed-point dot)", ("llm", "similarity"), bench=True),
     QuerySpec("emb_ivf_topk", emb_ivf_topk, EMB_IVF_TOPK_SQL,
               "IVF-cell ANN top-5 (search only the query's cell)", ("llm", "similarity")),
+    QuerySpec("emb_ivf_kmeans_topk", emb_ivf_kmeans_topk, EMB_IVF_KMEANS_TOPK_SQL,
+              "IVF ANN top-5 over k-means centroids (2 deterministic Lloyd iters)",
+              ("llm", "similarity")),
     QuerySpec("emb_near_dup_pairs", emb_near_dup_pairs, EMB_NEAR_DUP_SQL,
               "IVF-blocked (32 cells, 2-probe) cosine near-dup pairs >= 0.45",
               ("llm", "dedup")),
