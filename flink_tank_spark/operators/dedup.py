@@ -201,6 +201,58 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, iters: int = 5
+) -> DataFrame:
+    """Duplicate-group resolution: connected components over a near-dup
+    pair graph via min-label propagation — (doc_id, canon_id) where
+    canon_id is the smallest doc id in the component.
+
+    The step a real dedup pipeline runs after pair detection: pairs chain
+    (A~B, B~C ⇒ {A,B,C} is one group), so keep-one-per-pair is wrong;
+    components are the unit of deduplication.
+
+    Distributed shape: per iteration one equi join + one groupBy(min) on
+    the edge list — label propagation, the standard large-graph CC
+    pattern (GraphX/Pregel style) expressed in DataFrame ops. ``iters``
+    bounds the propagated distance: labels are exact for components whose
+    min-label spanning distance ≤ iters (near-dup components are
+    near-cliques in practice; 5 hops covers them comfortably). Increase
+    for pathological chain graphs.
+    """
+    # Iterative lineage control: labels_i references labels_{i-1} twice
+    # and edges once, so a naive loop builds a 2^iters-node plan (112 s
+    # in Catalyst analysis alone on a 25-pair graph). Lazy localCheckpoint
+    # truncates the logical plan at each iteration boundary — still no
+    # job at build time; on a cluster swap for reliable checkpoint() (the
+    # same discipline GraphX/Pregel applies every iteration).
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canon_id"))
+
+
 def simhash_bits(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -109,8 +109,10 @@ def doc_lsh_near_dups(
     return verified.select("id_a", "id_b", "n_common", "jaccard").orderBy("id_a", "id_b")
 
 
-DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
-    WITH {SHINGLES_CTE},
+# Shared CTE block: LSH-blocked candidate pairs with exact-Jaccard
+# rescoring columns (used by doc_lsh_near_dups and doc_dedup_groups).
+LSH_PAIRS_CTES = dedent(f"""\
+    {SHINGLES_CTE},
     sigs AS (
       SELECT doc_id, shingles,
              {MINHASH_SQL_COLS}
@@ -134,15 +136,54 @@ DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
              a.shingles AS sh_a, b.shingles AS sh_b
       FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
-    SELECT id_a, id_b,
-           len(list_intersect(sh_a, sh_b)) AS n_common,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
-    FROM cands
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-            / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    ),
+    near_dups AS (
+      SELECT id_a, id_b,
+             len(list_intersect(sh_a, sh_b)) AS n_common,
+             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+      FROM cands
+      WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    )""")
+
+DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES}
+    SELECT id_a, id_b, n_common, jaccard
+    FROM near_dups
     ORDER BY id_a, id_b
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_dedup_groups — connected components over the near-dup pair graph
+# --------------------------------------------------------------------------
+
+def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate GROUP resolution: near-dup pairs chain (A~B, B~C ⇒ one
+    group of three), so the unit of dedup is the connected component.
+    Output: (doc_id, canon_id=min id in component) for every doc in any
+    group — the keep/drop decision table a dedup pipeline materializes."""
+    pairs = doc_lsh_near_dups(spark, sf_dir).select("id_a", "id_b")
+    return dedup.connected_components(pairs).orderBy("doc_id")
+
+
+DOC_DEDUP_GROUPS_SQL = dedent(f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near_dups
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near_dups
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
+    FROM reach
+    GROUP BY src
+    ORDER BY doc_id
 """)
 
 
@@ -356,6 +397,133 @@ DOC_FINGERPRINT_SQL = dedent("""
                          ELSE [md5(text)] END) AS fingerprint
     FROM documents
     ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_sample_stratified — deterministic hash-based stratified sampling
+# --------------------------------------------------------------------------
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: per-stratum sampling rates (here: 20% of
+    'en' docs, 50% of everything else) decided by a CONTENT-DERIVED hash,
+    not rand() — reproducible across engines, runs, and partitionings,
+    and re-runnable incrementally (a doc's keep/drop never changes).
+    Keep iff the first md5 hex byte of the doc id is below the stratum
+    threshold ('34' ⇒ 52/256 ≈ 20%, '80' ⇒ 128/256 = 50%)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    threshold = F.when(F.col("lang") == "en", F.lit("34")).otherwise(F.lit("80"))
+    return (
+        docs.filter(bucket < threshold)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+DOC_SAMPLE_STRATIFIED_SQL = dedent("""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '34' ELSE '80' END
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_freq — corpus-level n-gram frequency (vocab/tokenizer stats)
+# --------------------------------------------------------------------------
+
+def doc_ngram_freq(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Top-k word trigrams by corpus OCCURRENCE count (duplicates kept —
+    unlike the dedup shingle sets, frequency stats want multiplicity).
+    One explode + one map-side-combinable groupBy; top-k via a single
+    final ordering of the (tiny) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select(
+        F.col("text"), F.split(F.col("text"), " ").alias("_w")
+    )
+    grams = with_words.select(
+        F.explode(text.shingles_from_words(F.col("_w"), F.col("text"), 3)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "ngram")
+        .limit(k)
+    )
+
+
+DOC_NGRAM_FREQ_SQL = dedent("""
+    WITH grams AS (
+      SELECT unnest(
+               CASE WHEN len(string_split(text, ' ')) >= 3
+                    THEN list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])
+                    ELSE [text] END) AS ngram
+      FROM documents
+    )
+    SELECT ngram, COUNT(*) AS freq
+    FROM grams
+    GROUP BY ngram
+    ORDER BY freq DESC, ngram
+    LIMIT 50
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_top_terms — per-doc top terms by tf × (N/df) relevance
+# --------------------------------------------------------------------------
+
+def doc_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """tf-idf-style keyword extraction with a log-free weight
+    (tf × N / df): ln() is not bit-identical across engines' libm, a
+    pure integer ratio is — so the scores hash-match the oracle exactly.
+    Shape: two shuffles on the word key (tf, df) + a broadcast scalar N,
+    per-doc top-k window partitioned by doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")) / F.col("df")).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_TOP_TERMS_SQL = dedent("""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, CAST(tf * n_docs AS DOUBLE) / df AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, score, rk FROM (
+      SELECT doc_id, term, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INTEGER) AS rk
+      FROM scored) WHERE rk <= 3
+    ORDER BY doc_id, rk
 """)
 
 
@@ -675,6 +843,16 @@ QUERIES = [
     QuerySpec("doc_lsh_near_dups", doc_lsh_near_dups, DOC_LSH_NEAR_DUPS_SQL,
               "MinHash-LSH blocking (bucket-capped) + exact Jaccard >= 0.8",
               ("llm", "dedup"), bench=True),
+    QuerySpec("doc_dedup_groups", doc_dedup_groups, DOC_DEDUP_GROUPS_SQL,
+              "connected components over near-dup pairs -> (doc, canon) keep table",
+              ("llm", "dedup")),
+    QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
+              "deterministic hash-based stratified sampling (20% en / 50% rest)",
+              ("llm", "curation")),
+    QuerySpec("doc_ngram_freq", doc_ngram_freq, DOC_NGRAM_FREQ_SQL,
+              "corpus top-50 word trigrams by occurrence", ("llm", "text")),
+    QuerySpec("doc_top_terms", doc_top_terms, DOC_TOP_TERMS_SQL,
+              "per-doc top-3 terms by log-free tf-idf (tf x N/df)", ("llm", "text")),
     QuerySpec("doc_jaccard_topk", doc_jaccard_topk, DOC_JACCARD_TOPK_SQL,
               "inverted-index Jaccard top-20 (df-pruned candidates, exact rescore)",
               ("llm", "dedup")),

@@ -140,3 +140,13 @@ def test_similarity_layer_has_no_nested_loop_join(spark, sf_dir):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "BroadcastNestedLoopJoin" not in buf.getvalue(), q.__name__
+
+
+def test_connected_components_resolves_chained_groups(spark):
+    """A~B and B~C must land in ONE group even though (A,C) was never a
+    detected pair — the reason dedup resolves components, not pairs."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (20, 21)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.canon_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
