@@ -104,3 +104,54 @@ def test_error_stream_end_to_end(spark, tmp_path):
     assert len(vals) == 1
     assert vals[0]["rawMessage"] == "{broken"
     assert vals[0]["errorType"] == "PARSE_ERROR"
+
+
+def test_stream_dedup_drops_redeliveries_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state must survive micro-batches:
+    a re-delivered event id in a LATER batch (within the watermark
+    horizon) is dropped; fresh ids pass."""
+    from flink_tank_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_available(msgs, batch_name):
+        _write_batch(src, batch_name, msgs)
+        raw = read_jsonl_stream(spark, src)
+        parsed = raw.select(
+            F.get_json_object("value", "$.event_id").alias("event_id"),
+            F.to_timestamp(F.get_json_object("value", "$.ts")).alias("ts"),
+        )
+        deduped = dedup_stream(parsed, ["event_id"], ts_col="ts", delay="1 hour")
+        q = (
+            deduped.select(F.to_json(F.struct("event_id", "ts")).alias("value"))
+            .writeStream.format("text")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def mk(eid, ts):
+        return json.dumps({"event_id": eid, "ts": ts})
+
+    run_available(
+        [mk("e1", "2024-01-01 10:00:00"), mk("e2", "2024-01-01 10:00:05"),
+         mk("e1", "2024-01-01 10:00:07")],  # same-batch duplicate
+        "b1",
+    )
+    run_available(
+        [mk("e1", "2024-01-01 10:01:00"),   # cross-batch re-delivery -> dropped
+         mk("e3", "2024-01-01 10:01:30")],  # fresh -> kept
+        "b2",
+    )
+
+    out = []
+    for fn in os.listdir(out_dir):
+        if fn.startswith("part-"):
+            with open(os.path.join(out_dir, fn)) as f:
+                out += [json.loads(line) for line in f if line.strip()]
+    ids = sorted(e["event_id"] for e in out)
+    assert ids == ["e1", "e2", "e3"]
