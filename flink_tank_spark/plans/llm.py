@@ -528,6 +528,104 @@ DOC_TOP_TERMS_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# doc_pack_chunks — token-budget packing for sequence training
+# --------------------------------------------------------------------------
+
+def doc_pack_chunks(spark: SparkSession, sf_dir: str, budget: int = 4096) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each lang stream (docs
+    ordered by doc_id), a doc's chunk = floor(tokens-before-it / budget).
+    One window cumsum partitioned by lang — no driver-side loop, no
+    single-task window; the standard approximate packing for LM training
+    shards. Output: per (lang, chunk) doc/token totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id")
+    chunked = toks.withColumn(
+        "chunk",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)).cast("int"),
+    )
+    return (
+        chunked.groupBy("lang", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+        )
+        .orderBy("lang", "chunk")
+    )
+
+
+DOC_PACK_CHUNKS_SQL = dedent("""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    chunked AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / 4096.0) AS INTEGER) AS chunk
+      FROM toks
+    )
+    SELECT lang, chunk, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM chunked
+    GROUP BY lang, chunk
+    ORDER BY lang, chunk
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_quantize_int8 — deterministic per-vector int8 quantization
+# --------------------------------------------------------------------------
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (scale = 127/max|x|), the storage/
+    serving compression step for embedding corpora. Pure map — one scan,
+    no shuffle except the output ordering. floor(x*scale + 0.5) instead
+    of round(): banker's rounding differs between engines, the floor
+    recipe is bit-identical IEEE everywhere. Output: per-vector scale +
+    integer checksums (deterministic under any partitioning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = similarity.as_double_array("embedding")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    return (
+        emb.select(
+            "vec_id",
+            scale.alias("scale"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+            F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + F.abs(b)).alias("q_abs_sum"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+EMB_QUANTIZE_INT8_SQL = dedent("""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id,
+             127.0 / list_max(list_transform(dv, x -> abs(x))) AS scale,
+             dv
+      FROM v
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(list_transform(dv, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(dv, x -> abs(CAST(FLOOR(x * scale + 0.5) AS BIGINT))))
+                AS BIGINT) AS q_abs_sum
+    FROM scaled
+    ORDER BY vec_id
+""")
+
+
+# --------------------------------------------------------------------------
 # emb_cosine_topk — exact brute-force cosine top-5 for 10 query vectors
 # --------------------------------------------------------------------------
 
@@ -866,6 +964,10 @@ QUERIES = [
               "whitespace + BPE-ish token counts per lang", ("llm", "text"), bench=True),
     QuerySpec("doc_fingerprint", doc_fingerprint, DOC_FINGERPRINT_SQL,
               "winnowing-style min char-8-gram fingerprint", ("llm", "text")),
+    QuerySpec("doc_pack_chunks", doc_pack_chunks, DOC_PACK_CHUNKS_SQL,
+              "token-budget chunk packing per lang (window cumsum)", ("llm", "curation")),
+    QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANTIZE_INT8_SQL,
+              "deterministic symmetric int8 quantization checksums", ("llm", "similarity")),
     QuerySpec("emb_cosine_topk", emb_cosine_topk, EMB_COSINE_TOPK_SQL,
               "exact cosine top-5 for 10 queries (fixed-point dot)", ("llm", "similarity"), bench=True),
     QuerySpec("emb_ivf_topk", emb_ivf_topk, EMB_IVF_TOPK_SQL,
