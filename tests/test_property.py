@@ -93,3 +93,30 @@ def test_parse_route_matches_reference_model(spark, messages):
     expected_valid = sum(model_is_valid(m) for m in messages)
     assert n_valid == expected_valid
     assert n_err == len(messages) - expected_valid
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    k=st.integers(min_value=1, max_value=9),
+)
+def test_distributed_ntile_property(n, k):
+    """distributed_ntile == ANSI NTILE for arbitrary (n, k), including
+    n < k, n % k != 0, and duplicate sort values (tiebreak column)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from flink_tank_spark.operators.rank import distributed_ntile
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("prop-ntile", cpus=8)
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 11).alias("v"),  # heavy duplicates in v
+        F.col("id").alias("tid"),
+    )
+    got = {r.tid: r.nt for r in distributed_ntile(df, ["v", "tid"], k, out_col="nt").collect()}
+    want = {
+        r.tid: r.nt
+        for r in df.withColumn("nt", F.ntile(k).over(W.orderBy("v", "tid"))).collect()
+    }
+    assert got == want
