@@ -268,6 +268,32 @@ SET_LOYAL_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# agg_cube_status_priority — full CUBE over two order dimensions
+# --------------------------------------------------------------------------
+
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_CUBE_SQL = dedent(f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""")
+
+
 QUERIES = [
     QuerySpec("win_running_total", win_running_total, WIN_RUNNING_TOTAL_SQL,
               "running revenue per customer (exact fixed-point window sum)", ("window",)),
@@ -281,6 +307,8 @@ QUERIES = [
               "ntile quartiles of customer balances", ("window",)),
     QuerySpec("agg_rollup_region_nation", agg_rollup_region_nation, AGG_ROLLUP_SQL,
               "ROLLUP revenue by region/nation", ("groupingsets",)),
+    QuerySpec("agg_cube_status_priority", agg_cube_status_priority, AGG_CUBE_SQL,
+              "CUBE revenue/counts over order status x priority", ("groupingsets",)),
     QuerySpec("set_churned_customers", set_churned_customers, SET_CHURNED_SQL,
               "EXCEPT: customers active in 1996 but not 1997", ("setops",)),
     QuerySpec("set_loyal_customers", set_loyal_customers, SET_LOYAL_SQL,
