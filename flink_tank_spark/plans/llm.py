@@ -835,6 +835,46 @@ EMB_IVF_KMEANS_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# emb_ivf_recall — recall@5 of the k-means IVF index vs exact top-k
+# --------------------------------------------------------------------------
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: per query, how many of the exact cosine
+    top-5 the cell-restricted k-means IVF search recovers (recall@5) —
+    the recall/cost trade made quantifiable inside the engine itself."""
+    exact = emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = emb_ivf_kmeans_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .withColumn("recall_at_5", F.col("n_hits") / F.lit(5.0))
+        .orderBy("query_id")
+    )
+
+
+EMB_IVF_RECALL_SQL = dedent(f"""
+    WITH exact AS ({EMB_COSINE_TOPK_SQL}),
+    approx AS ({EMB_IVF_KMEANS_TOPK_SQL})
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           COUNT(a.neighbor_id) / 5.0 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+""")
+
+
+# --------------------------------------------------------------------------
 # emb_near_dup_pairs — embedding-cosine near-duplicate pairs
 # --------------------------------------------------------------------------
 
@@ -1019,6 +1059,8 @@ QUERIES = [
     QuerySpec("emb_ivf_kmeans_topk", emb_ivf_kmeans_topk, EMB_IVF_KMEANS_TOPK_SQL,
               "IVF ANN top-5 over k-means centroids (2 deterministic Lloyd iters)",
               ("llm", "similarity")),
+    QuerySpec("emb_ivf_recall", emb_ivf_recall, EMB_IVF_RECALL_SQL,
+              "recall@5 of the k-means IVF index vs exact top-k", ("llm", "similarity")),
     QuerySpec("emb_near_dup_pairs", emb_near_dup_pairs, EMB_NEAR_DUP_SQL,
               "IVF-blocked (32 cells, 2-probe) cosine near-dup pairs >= 0.45",
               ("llm", "dedup"), bench=True),
