@@ -84,6 +84,56 @@ def ntile_expr(rn: Column, n_total: Column, k: int) -> Column:
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cumsum",
+    partition_cols: list[str] | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Running SUM(value) OVER (PARTITION BY partition_cols ORDER BY
+    order_cols) that scales when partition_cols is LOW-CARDINALITY (few
+    languages, few tenants): a plain window would funnel each partition
+    through one task. Same two-level shape as distributed_row_number:
+    range-split each logical partition, local cumsums in parallel, tiny
+    per-split totals rolled into broadcast offsets.
+
+    Exactness: bit-exact for integer/fixed-point values (offset addition
+    is associative); for raw doubles the split changes summation order —
+    scale them first (functions/numeric.py).
+    """
+    parts = list(partition_cols or [])
+    n = num_ranges or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in parts + order_cols])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    local = with_pid.withColumn(
+        "_lcs",
+        F.sum(value_col).over(
+            W.partitionBy(*parts, "_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    totals = with_pid.groupBy(*parts, "_pid").agg(F.sum(value_col).alias("_psum"))
+    offsets = totals.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_psum").over(
+                W.partitionBy(*(parts or [F.lit(0)]))
+                .orderBy("_pid")
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(*parts, "_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), parts + ["_pid"])
+        .withColumn(out_col, F.col("_lcs") + F.col("_off"))
+        .drop("_pid", "_lcs", "_off")
+    )
+
+
 def distributed_ntile(
     df: DataFrame,
     order_cols: list[str],

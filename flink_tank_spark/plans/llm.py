@@ -534,17 +534,23 @@ DOC_TOP_TERMS_SQL = dedent("""
 def doc_pack_chunks(spark: SparkSession, sf_dir: str, budget: int = 4096) -> DataFrame:
     """Concat-then-chunk sequence packing: within each lang stream (docs
     ordered by doc_id), a doc's chunk = floor(tokens-before-it / budget).
-    One window cumsum partitioned by lang — no driver-side loop, no
-    single-task window; the standard approximate packing for LM training
-    shards. Output: per (lang, chunk) doc/token totals."""
+    lang is LOW-cardinality, so a plain PARTITION BY lang window would
+    put each language's whole corpus through one task at 100 TB — the
+    cumsum runs through distributed_cumsum (operators/rank.py: range
+    splits + local windows + broadcast offsets) instead. Output: per
+    (lang, chunk) doc/token totals, identical to the ANSI window."""
+    from flink_tank_spark.operators.rank import distributed_cumsum
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
-    w = W.partitionBy("lang").orderBy("doc_id")
-    chunked = toks.withColumn(
+    chunked = distributed_cumsum(
+        toks, order_cols=["doc_id"], value_col="n_tokens",
+        out_col="_cum", partition_cols=["lang"],
+    ).withColumn(
         "chunk",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)).cast("int"),
+        F.floor((F.col("_cum") - F.col("n_tokens")) / F.lit(budget)).cast("int"),
     )
     return (
         chunked.groupBy("lang", "chunk")

@@ -63,3 +63,46 @@ def test_distributed_ntile_plan_has_no_global_window_on_data(spark, sf_dir):
     assert "ntile(4)" not in plan  # no built-in global NTILE window call
     # row_number window runs partitioned by the range-partition id
     assert "_pid" in plan
+
+
+def test_distributed_cumsum_matches_window(spark, sf_dir):
+    from flink_tank_spark.operators.rank import distributed_cumsum
+
+    ev = load_table(spark, sf_dir, "events").limit(2000).select(
+        "event_id", "event_type", F.lit(1).alias("one")
+    )
+    got = {
+        r.event_id: r.cs
+        for r in distributed_cumsum(
+            ev, ["event_id"], "one", out_col="cs", partition_cols=["event_type"]
+        ).collect()
+    }
+    want = {
+        r.event_id: r.cs
+        for r in ev.withColumn(
+            "cs",
+            F.sum("one").over(
+                W.partitionBy("event_type")
+                .orderBy("event_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_cumsum_no_partition_cols(spark):
+    from flink_tank_spark.operators.rank import distributed_cumsum
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    got = {r.id: r.cs for r in distributed_cumsum(df, ["id"], "v", out_col="cs").collect()}
+    want = {
+        r.id: r.cs
+        for r in df.withColumn(
+            "cs",
+            F.sum("v").over(
+                W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        ).collect()
+    }
+    assert got == want
