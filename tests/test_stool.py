@@ -66,3 +66,18 @@ def test_query_offsets(monkeypatch):
 def test_topic_names_are_shell_quoted(monkeypatch):
     cmd, _ = _build(["describe", "-t", "weird topic;rm"], monkeypatch)
     assert "'weird topic;rm'" in cmd
+
+
+def test_run_query_cli_list_and_check(spark, capsys):
+    """run_query CLI: --list covers the whole registry; --check runs the
+    gate comparison for one query."""
+    from flink_tank_spark.plans.registry import all_queries
+    from flink_tank_spark.tools.run_query import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in all_queries():
+        assert name in out
+    assert main(["q6_forecast_revenue", "--check", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "OK" in capsys.readouterr().out
+    assert main(["nope", "--check"]) == 2
