@@ -269,6 +269,42 @@ SET_LOYAL_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# win_price_position — percent_rank / cume_dist within order priority
+# --------------------------------------------------------------------------
+
+def win_price_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position analytics: percent_rank and cume_dist are exact
+    rational values ((rank-1)/(n-1), n_le/n) — engine-portable, unlike
+    interpolating percentile functions. Partitioned by o_orderpriority
+    (bounded per-group size at any SF via the date filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-02-01")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        base.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.percent_rank().over(w).alias("price_pct_rank"),
+            F.cume_dist().over(w).alias("price_cume_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WIN_PRICE_POSITION_SQL = dedent("""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           CUME_DIST() OVER w AS price_cume_dist
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-02-01'
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+""")
+
+
+# --------------------------------------------------------------------------
 # agg_cube_status_priority — full CUBE over two order dimensions
 # --------------------------------------------------------------------------
 
@@ -309,6 +345,8 @@ QUERIES = [
               "ROLLUP revenue by region/nation", ("groupingsets",)),
     QuerySpec("agg_cube_status_priority", agg_cube_status_priority, AGG_CUBE_SQL,
               "CUBE revenue/counts over order status x priority", ("groupingsets",)),
+    QuerySpec("win_price_position", win_price_position, WIN_PRICE_POSITION_SQL,
+              "percent_rank/cume_dist of order price within priority", ("window",)),
     QuerySpec("set_churned_customers", set_churned_customers, SET_CHURNED_SQL,
               "EXCEPT: customers active in 1996 but not 1997", ("setops",)),
     QuerySpec("set_loyal_customers", set_loyal_customers, SET_LOYAL_SQL,
