@@ -1,0 +1,50 @@
+"""Automated physical-plan audit over the ENTIRE registry.
+
+Pins the scale property the manual PLANS.md audit checks by hand: no
+query may plan a quadratic join. ``CartesianProduct`` is banned
+everywhere; ``BroadcastNestedLoopJoin`` is banned except where the
+broadcast side is a 1-row scalar aggregate (a lazy scalar subquery —
+constant work at any scale), which Catalyst necessarily plans as a
+nested-loop cross join.
+
+Also doubles as a build-every-plan smoke test: `.explain` forces full
+analysis/optimization of all 66 plans without executing them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_tank_spark.plans.registry import all_queries
+
+# Queries whose ONLY nested-loop join is against a broadcast 1-row
+# scalar aggregate (q11/q22 lazy scalar subqueries, doc_top_terms'
+# corpus-size N, distributed_ntile's total count).
+SCALAR_BROADCAST_OK = {
+    "q11_important_stock",
+    "q22_sales_opportunity",
+    "doc_top_terms",
+    "win_balance_quartiles",
+}
+
+SPECS = sorted(all_queries().values(), key=lambda s: s.name)
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_no_quadratic_join_in_plan(spark, sf_dir, spec):
+    plan = _explain(spec.spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{spec.name}: cartesian product"
+    if spec.name not in SCALAR_BROADCAST_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{spec.name}: nested-loop join (quadratic at scale)"
+        )
