@@ -150,3 +150,28 @@ def test_connected_components_resolves_chained_groups(spark):
     )
     got = {r.doc_id: r.canon_id for r in dedup.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_dot_vectorized_bit_equals_hof(spark):
+    """The Arrow-vectorized fixed-point dot must be BIT-identical to the
+    interpreted HOF fold on adversarial values (denormal-ish, huge-ish,
+    negative) — the invariant that makes the fast path safe to swap in."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(200)
+    ]
+    rows += [(900, [1e-7] * 64, [1e-7] * 64), (901, [0.999999] * 64, [-0.999999] * 64)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    got = (
+        df.select(
+            "i",
+            similarity.dot(F.col("a"), F.col("b")).alias("hof"),
+            similarity.dot_vectorized(F.col("a"), F.col("b")).alias("vec"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r.hof == r.vec, (r.i, r.hof, r.vec)
