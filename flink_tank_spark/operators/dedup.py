@@ -234,22 +234,23 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    for _ in range(iters):
+    for i in range(iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=False)
+        labels = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
+        # Checkpoint every SECOND iteration: between checkpoints the plan
+        # only quadruples over a cheap RDD-scan node, and each skipped
+        # checkpoint saves one sequential materialization job.
+        if i % 2 == 1 or i == iters - 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canon_id"))
 
 
