@@ -305,6 +305,52 @@ WIN_PRICE_POSITION_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# win_exact_percentiles — exact rank-select percentiles, distributed
+# --------------------------------------------------------------------------
+
+def win_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles by RANK SELECTION: value at row ceil(p·n) of the
+    total order — no interpolation (interpolated percentile arithmetic is
+    not engine-portable), no single-task global sort (global rank via
+    operators/rank.distributed_row_number), no sketch approximation.
+    The shape to use when an exact p99 matters at 100 TB."""
+    from flink_tank_spark.operators.rank import distributed_row_number
+
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = distributed_row_number(cust, ["c_acctbal", "c_custkey"], out_col="rn")
+    n = cust.agg(F.count(F.lit(1)).alias("n_rows"))
+    with_n = ranked.crossJoin(F.broadcast(n))
+    parts = [
+        with_n.filter(F.col("rn") == F.ceil(F.lit(p) * F.col("n_rows"))).select(
+            F.lit(p).alias("p"), F.col("c_acctbal").alias("value")
+        )
+        for p in (0.25, 0.5, 0.95, 0.99)
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.union(df)
+    return out.orderBy("p")
+
+
+WIN_EXACT_PERCENTILES_SQL = dedent("""
+    WITH ranked AS (
+      SELECT c_acctbal,
+             ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+      FROM customer
+    ),
+    n AS (SELECT COUNT(*) AS n_rows FROM customer)
+    SELECT CAST(0.25 AS DOUBLE) AS p, c_acctbal AS value FROM ranked, n WHERE rn = CEIL(0.25 * n_rows)
+    UNION ALL
+    SELECT CAST(0.5  AS DOUBLE), c_acctbal FROM ranked, n WHERE rn = CEIL(0.5 * n_rows)
+    UNION ALL
+    SELECT CAST(0.95 AS DOUBLE), c_acctbal FROM ranked, n WHERE rn = CEIL(0.95 * n_rows)
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), c_acctbal FROM ranked, n WHERE rn = CEIL(0.99 * n_rows)
+    ORDER BY p
+""")
+
+
+# --------------------------------------------------------------------------
 # agg_cube_status_priority — full CUBE over two order dimensions
 # --------------------------------------------------------------------------
 
@@ -347,6 +393,8 @@ QUERIES = [
               "CUBE revenue/counts over order status x priority", ("groupingsets",)),
     QuerySpec("win_price_position", win_price_position, WIN_PRICE_POSITION_SQL,
               "percent_rank/cume_dist of order price within priority", ("window",)),
+    QuerySpec("win_exact_percentiles", win_exact_percentiles, WIN_EXACT_PERCENTILES_SQL,
+              "exact p25/p50/p95/p99 by distributed rank selection", ("window",)),
     QuerySpec("set_churned_customers", set_churned_customers, SET_CHURNED_SQL,
               "EXCEPT: customers active in 1996 but not 1997", ("setops",)),
     QuerySpec("set_loyal_customers", set_loyal_customers, SET_LOYAL_SQL,

@@ -28,6 +28,7 @@ SCALAR_BROADCAST_OK = {
     "q22_sales_opportunity",
     "doc_top_terms",
     "win_balance_quartiles",
+    "win_exact_percentiles",
 }
 
 SPECS = sorted(all_queries().values(), key=lambda s: s.name)
