@@ -108,6 +108,49 @@ def write_kafka_stream(
     return writer.start()
 
 
+def write_dual_stream(
+    source_df: DataFrame,
+    split_fn,
+    sink_a,
+    sink_b,
+    checkpoint_dir: str,
+    query_name: str,
+    available_now: bool = False,
+    trigger_interval: str | None = None,
+):
+    """ONE streaming query feeding TWO sinks via foreachBatch — the
+    direct analogue of the reference's single Flink job writing both the
+    output and error topics (EventProcessorJob.kt:65-74): the source is
+    read ONCE per micro-batch and both writes commit under the same
+    checkpoint, instead of two queries each re-reading Kafka with
+    independent progress.
+
+    ``split_fn(batch_df) -> (df_a, df_b)``; ``sink_a``/``sink_b`` are
+    ``fn(df, batch_id)`` batch writers. The batch is persisted so the
+    two sinks don't recompute the (shared) topology.
+    """
+
+    def write_both(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            df_a, df_b = split_fn(batch_df)
+            sink_a(df_a, batch_id)
+            sink_b(df_b, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        source_df.writeStream.foreachBatch(write_both)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def write_jsonl_stream(
     json_df: DataFrame,
     path: str,

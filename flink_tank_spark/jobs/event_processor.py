@@ -42,10 +42,41 @@ def main(argv: list[str] | None = None) -> None:
     # (EventProcessorJob.kt:161); each micro-batch commit checkpoints,
     # so the trigger interval IS the at-least-once commit cadence.
     ap.add_argument("--trigger-interval", default=DEFAULT_CHECKPOINT_INTERVAL)
+    # one query + one checkpoint feeding both topics (reference shape:
+    # a single job owns both sinks) instead of two independent queries
+    ap.add_argument("--dual-sink", action="store_true")
     args = ap.parse_args(argv)
 
     spark = get_spark("event-processor")
     raw = read_kafka_stream(spark, args.brokers, args.input_topic)
+
+    if args.dual_sink:
+        from flink_tank_spark.io.kafka import write_dual_stream
+        from flink_tank_spark.streaming.jobs import get_tagged_output_stream, split_tagged
+
+        def kafka_batch_sink(topic: str):
+            def write(df, batch_id):
+                (
+                    df.selectExpr("CAST(value AS BINARY) AS value")
+                    .write.format("kafka")
+                    .option("kafka.bootstrap.servers", args.brokers)
+                    .option("topic", topic)
+                    .save()
+                )
+            return write
+
+        q = write_dual_stream(
+            get_tagged_output_stream(raw, streaming=True),
+            split_tagged,
+            kafka_batch_sink(args.output_topic),
+            kafka_batch_sink(args.error_topic),
+            f"{args.checkpoint_dir}/dual",
+            "event-processor-dual",
+            trigger_interval=args.trigger_interval,
+        )
+        q.awaitTermination()
+        return
+
     processed, errors = get_output_streams(raw, streaming=True)
 
     q1 = write_kafka_stream(

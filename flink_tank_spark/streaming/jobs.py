@@ -77,6 +77,28 @@ def serialize_processed(processed: DataFrame) -> DataFrame:
     )
 
 
+def get_tagged_output_stream(raw_df: DataFrame, streaming: bool = True) -> DataFrame:
+    """Both Job-1 outputs as ONE tagged stream (columns: value, tag) for
+    the foreachBatch dual-sink path (io/kafka.write_dual_stream): the
+    stateful sequence stays inside the streaming query (state must
+    persist across micro-batches), the union carries processed ('ok')
+    and error ('err') records together, and a single checkpoint commits
+    both sinks' progress atomically — the closest Spark analogue of the
+    reference's one job writing two topics (EventProcessorJob.kt:65-74).
+    """
+    processed, errors = get_output_streams(raw_df, streaming=streaming)
+    return serialize_processed(processed).withColumn("tag", F.lit("ok")).unionByName(
+        serialize_errors(errors).withColumn("tag", F.lit("err"))
+    )
+
+
+def split_tagged(batch_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """foreachBatch splitter for get_tagged_output_stream batches."""
+    ok = batch_df.filter(F.col("tag") == "ok").select("value")
+    err = batch_df.filter(F.col("tag") == "err").select("value")
+    return ok, err
+
+
 def serialize_errors(errors: DataFrame) -> DataFrame:
     return errors.select(
         F.to_json(F.struct("rawMessage", "errorType", "errorMessage", "timestamp")).alias("value")

@@ -266,3 +266,64 @@ def test_sequence_tws_matches_legacy_state_api(spark, tmp_path):
         ("user-1", "a", 1), ("user-1", "c", 2), ("user-1", "d", 3),
         ("user-2", "b", 1), ("user-2", "e", 2),
     ]
+
+
+def test_dual_sink_foreachbatch_routes_both_outputs(spark, tmp_path):
+    """One query + one checkpoint feeding both sinks (foreachBatch dual
+    write): processed and error records land in their own sinks with the
+    stateful sequence intact across micro-batches."""
+    from flink_tank_spark.io.kafka import write_dual_stream
+    from flink_tank_spark.streaming.jobs import get_tagged_output_stream, split_tagged
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    ok_dir = str(tmp_path / "ok")
+    err_dir = str(tmp_path / "err")
+    os.makedirs(ok_dir), os.makedirs(err_dir)
+
+    def text_sink(dirpath):
+        def write(df, batch_id):
+            rows = [r.value for r in df.collect()]
+            if rows:
+                with open(os.path.join(dirpath, f"b{batch_id}.jsonl"), "a") as f:
+                    f.write("\n".join(rows) + "\n")
+        return write
+
+    def run_available(msgs, name):
+        _write_batch(src, name, msgs)
+        raw = read_jsonl_stream(spark, src)
+        q = write_dual_stream(
+            get_tagged_output_stream(raw, streaming=True),
+            split_tagged,
+            text_sink(ok_dir),
+            text_sink(err_dir),
+            ckpt,
+            f"dual-{name}",
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_available(
+        ['{"id":"user-1","type":"a","timestamp":1,"data":{}}',
+         "{not json",
+         '{"id":"user-1","type":"b","timestamp":2,"data":{}}'],
+        "b1",
+    )
+    run_available(
+        ['{"id":"user-1","type":"c","timestamp":3,"data":{}}'],
+        "b2",
+    )
+
+    def read_dir(d):
+        out = []
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn)) as f:
+                out += [json.loads(line) for line in f if line.strip()]
+        return out
+
+    ok = read_dir(ok_dir)
+    err = read_dir(err_dir)
+    assert [(e["originalId"], e["sequence"]) for e in sorted(ok, key=lambda e: e["sequence"])] == [
+        ("user-1", 1), ("user-1", 2), ("user-1", 3),
+    ]
+    assert len(err) == 1 and err[0]["rawMessage"] == "{not json"
