@@ -1,0 +1,85 @@
+"""Driver-style correctness gate: run every registry query against its
+DuckDB oracle at sf0.01 with the driver's own canonicalization/hash.
+
+    python scripts/verify_gate.py [sf_dir]
+
+Exit 0 iff every query matches. This is the same comparison the round
+driver applies (row count + sorted-column value hash), so a green run
+here means a green CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = "/root/repo"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return hashlib.md5(
+        pdf.to_csv(index=False, float_format="%.17g").encode()
+    ).hexdigest()[:10]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", f"{REPO}/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_entry = len(mod.entry(spark).collect())
+    print(f"entry rows: {n_entry}")
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    bad = 0
+    t0 = time.perf_counter()
+    for name in queries:  # registry order, like the driver
+        sp = queries[name](spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name:34s} rows {len(sp):5d} (no oracle)")
+            continue
+        od = con.execute(oracles[name]).fetchdf()
+        ok = _hash(sp) == _hash(od) and len(sp) == len(od)
+        bad += not ok
+        if not ok:
+            print(f"{name:34s} rows spark={len(sp)} oracle={len(od)} MISMATCH")
+    print(
+        f"queries: {len(queries)} mismatches: {bad} "
+        f"total {time.perf_counter() - t0:.0f}s"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
