@@ -49,3 +49,29 @@ def test_no_quadratic_join_in_plan(spark, sf_dir, spec):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{spec.name}: nested-loop join (quadratic at scale)"
         )
+
+
+def test_filters_and_pruning_reach_the_scan(spark, sf_dir):
+    """Predicate pushdown + column pruning regression pin: q6's range
+    predicates must appear in the parquet scan's PushedFilters, and the
+    ReadSchema must carry only the 4 referenced lineitem columns."""
+    from flink_tank_spark.plans.tpch import q3_shipping_priority, q6_forecast_revenue
+
+    plan = _explain(q6_forecast_revenue(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1][:400]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert schema_line.count(":") == 5  # struct<4 cols> -> 4 col types + 1 in 'ReadSchema:'
+
+    plan3 = _explain(q3_shipping_priority(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan3
+
+
+def test_fixed_dims_are_broadcast(spark, sf_dir):
+    """region/nation are fixed-cardinality at ANY scale factor: their
+    joins must be BroadcastHashJoin, never a shuffled fact side."""
+    from flink_tank_spark.plans.tpch import q5_local_supplier_volume
+
+    plan = _explain(q5_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
