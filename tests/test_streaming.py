@@ -327,3 +327,42 @@ def test_dual_sink_foreachbatch_routes_both_outputs(spark, tmp_path):
         ("user-1", 1), ("user-1", 2), ("user-1", 3),
     ]
     assert len(err) == 1 and err[0]["rawMessage"] == "{not json"
+
+
+def test_ingest_job_lands_partitioned_parquet(spark, tmp_path):
+    """Ingest job: raw jsonl stream -> date-partitioned parquet with
+    exactly-once file-sink semantics across restarts (second availableNow
+    run must not duplicate batch-1 rows)."""
+    from flink_tank_spark.jobs.ingest_job import start_ingest
+
+    src = str(tmp_path / "raw")
+    lake = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(msgs, name):
+        _write_batch(src, name, msgs)
+        q1, q2 = start_ingest(spark, src, lake, ckpt, once=True)
+        q1.awaitTermination(120)
+        q2.awaitTermination(120)
+
+    # ts 1700000000000 -> 2023-11-14; 1700100000000 -> 2023-11-16
+    run(
+        ['{"id":"u1","type":"click","timestamp":1700000000000,"data":{}}',
+         '{"id":"u2","type":"view","timestamp":1700200000000,"data":{}}',
+         "{nope"],
+        "b1",
+    )
+    run(
+        ['{"id":"u1","type":"view","timestamp":1700000001000,"data":{}}'],
+        "b2",
+    )
+
+    events = spark.read.parquet(f"{lake}/events")
+    assert events.count() == 3  # no duplicates from the restart
+    dates = {str(r.event_date) for r in events.select("event_date").distinct().collect()}
+    assert dates == {"2023-11-14", "2023-11-17"}
+    # partition pruning works on the landed layout
+    pruned = events.filter(F.col("event_date") == "2023-11-14")
+    assert pruned.count() == 2
+    errors = spark.read.parquet(f"{lake}/errors")
+    assert errors.count() == 1
