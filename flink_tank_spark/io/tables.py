@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -75,6 +76,36 @@ def write_partitioned(
     skipped entirely; verify via PartitionFilters in .explain). At 100 TB
     this is the difference between scanning a day and scanning a lake."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction for a partitioned parquet dataset.
+
+    Streaming sinks (jobs/ingest_job.py) land one file per micro-batch
+    per partition; at 100 TB that's millions of KB-files and a
+    metadata-bound scan. Rewrite: one shuffle keyed by the partition
+    columns (+ a deterministic salt when one output file per partition
+    would be too large), so every output partition directory holds
+    exactly ``files_per_partition`` parquet files.
+
+    Writes to ``dest_path`` (never in place — overwriting the path being
+    read is undefined); callers swap directories/table locations after.
+    """
+    df = spark.read.parquet(src_path)
+    keys = [F.col(c) for c in partition_cols]
+    if files_per_partition > 1:
+        keys.append(
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), files_per_partition)
+        )
+    df.repartition(*keys).write.mode("overwrite").partitionBy(
+        *partition_cols
+    ).parquet(dest_path)
 
 
 def write_bucketed(

@@ -67,3 +67,30 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path):
     # exchange feeds the join (bucket layout replaces it)
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_compact_partitioned_collapses_small_files(spark, sf_dir, tmp_path):
+    """Compaction: a many-small-files partitioned dataset is rewritten to
+    files_per_partition files per partition dir, data unchanged."""
+    import glob
+
+    from flink_tank_spark.io.tables import compact_partitioned
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    src = str(tmp_path / "frag")
+    dest = str(tmp_path / "compact")
+    # fragment: ~12 files per partition
+    orders.repartition(12).write.partitionBy("o_year").parquet(src)
+    frag_files = glob.glob(f"{src}/o_year=*/part-*.parquet")
+    assert len(frag_files) > 20  # genuinely fragmented
+
+    compact_partitioned(spark, src, dest, ["o_year"], files_per_partition=1)
+    for d in glob.glob(f"{dest}/o_year=*"):
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1, d
+    # identical data
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dest)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
