@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="high-water-mark offsets for a topic")
     q.add_argument("-t", "--topic", required=True)
+    # ktool parity: single-partition offset query via topic:partition spec
+    # (/root/reference/kafka-tools/ktool.py:212-225 --partition)
+    q.add_argument("--partition", type=int, default=None)
 
     args = ap.parse_args(argv)
     cmd, stdin = build_command(args)
@@ -121,9 +124,12 @@ def build_command(args) -> tuple[str, str | None]:
             stdin = sys.stdin.read()
         return cmd, stdin
     elif args.cmd == "query":
+        spec = args.topic
+        if getattr(args, "partition", None) is not None:
+            spec = f"{args.topic}:{args.partition}"
         cmd = (
             f"{KAFKA_BIN}/kafka-get-offsets.sh --bootstrap-server {BOOTSTRAP} "
-            f"--topic {shlex.quote(args.topic)}"
+            f"--topic {shlex.quote(spec)}"
         )
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {args.cmd}")

@@ -63,6 +63,12 @@ def test_query_offsets(monkeypatch):
     assert "kafka-get-offsets.sh" in cmd and "--topic input-events" in cmd
 
 
+def test_query_single_partition_spec(monkeypatch):
+    # ktool.py:212-225: -p builds a topic:partition spec
+    cmd, _ = _build(["query", "-t", "input-events", "--partition", "2"], monkeypatch)
+    assert "--topic input-events:2" in cmd
+
+
 def test_topic_names_are_shell_quoted(monkeypatch):
     cmd, _ = _build(["describe", "-t", "weird topic;rm"], monkeypatch)
     assert "'weird topic;rm'" in cmd
