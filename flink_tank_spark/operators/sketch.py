@@ -1,0 +1,100 @@
+"""Mergeable cardinality sketches (deterministic HyperLogLog).
+
+Extension surface for 100 TB analytics (absent in the reference —
+SURVEY §2.12): exact ``COUNT(DISTINCT)`` over a high-cardinality key
+shuffles every distinct value; an HLL sketch reduces each partition to
+``m`` small registers that merge by element-wise MAX — map-side
+combinable, re-aggregatable across days/partitions without rescanning,
+and tiny on the wire. This is the canonical "pre-aggregate then merge"
+sketch pattern (Flajolet et al., HyperLogLog 2007).
+
+Determinism design (what makes this ORACLE-CHECKABLE, unlike Spark's
+``approx_count_distinct`` whose HLL++ bytes are engine-private):
+- hash = md5 of the key rendered as a string — identical in Spark,
+  DuckDB, and Python (same recipe as operators/text.py).
+- register index = first 2 hex chars (m = 256); rho = 1 + number of
+  leading zero bits in the next 48 bits, computed via base-conversion
+  string length (pure integer ops in both engines).
+- the register merge is MAX (order-free); the estimator's register sum
+  uses scaled INTEGER arithmetic — ``sum(2^(49-rho))`` with rho ≤ 49
+  is an exact int64 sum (≤ 2^56), so no floating-point reordering can
+  change the result under any partitioning. The final alpha*m²/denom
+  is a fixed sequence of scalar IEEE ops, identical everywhere.
+- the standard small-range linear-counting correction (``m·ln(m/V)``)
+  is deliberately elided: ``ln`` differs across libm implementations in
+  the last ulp. At production scale (cardinality ≫ 2.5m) the raw
+  estimator is the active branch anyway; tests pin the error envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+M_BITS = 8          # 2^8 = 256 registers
+M = 1 << M_BITS
+RHO_BITS = 48       # hash bits fed to the leading-zero count
+RHO_MAX = RHO_BITS + 1
+_SCALE = float(1 << (RHO_MAX))  # 2^49, the fixed-point denominator
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL registers: (group_cols..., register, rho).
+
+    One narrow projection + one map-side-combinable groupBy MAX — the
+    shuffle carries at most ``|groups| * 256`` rows regardless of input
+    size. The output IS the sketch: union register tables from any
+    number of runs/days and re-MAX to merge (see :func:`hll_estimate`).
+    """
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    v48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    # leading-zero count via base-2 string length: conv drops leading
+    # zeros, so bits(v) = length(conv(v,16,2)); v = 0 ⇒ all 48 zero.
+    nbits = F.length(F.conv(F.substring(h, 3, 12), 16, 2))
+    rho = F.when(v48 == 0, F.lit(RHO_MAX)).otherwise(
+        F.lit(RHO_BITS + 1) - nbits
+    )
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    return (
+        df.select(*group_cols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Collapse a register table to per-group cardinality estimates.
+
+    Accepts the direct output of :func:`hll_registers` OR a union of
+    several register tables (sketch merge): the max-per-register here
+    makes union-then-estimate equal estimate-of-union exactly.
+    """
+    merged = registers.groupBy(*group_cols, "register").agg(
+        F.max("rho").alias("rho")
+    )
+    # exact integer register sum: 2^(49-rho) is an exact long for
+    # rho in [1, 49]; the sum is ≤ 256 * 2^48 < 2^63.
+    term = F.pow(F.lit(2.0), F.lit(RHO_MAX) - F.col("rho")).cast("long")
+    alpha = 0.7213 / (1.0 + 1.079 / M)
+    per_group = merged.groupBy(*group_cols).agg(
+        F.sum(term).alias("_ssum"),
+        F.count(F.lit(1)).alias("n_reg_set"),
+    )
+    denom = (
+        F.col("_ssum").cast("double") / F.lit(_SCALE)
+        + (F.lit(M) - F.col("n_reg_set")).cast("double")
+    )
+    return per_group.select(
+        *group_cols,
+        F.col("n_reg_set").cast("long").alias("n_reg_set"),
+        (F.lit(alpha) * F.lit(float(M * M)) / denom).alias("hll_est"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """End-to-end: per-group approximate distinct count of ``key_col``."""
+    return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)

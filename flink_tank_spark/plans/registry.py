@@ -51,10 +51,10 @@ FRONT_OF_LINE = (
 
 def all_queries() -> dict[str, QuerySpec]:
     """Assemble the full registry (imported lazily to keep startup light)."""
-    from flink_tank_spark.plans import llm, streaming_batch, tpch, windows
+    from flink_tank_spark.plans import llm, sketches, streaming_batch, tpch, windows
 
     registry: dict[str, QuerySpec] = {}
-    for module in (tpch, windows, streaming_batch, llm):
+    for module in (tpch, windows, streaming_batch, sketches, llm):
         for spec in module.QUERIES:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")

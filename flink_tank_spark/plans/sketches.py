@@ -1,0 +1,143 @@
+"""Sketch queries: mergeable approximate distinct counts over events.
+
+Extension surface (SURVEY §2.12; operators/sketch.py). The pair of
+registry entries demonstrates the two properties that make sketches the
+right tool at 100 TB:
+
+- ``ev_hll_user_days``: one pass builds 256 registers per group; the
+  shuffle after partial aggregation carries ≤ groups×256 rows no matter
+  how many input rows — vs exact COUNT(DISTINCT) shuffling every
+  distinct key.
+- ``ev_hll_merge_days``: registers sketched per (day, type) and then
+  MERGED across days produce BIT-IDENTICAL estimates to sketching the
+  whole stream directly — the re-aggregation property that lets daily
+  sketch tables answer all-time questions without rescanning history.
+
+Both are oracle-checked: the md5/fixed-point construction in
+operators/sketch.py makes the estimates deterministic across engines,
+unlike builtin ``approx_count_distinct`` (engine-private HLL++ bytes).
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import sketch
+from flink_tank_spark.plans.registry import QuerySpec
+
+
+def _user_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, user_day) — user_day is the DAU-style composite
+    key 'user:date' whose distinct count per type is the HLL target."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    return ev.select(
+        "event_type",
+        day.alias("day"),
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), day.cast("string")
+        ).alias("user_day"),
+    )
+
+
+def ev_hll_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _user_day_events(spark, sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_day").alias("n_exact")
+    )
+    est = sketch.hll_distinct(ev, "user_day", ["event_type"])
+    return (
+        exact.join(est, "event_type")
+        .select("event_type", "n_exact", "n_reg_set", "hll_est")
+        .orderBy("event_type")
+    )
+
+
+def ev_hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch per (day, type), merge across days to per-type estimates —
+    the estimates are bit-identical to ev_hll_user_days' direct pass
+    (pinned in tests/test_sketch.py)."""
+    ev = _user_day_events(spark, sf_dir)
+    daily = sketch.hll_registers(ev, "user_day", ["day", "event_type"])
+    return (
+        sketch.hll_estimate(daily, ["event_type"])
+        .select("event_type", "n_reg_set", "hll_est")
+        .orderBy("event_type")
+    )
+
+
+# Shared oracle CTEs mirroring operators/sketch.py: register = first 2
+# md5 hex chars, rho = 1 + leading zeros of the next 48 bits (via base-2
+# string length), register sum in scaled int64 (2^(49-rho) exact).
+_HLL_CTES = dedent("""\
+    events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    k AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS user_day
+      FROM events
+    ),
+    hashed AS (SELECT event_type, day, user_day, md5(user_day) AS h FROM k),
+    rr AS (
+      SELECT event_type, day,
+             ('0x' || substr(h, 1, 2))::INTEGER AS register,
+             CASE WHEN ('0x' || substr(h, 3, 12))::BIGINT = 0 THEN 49
+                  ELSE 49 - length(bin(('0x' || substr(h, 3, 12))::BIGINT)) END AS rho
+      FROM hashed
+    )""")
+
+_HLL_EST = dedent("""\
+    est AS (
+      SELECT event_type,
+             COUNT(*) AS n_reg_set,
+             SUM(CAST(pow(2.0, 49 - rho) AS BIGINT)) AS ssum
+      FROM regs GROUP BY event_type
+    ),
+    final_est AS (
+      SELECT event_type, CAST(n_reg_set AS BIGINT) AS n_reg_set,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               / (CAST(ssum AS DOUBLE) / 562949953421312.0
+                  + CAST(256 - n_reg_set AS DOUBLE)) AS hll_est
+      FROM est
+    )""")
+
+EV_HLL_USER_DAYS_SQL = dedent(f"""
+    WITH {_HLL_CTES},
+    regs AS (
+      SELECT event_type, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2
+    ),
+    {_HLL_EST},
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_day) AS n_exact FROM k GROUP BY 1
+    )
+    SELECT f.event_type, ex.n_exact, f.n_reg_set, f.hll_est
+    FROM final_est f JOIN ex ON ex.event_type = f.event_type
+    ORDER BY f.event_type
+""")
+
+EV_HLL_MERGE_DAYS_SQL = dedent(f"""
+    WITH {_HLL_CTES},
+    daily AS (
+      SELECT event_type, day, register, MAX(rho) AS rho FROM rr GROUP BY 1, 2, 3
+    ),
+    regs AS (
+      SELECT event_type, register, MAX(rho) AS rho FROM daily GROUP BY 1, 2
+    ),
+    {_HLL_EST}
+    SELECT event_type, n_reg_set, hll_est
+    FROM final_est
+    ORDER BY event_type
+""")
+
+
+QUERIES = [
+    QuerySpec("ev_hll_user_days", ev_hll_user_days, EV_HLL_USER_DAYS_SQL,
+              "HLL-sketched distinct user-days per event type vs exact",
+              ("sketch", "events")),
+    QuerySpec("ev_hll_merge_days", ev_hll_merge_days, EV_HLL_MERGE_DAYS_SQL,
+              "daily HLL sketches merged across days (re-aggregation property)",
+              ("sketch", "events")),
+]

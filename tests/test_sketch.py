@@ -1,0 +1,75 @@
+"""HLL sketch operator properties (operators/sketch.py, plans/sketches.py).
+
+The oracle gate proves cross-engine determinism; these tests pin the
+sketch-algebra properties the gate can't see: merge associativity
+(daily-merged == direct, bit-exact) and the accuracy envelope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tank_spark.operators import sketch
+from flink_tank_spark.plans.sketches import (
+    _user_day_events,
+    ev_hll_merge_days,
+    ev_hll_user_days,
+)
+
+
+def test_merge_equals_direct_bit_exact(spark, sf_dir):
+    """Union-of-daily-sketches then estimate == estimate of one pass.
+    Must hold EXACTLY (not approximately): max-merge is associative and
+    the estimator is order-free fixed-point — this is what makes daily
+    sketch tables answerable without rescanning history."""
+    direct = {
+        r["event_type"]: (r["n_reg_set"], r["hll_est"])
+        for r in ev_hll_user_days(spark, sf_dir).collect()
+    }
+    merged = {
+        r["event_type"]: (r["n_reg_set"], r["hll_est"])
+        for r in ev_hll_merge_days(spark, sf_dir).collect()
+    }
+    assert direct.keys() == merged.keys()
+    for et in direct:
+        assert direct[et] == merged[et], et  # bit-identical, == on floats
+
+
+def test_estimate_error_envelope(spark, oracle_sf_dir):
+    """Relative error within the HLL envelope. m=256 ⇒ ~6.5% std error;
+    assert 4 sigma. Uses sf0.01 where per-type cardinality (~1500) is
+    above the small-range regime the estimator (deliberately, see
+    operators/sketch.py docstring) doesn't correct for."""
+    rows = ev_hll_user_days(spark, oracle_sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_exact"] > 640, "fixture regressed into small-range regime"
+        rel = abs(r["hll_est"] - r["n_exact"]) / r["n_exact"]
+        assert rel < 0.26, (r["event_type"], r["hll_est"], r["n_exact"])
+
+
+def test_registers_bounded_and_mergeable_shape(spark, sf_dir):
+    """The sketch is ≤ 256 rows per group with rho in [1, 49] — the
+    bounded-size property that makes the shuffle O(groups), not O(keys)."""
+    ev = _user_day_events(spark, sf_dir)
+    regs = sketch.hll_registers(ev, "user_day", ["event_type"])
+    per_group = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("rho").alias("lo"),
+        F.max("rho").alias("hi"),
+        F.countDistinct("register").alias("nr"),
+    )
+    for r in per_group.collect():
+        assert r["n"] <= 256 and r["n"] == r["nr"]
+        assert 1 <= r["lo"] <= r["hi"] <= 49
+
+
+def test_partitioning_invariance(spark, sf_dir):
+    """Same estimate under adversarial repartitioning — the fixed-point
+    register sum is the reason (no float reordering effects)."""
+    ev = _user_day_events(spark, sf_dir)
+    base = sketch.hll_distinct(ev, "user_day", ["event_type"]).collect()
+    shuffled = sketch.hll_distinct(
+        ev.repartition(17, "user_day"), "user_day", ["event_type"]
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
