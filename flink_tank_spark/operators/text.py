@@ -174,6 +174,30 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_stats(w: Column, text: Column) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 use
+    duplicate-line/ngram fractions as quality filters): fraction of
+    duplicate words / 2-grams / 3-grams per document.
+
+    ``w`` must be a MATERIALIZED words-array column (same contract as
+    shingles_from_words). Pure per-row array math — zero shuffle, the
+    whole filter is a map over the corpus scan. A doc with fewer words
+    than the gram size scores 0.0 by construction ([text] fallback).
+    """
+
+    def dup_frac(arr: Column) -> Column:
+        return F.lit(1.0) - (
+            F.size(F.array_distinct(arr)).cast("double")
+            / F.size(arr).cast("double")
+        )
+
+    return {
+        "dup_word_frac": dup_frac(w),
+        "dup_2gram_frac": dup_frac(shingles_from_words(w, text, 2)),
+        "dup_3gram_frac": dup_frac(shingles_from_words(w, text, 3)),
+    }
+
+
 def fingerprint(text: Column, k: int = 8) -> Column:
     """Winnowing-style document fingerprint: min md5 over char k-grams.
     Equal fingerprints ⇒ shared rare substring — cheap near-dup signal."""

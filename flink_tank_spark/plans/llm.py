@@ -401,6 +401,171 @@ DOC_FINGERPRINT_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# doc_repetition — Gopher-style duplicate-ngram quality signals
+# --------------------------------------------------------------------------
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition fractions (duplicate words / 2-grams / 3-grams)
+    — the Gopher repetition quality filter. Pure per-row array math over
+    the corpus scan: zero shuffle, trivially scan-bound at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_w")
+    )
+    stats = text.repetition_stats(F.col("_w"), F.col("text"))
+    return with_words.select(
+        "doc_id", *[v.alias(k) for k, v in stats.items()]
+    ).orderBy("doc_id")
+
+
+def _dup_frac_sql(arr: str) -> str:
+    return f"1.0 - (CAST(len(list_distinct({arr})) AS DOUBLE) / CAST(len({arr}) AS DOUBLE))"
+
+
+DOC_REPETITION_SQL = dedent(f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+    g AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)),
+                         i -> w[i] || ' ' || w[i+1])
+                  ELSE [text] END AS g2,
+             CASE WHEN len(w) >= 3
+                  THEN list_transform(range(1, len(w) - 1),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [text] END AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           {_dup_frac_sql('w')} AS dup_word_frac,
+           {_dup_frac_sql('g2')} AS dup_2gram_frac,
+           {_dup_frac_sql('g3')} AS dup_3gram_frac
+    FROM g
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_contamination — benchmark n-gram overlap (decontamination check)
+# --------------------------------------------------------------------------
+
+def doc_contamination(
+    spark: SparkSession, sf_dir: str, k: int = 8, mod: int = 11
+) -> DataFrame:
+    """Train/eval contamination: fraction of each corpus doc's distinct
+    word 8-grams that also appear in the benchmark set (docs with
+    doc_id % mod == 0 stand in for the eval suite). Scale shape: the
+    benchmark gram set is SMALL relative to the corpus (an eval suite,
+    not a second corpus), so it broadcasts — the corpus grams stream
+    past it map-side with no shuffle of the corpus. 13-gram overlap on
+    real pipelines (GPT-3 appendix C); k=8 fits the synthetic docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select(
+        "doc_id", "text", F.split(F.col("text"), " ").alias("_w")
+    )
+    grams = with_words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text.shingles_from_words(F.col("_w"), F.col("text"), k))
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("doc_id") % mod == 0).select("g").distinct()
+    corpus = grams.filter(F.col("doc_id") % mod != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(hits, "doc_id")
+        .select(
+            "doc_id", "n_grams", "n_matched",
+            (F.col("n_matched").cast("double") / F.col("n_grams").cast("double"))
+            .alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_CONTAMINATION_SQL = dedent("""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(w) >= 8
+                    THEN list_transform(range(1, len(w) - 6),
+                           i -> array_to_string(w[i:i+7], ' '))
+                    ELSE [text] END)) AS g
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 11 = 0),
+    corpus AS (SELECT doc_id, g FROM g WHERE doc_id % 11 <> 0),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_matched
+      FROM corpus c JOIN bench b USING (g) GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_grams, h.n_matched,
+           CAST(h.n_matched AS DOUBLE) / CAST(t.n_grams AS DOUBLE) AS contamination
+    FROM totals t JOIN hits h ON h.doc_id = t.doc_id
+    ORDER BY t.doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_dedup_corpus — keep-one materialization stats per source
+# --------------------------------------------------------------------------
+
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: anti-join the corpus against the
+    drop list (every doc whose component canon isn't itself) and report
+    per-source kept/dropped counts. At scale the drop list is the small
+    side (duplicates are a minority) — a broadcastable anti-join against
+    the full corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = doc_lsh_near_dups(spark, sf_dir).select("id_a", "id_b")
+    canon = dedup.connected_components(pairs)
+    dropped = canon.filter(F.col("canon_id") < F.col("doc_id")).select("doc_id")
+    kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
+    tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    k = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        tot.join(k, "source")
+        .select(
+            "source", "n_docs", "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_DEDUP_CORPUS_SQL = dedent(f"""
+    WITH RECURSIVE {LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near_dups
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near_dups
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
+      FROM reach GROUP BY src
+    ),
+    dropped AS (SELECT doc_id FROM canon WHERE canon_id < doc_id)
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) - COUNT(d.doc_id) AS n_kept,
+           COUNT(d.doc_id) AS n_dropped
+    FROM documents LEFT JOIN dropped d USING (doc_id)
+    GROUP BY source
+    ORDER BY source
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_sample_stratified — deterministic hash-based stratified sampling
 # --------------------------------------------------------------------------
 
@@ -927,8 +1092,10 @@ def emb_near_dup_pairs(
     )
 
 
-EMB_NEAR_DUP_SQL = dedent(f"""
-    WITH assign_scored AS (
+# Shared CTE block: IVF-blocked candidate pairs with exact cosine
+# rescoring (used by emb_near_dup_pairs and emb_semantic_dedup).
+EMB_NEAR_DUP_CTES = dedent(f"""\
+    assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
              {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
       FROM embeddings v JOIN embeddings c ON c.vec_id < 32
@@ -950,11 +1117,57 @@ EMB_NEAR_DUP_SQL = dedent(f"""
       FROM cand
       JOIN embeddings ae ON ae.vec_id = id_a
       JOIN embeddings be ON be.vec_id = id_b
-    )
+    )""")
+
+EMB_NEAR_DUP_SQL = dedent(f"""
+    WITH {EMB_NEAR_DUP_CTES}
     SELECT id_a, id_b, cos_sim
     FROM scored
     WHERE cos_sim >= 0.45
     ORDER BY id_a, id_b
+""")
+
+
+# --------------------------------------------------------------------------
+# emb_semantic_dedup — keep-one resolution over embedding near-dup groups
+# --------------------------------------------------------------------------
+
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup decision summary: connected components over the
+    IVF-blocked cosine near-dup graph (pairs chain, so the component —
+    not the pair — is the dedup unit), keep the min-id vector per group.
+    Same blocking/rescoring scale shape as emb_near_dup_pairs; the CC
+    resolution is the label-propagation form (operators/dedup.py)."""
+    pairs = emb_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    canon = dedup.connected_components(pairs)
+    return canon.agg(
+        F.count(F.lit(1)).alias("n_in_groups"),
+        F.countDistinct("canon_id").alias("n_groups"),
+        F.count(F.when(F.col("doc_id") != F.col("canon_id"), 1)).alias("n_dropped"),
+    )
+
+
+EMB_SEMANTIC_DEDUP_SQL = dedent(f"""
+    WITH RECURSIVE {EMB_NEAR_DUP_CTES},
+    nd AS (SELECT id_a, id_b FROM scored WHERE cos_sim >= 0.45),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM nd
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM nd
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS canon_id
+      FROM reach GROUP BY src
+    )
+    SELECT COUNT(*) AS n_in_groups,
+           COUNT(DISTINCT canon_id) AS n_groups,
+           COUNT(CASE WHEN vec_id <> canon_id THEN 1 END) AS n_dropped
+    FROM canon
 """)
 
 
@@ -1037,6 +1250,18 @@ QUERIES = [
     QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
               "deterministic hash-based stratified sampling (20% en / 50% rest)",
               ("llm", "curation")),
+    QuerySpec("doc_repetition", doc_repetition, DOC_REPETITION_SQL,
+              "Gopher-style duplicate word/2-gram/3-gram fractions per doc",
+              ("llm", "text")),
+    QuerySpec("doc_contamination", doc_contamination, DOC_CONTAMINATION_SQL,
+              "benchmark 8-gram overlap per corpus doc (broadcast decontamination)",
+              ("llm", "curation")),
+    QuerySpec("doc_dedup_corpus", doc_dedup_corpus, DOC_DEDUP_CORPUS_SQL,
+              "keep-one dedup materialization stats per source (anti-join)",
+              ("llm", "dedup")),
+    QuerySpec("emb_semantic_dedup", emb_semantic_dedup, EMB_SEMANTIC_DEDUP_SQL,
+              "keep-one resolution over embedding near-dup components",
+              ("llm", "dedup")),
     QuerySpec("doc_ngram_freq", doc_ngram_freq, DOC_NGRAM_FREQ_SQL,
               "corpus top-50 word trigrams by occurrence", ("llm", "text")),
     QuerySpec("doc_top_terms", doc_top_terms, DOC_TOP_TERMS_SQL,

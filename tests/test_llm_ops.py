@@ -152,6 +152,69 @@ def test_connected_components_resolves_chained_groups(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
 
 
+def test_repetition_stats_on_constructed_docs(spark):
+    """Known repetition values: 'a a a a' is 75% duplicate words and
+    2/3 duplicate 2-grams; a fully distinct doc scores 0.0 everywhere."""
+    from flink_tank_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "ab")], ["doc_id", "text"]
+    ).select("doc_id", "text", F.split("text", " ").alias("_w"))
+    stats = repetition_stats(F.col("_w"), F.col("text"))
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in stats.items()]
+        ).collect()
+    }
+    assert rows[1].dup_word_frac == 0.75
+    assert abs(rows[1].dup_2gram_frac - 2 / 3) < 1e-15
+    assert rows[2].dup_word_frac == 0.0 and rows[2].dup_3gram_frac == 0.0
+    assert rows[3].dup_word_frac == 0.0  # short-doc [text] fallback
+
+
+def test_contamination_flags_known_duplicate(spark):
+    """A corpus doc sharing its text with a benchmark doc scores 1.0;
+    an unrelated doc produces no row (inner join on hits)."""
+    from flink_tank_spark.plans.llm import doc_contamination
+    import flink_tank_spark.io.tables as tables
+
+    text = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"v{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, text, "en", "s", len(text)),      # benchmark (0 % 11 == 0)
+         (1, text, "en", "s", len(text)),      # exact copy -> 1.0
+         (2, other, "en", "s", len(other))],   # clean -> no row
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda s, d, n: docs
+        import flink_tank_spark.plans.llm as llm_mod
+        llm_orig = llm_mod.load_table
+        llm_mod.load_table = tables.load_table
+        try:
+            out = {r.doc_id: r for r in doc_contamination(spark, "unused").collect()}
+        finally:
+            llm_mod.load_table = llm_orig
+    finally:
+        tables.load_table = orig
+    assert set(out) == {1}
+    assert out[1].contamination == 1.0
+
+
+def test_dedup_corpus_counts_are_consistent(spark, sf_dir):
+    """kept + dropped == total per source, and the global dropped count
+    equals the number of non-canonical docs in the component table."""
+    from flink_tank_spark.plans.llm import doc_dedup_corpus, doc_dedup_groups
+
+    rows = doc_dedup_corpus(spark, sf_dir).collect()
+    assert all(r.n_kept + r.n_dropped == r.n_docs for r in rows)
+    n_dropped_total = sum(r.n_dropped for r in rows)
+    canon = doc_dedup_groups(spark, sf_dir).collect()
+    assert n_dropped_total == sum(1 for r in canon if r.canon_id < r.doc_id)
+
+
 def test_dot_vectorized_bit_equals_hof(spark):
     """The Arrow-vectorized fixed-point dot must be BIT-identical to the
     interpreted HOF fold on adversarial values (denormal-ish, huge-ish,
