@@ -42,15 +42,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by
-        # default; read it as a nanos long and truncate to Spark's native
-        # microsecond TimestampType. (Runtime-settable, so this works in
+        # events.ts has varied across testdata generations: parquet
+        # TIMESTAMP(NANOS) (readable only as a nanos long via the legacy
+        # flag), micros TIMESTAMP_NTZ, or a plain epoch long. Normalize
+        # all of them to Spark's native TimestampType so every downstream
+        # plan sees one schema. (Runtime-settable conf, so this works in
         # any caller-provided session, including the driver's.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type != "timestamp":  # timestamp_ntz under UTC session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
