@@ -202,7 +202,7 @@ def lsh_candidate_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, iters: int = 5
+    pairs: DataFrame, iters: int = 30, reliable_checkpoint: bool = False
 ) -> DataFrame:
     """Duplicate-group resolution: connected components over a near-dup
     pair graph via min-label propagation — (doc_id, canon_id) where
@@ -214,22 +214,38 @@ def connected_components(
 
     Distributed shape: per iteration one equi join + one groupBy(min) on
     the edge list — label propagation, the standard large-graph CC
-    pattern (GraphX/Pregel style) expressed in DataFrame ops. ``iters``
-    bounds the propagated distance: labels are exact for components whose
-    min-label spanning distance ≤ iters (near-dup components are
-    near-cliques in practice; 5 hops covers them comfortably). Increase
-    for pathological chain graphs.
+    pattern (GraphX/Pregel style) expressed in DataFrame ops.
+
+    Termination: runs until a FIXPOINT — every second iteration the
+    labels are materialized (checkpoint) and the number of labels that
+    changed is counted (a cheap aggregate over the just-checkpointed
+    rows); min-propagation is monotone, so an iteration that changes
+    nothing proves convergence. ``iters`` is only a safety cap against
+    pathological graphs (a cap hit means components wider than ``iters``
+    hops may carry split labels — raise the cap, don't trust the split).
+
+    ``reliable_checkpoint``: iterative lineage control. ``False`` (local
+    mode / tests): ``localCheckpoint`` — executor-storage truncation,
+    cheap but lost on executor failure. ``True`` (cluster): reliable
+    ``checkpoint()`` to the configured checkpoint dir (required: call
+    ``spark.sparkContext.setCheckpointDir`` first) — the same per-
+    iteration discipline GraphX/Pregel applies, survives executor loss.
     """
-    # Iterative lineage control: labels_i references labels_{i-1} twice
-    # and edges once, so a naive loop builds a 2^iters-node plan (112 s
-    # in Catalyst analysis alone on a 25-pair graph). Lazy localCheckpoint
-    # truncates the logical plan at each iteration boundary — still no
-    # job at build time; on a cluster swap for reliable checkpoint() (the
-    # same discipline GraphX/Pregel applies every iteration).
-    edges = (
+    # Lineage control matters twice here: labels_i references labels_{i-1}
+    # twice and edges once, so an untruncated loop builds a 2^iters-node
+    # plan (112 s in Catalyst analysis alone on a 25-pair graph).
+    def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+        return (
+            df.checkpoint(eager=eager)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=eager)
+        )
+
+    # Lazy: edges materialize with the first boundary job, not at build.
+    edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint(eager=False)
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))),
+        eager=False,
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -245,12 +261,17 @@ def connected_components(
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            (F.col("nbr_label") < F.col("label")).cast("int").alias("_chg"),
         )
-        # Checkpoint every SECOND iteration: between checkpoints the plan
-        # only quadruples over a cheap RDD-scan node, and each skipped
-        # checkpoint saves one sequential materialization job.
+        # Materialize + convergence-check every SECOND iteration: between
+        # checkpoints the plan only quadruples over a cheap scan node, and
+        # each skipped boundary saves one sequential materialization job.
         if i % 2 == 1 or i == iters - 1:
-            labels = labels.localCheckpoint(eager=False)
+            labels = ckpt(labels)
+            changed = labels.agg(F.sum("_chg")).first()[0]
+            if not changed:
+                break
+        labels = labels.drop("_chg")
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canon_id"))
 
 

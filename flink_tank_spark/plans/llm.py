@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 from flink_tank_spark.functions.numeric import sql_davg
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup, multimodal, similarity, text
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
 # Shared oracle CTE: distinct word-3-shingle sets per doc (mirrors
@@ -67,8 +68,9 @@ DOC_DEDUP_STATS_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(docs, n_perms=4).orderBy("doc_id")
+    return dedup.minhash_from_shingled(
+        _shingled_docs(spark, sf_dir), n_perms=4
+    ).orderBy("doc_id")
 
 
 # One md5 per shingle, sliced into four 8-hex-char lanes (operators/text
@@ -91,21 +93,47 @@ DOC_MINHASH_SQL = dedent(f"""
 # doc_lsh_near_dups — MinHash-LSH blocking + exact Jaccard rescoring
 # --------------------------------------------------------------------------
 
+def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: distinct word-3-shingle sets per doc. Shingling is
+    the md5-heavy prefix of FIVE registry queries (minhash, LSH pairs,
+    dedup groups, keep-one corpus, Jaccard top-k) — shingle once per
+    session, persist once (plans/shared.py owns the lifecycle; the
+    round-2 in-builder .persist() leaked on re-invocation)."""
+    return shared.stage(
+        spark,
+        "doc_shingles",
+        sf_dir,
+        lambda: dedup.shingle_sets(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _lsh_verified_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_bucket_size: int = 64
+) -> DataFrame:
+    """Shared stage: LSH-blocked, exact-Jaccard-verified near-dup pairs —
+    the common prefix of doc_lsh_near_dups / doc_dedup_groups /
+    doc_dedup_corpus (pair detection runs once per session, the three
+    queries differ only in what they derive from the pairs)."""
+
+    def build() -> DataFrame:
+        shingled = _shingled_docs(spark, sf_dir)
+        sigs = dedup.minhash_from_shingled(shingled)
+        cands = dedup.lsh_candidate_pairs(
+            sigs, rows_per_band=2, max_bucket_size=max_bucket_size
+        )
+        return dedup.rescore_jaccard(cands, shingled).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    return shared.stage(
+        spark, "doc_lsh_pairs", (sf_dir, threshold, max_bucket_size), build
+    )
+
+
 def doc_lsh_near_dups(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_bucket_size: int = 64
 ) -> DataFrame:
-    # Shingle ONCE and persist: the shingled DF feeds both the MinHash
-    # signatures and the exact-Jaccard rescoring join — without the
-    # persist Spark would recompute the (md5-heavy) shingling 3×.
-    docs = load_table(spark, sf_dir, "documents")
-    shingled = dedup.shingle_sets(docs).persist()
-    sigs = dedup.minhash_from_shingled(shingled)
-    cands = dedup.lsh_candidate_pairs(
-        sigs, rows_per_band=2, max_bucket_size=max_bucket_size
-    )
-    verified = dedup.rescore_jaccard(cands, shingled).filter(
-        F.col("jaccard") >= threshold
-    )
+    verified = _lsh_verified_pairs(spark, sf_dir, threshold, max_bucket_size)
     return verified.select("id_a", "id_b", "n_common", "jaccard").orderBy("id_a", "id_b")
 
 
@@ -164,7 +192,7 @@ def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     group of three), so the unit of dedup is the connected component.
     Output: (doc_id, canon_id=min id in component) for every doc in any
     group — the keep/drop decision table a dedup pipeline materializes."""
-    pairs = doc_lsh_near_dups(spark, sf_dir).select("id_a", "id_b")
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     return dedup.connected_components(pairs).orderBy("doc_id")
 
 
@@ -198,8 +226,9 @@ def doc_jaccard_topk(
     # max_df) are dropped from candidate generation so their posting
     # lists never cross-product; jaccard values stay exact (full-set
     # rescoring in operators/dedup.jaccard_pairs).
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(dedup.shingle_sets(docs), min_common=1, max_df=max_df)
+    pairs = dedup.jaccard_pairs(
+        _shingled_docs(spark, sf_dir), min_common=1, max_df=max_df
+    )
     return pairs.orderBy(F.desc("jaccard"), "id_a", "id_b").limit(k)
 
 
@@ -523,7 +552,7 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     side (duplicates are a minority) — a broadcastable anti-join against
     the full corpus scan."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_lsh_near_dups(spark, sf_dir).select("id_a", "id_b")
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     canon = dedup.connected_components(pairs)
     dropped = canon.filter(F.col("canon_id") < F.col("doc_id")).select("doc_id")
     kept = docs.join(F.broadcast(dropped), "doc_id", "left_anti")
@@ -817,10 +846,20 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: exact brute-force cosine top-5 (50 rows) — reused by
+    emb_ivf_recall, so the full-corpus scoring pass runs once per session."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 10)
+        return similarity.cosine_topk(emb, queries, k=5)
+
+    return shared.stage(spark, "emb_exact_topk", sf_dir, build)
+
+
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rk")
+    return _exact_topk(spark, sf_dir).orderBy("query_id", "rk")
 
 
 EMB_COSINE_TOPK_SQL = dedent(f"""
@@ -924,13 +963,28 @@ def emb_ivf_kmeans_topk(
     centroids trained by 2 deterministic Lloyd iterations (operators/
     similarity.kmeans_centroids) instead of arbitrary seed vectors —
     non-degenerate cells, demonstrably better recall/cost balance."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = similarity.kmeans_centroids(emb, k=k_cells, iters=iters)
-    assigned = similarity.ivf_assign(
-        emb,
-        cent.select(F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")),
-    )
-    return _ivf_cell_topk(assigned)
+    return _ivf_cell_topk(_kmeans_assigned(spark, sf_dir, k_cells, iters))
+
+
+def _kmeans_assigned(
+    spark: SparkSession, sf_dir: str, k_cells: int = 8, iters: int = 2
+) -> DataFrame:
+    """Shared stage: corpus assigned to trained k-means cells. Lloyd
+    training (one corpus scan + one (cell,dim) agg per iteration) is the
+    expensive prefix of both emb_ivf_kmeans_topk and emb_ivf_recall —
+    train once per session, reuse the assignment."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cent = similarity.kmeans_centroids(emb, k=k_cells, iters=iters)
+        return similarity.ivf_assign(
+            emb,
+            cent.select(
+                F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+            ),
+        )
+
+    return shared.stage(spark, "emb_kmeans_assign", (sf_dir, k_cells, iters), build)
 
 
 def _kmeans_cells_sql(k: int, iters: int) -> tuple[str, str]:
@@ -1013,7 +1067,7 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality measurement: per query, how many of the exact cosine
     top-5 the cell-restricted k-means IVF search recovers (recall@5) —
     the recall/cost trade made quantifiable inside the engine itself."""
-    exact = emb_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = _exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = emb_ivf_kmeans_topk(spark, sf_dir).select(
         F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
     )
@@ -1060,35 +1114,61 @@ def emb_near_dup_pairs(
     2 nearest of 32 cells; exact fixed-point cosine rescoring inside
     blocks. Never an all-pairs cartesian — the join is an equi join on
     cell id, so at corpus scale work is O(sum of cell² ) not O(n²)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < n_cells)
-    assigned = similarity.ivf_assign(emb, centroids, probes=probes)
-    cand = (
-        assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
-        .join(assigned.select(F.col("vec_id").alias("id_b"), "centroid_id"), "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    return _emb_verified_pairs(spark, sf_dir, threshold, n_cells, probes).orderBy(
+        "id_a", "id_b"
     )
-    vecs = emb.select(
-        "vec_id", similarity.as_double_array("embedding").alias("v")
-    ).withColumn("n", similarity.norm(F.col("v")))
-    a = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            # vectorized fixed-point dot: bit-identical to the HOF form
-            # (order-free exact sum), ~50x faster on the candidate-pair
-            # hot path — see similarity.dot_vectorized
-            (similarity.dot_vectorized(F.col("va"), F.col("vb"))
-             / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+
+
+def _emb_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_cells: int = 32,
+    probes: int = 2,
+) -> DataFrame:
+    """Shared stage: IVF-blocked, exact-cosine-verified near-dup pairs —
+    the common prefix of emb_near_dup_pairs and emb_semantic_dedup."""
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        centroids = emb.filter(F.col("vec_id") < n_cells)
+        assigned = similarity.ivf_assign(emb, centroids, probes=probes)
+        cand = (
+            assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
+            .join(
+                assigned.select(F.col("vec_id").alias("id_b"), "centroid_id"),
+                "centroid_id",
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .orderBy("id_a", "id_b")
+        vecs = emb.select(
+            "vec_id", similarity.as_double_array("embedding").alias("v")
+        ).withColumn("n", similarity.norm(F.col("v")))
+        a = vecs.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+        )
+        b = vecs.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
+        return (
+            cand.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                # vectorized fixed-point dot: bit-identical to the HOF form
+                # (order-free exact sum), ~50x faster on the candidate-pair
+                # hot path — see similarity.dot_vectorized
+                (similarity.dot_vectorized(F.col("va"), F.col("vb"))
+                 / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
+
+    return shared.stage(
+        spark, "emb_near_dup_pairs", (sf_dir, threshold, n_cells, probes), build
     )
 
 
@@ -1138,7 +1218,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the pair — is the dedup unit), keep the min-id vector per group.
     Same blocking/rescoring scale shape as emb_near_dup_pairs; the CC
     resolution is the label-propagation form (operators/dedup.py)."""
-    pairs = emb_near_dup_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = _emb_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     canon = dedup.connected_components(pairs)
     return canon.agg(
         F.count(F.lit(1)).alias("n_in_groups"),
@@ -1289,7 +1369,7 @@ QUERIES = [
               "IVF-cell ANN top-5 (search only the query's cell)", ("llm", "similarity")),
     QuerySpec("emb_ivf_kmeans_topk", emb_ivf_kmeans_topk, EMB_IVF_KMEANS_TOPK_SQL,
               "IVF ANN top-5 over k-means centroids (2 deterministic Lloyd iters)",
-              ("llm", "similarity")),
+              ("llm", "similarity"), bench=True),
     QuerySpec("emb_ivf_recall", emb_ivf_recall, EMB_IVF_RECALL_SQL,
               "recall@5 of the k-means IVF index vs exact top-k", ("llm", "similarity")),
     QuerySpec("emb_near_dup_pairs", emb_near_dup_pairs, EMB_NEAR_DUP_SQL,

@@ -36,16 +36,30 @@ class QuerySpec:
     bench: bool = False  # include in bench.py headline set
 
 
-# The round-1 driver harness ran the registry in insertion order under a
-# cumulative time budget and truncated at the tail, leaving these five
-# with no CORRECTNESS row at all. They run FIRST now so a budget hit can
-# never starve them again (order is otherwise meaningless to the gate).
+# The driver harness runs the registry in insertion order under a
+# cumulative time budget and truncates at the tail (~50 rows/round), so
+# queries that still lack a driver-certified CORRECTNESS row in ANY round
+# run FIRST (order is otherwise meaningless to the gate). Round-3
+# rotation: the 15 round-2 additions that have never had a driver row,
+# plus doc_token_stats whose only driver row (r1) predates its fix —
+# everything else is green in CORRECTNESS_r01/r02.
 FRONT_OF_LINE = (
-    "doc_fingerprint",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
-    "mm_decode",
+    "doc_token_stats",
+    "doc_repetition",
+    "doc_contamination",
+    "doc_sample_stratified",
+    "doc_ngram_freq",
+    "doc_top_terms",
+    "doc_pack_chunks",
+    "emb_quantize_int8",
+    "ev_hll_user_days",
+    "ev_hll_merge_days",
+    "mm_frame_stats",
+    "emb_ivf_kmeans_topk",
+    "emb_ivf_recall",
+    "doc_dedup_groups",
+    "doc_dedup_corpus",
+    "emb_semantic_dedup",
 )
 
 

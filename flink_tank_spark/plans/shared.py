@@ -1,0 +1,80 @@
+"""Session-scoped shared-stage cache for multi-query pipelines.
+
+Several registry queries are stages of ONE pipeline run back-to-back by
+the driver in a single session:
+
+- shingle sets  -> minhash -> LSH pairs -> CC groups -> keep-one corpus
+- IVF assignment -> embedding near-dup pairs -> semantic dedup
+- k-means cells -> ANN top-k -> recall@5 audit (vs the exact top-k)
+
+Rebuilding the common prefix per query wastes the dominant cost (the
+md5-heavy shingling, the Lloyd training scans), and the round-2 fix of
+calling ``.persist()`` inside one builder leaked: every re-invocation
+re-persisted an identical plan (Spark's CacheManager warns "Asked to
+cache already cached data") and nothing ever unpersisted, so a
+long-lived session accumulated caches.
+
+``stage`` fixes both: each shared stage is persisted exactly once per
+(application, stage-name) and re-invocations return the SAME DataFrame
+object. The cache holds at most one entry per stage name — building the
+same stage with different parameters (another sf_dir, another threshold)
+unpersists and replaces the old entry, bounding cache growth at
+O(#stage names) for any session lifetime. ``clear`` unpersists
+everything (tests / long-running services / before memory-hungry jobs).
+
+At 100 TB the same structure holds — the persisted stages are either
+per-doc maps (shingle sets: corpus-sized but MEMORY_AND_DISK, evictable)
+or tiny derived tables (near-dup pairs, centroids); on a cluster,
+replace persist with a parquet materialization of the stage output if
+executor churn makes cache recomputation too costly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+# (app_id, stage_name) -> (params, persisted DataFrame)
+_cache: dict[tuple[str, str], tuple[Any, DataFrame]] = {}
+
+# Escape hatch for plan audits: when True, builders run un-persisted and
+# un-memoized so `.explain` shows every stage's full physical plan
+# instead of an InMemoryTableScan over an already-cached prefix.
+DISABLE = False
+
+
+def stage(
+    spark: SparkSession,
+    name: str,
+    params: Any,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the persisted shared stage ``name``, building it on first use.
+
+    ``params`` identifies the build inputs (sf_dir + tuning knobs); a
+    call with different params rebuilds and replaces the cached entry
+    (the old one is unpersisted — blocking=False, eviction is async).
+    """
+    if DISABLE:
+        return builder()
+    key = (spark.sparkContext.applicationId, name)
+    hit = _cache.get(key)
+    if hit is not None and hit[0] == params:
+        return hit[1]
+    if hit is not None:
+        hit[1].unpersist()
+        del _cache[key]
+    df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+    _cache[key] = (params, df)
+    return df
+
+
+def clear(spark: SparkSession | None = None) -> None:
+    """Unpersist and drop every cached stage (of one app, or all)."""
+    app = spark.sparkContext.applicationId if spark is not None else None
+    for key in list(_cache):
+        if app is None or key[0] == app:
+            _cache.pop(key)[1].unpersist()

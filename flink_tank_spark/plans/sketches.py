@@ -136,8 +136,8 @@ EV_HLL_MERGE_DAYS_SQL = dedent(f"""
 QUERIES = [
     QuerySpec("ev_hll_user_days", ev_hll_user_days, EV_HLL_USER_DAYS_SQL,
               "HLL-sketched distinct user-days per event type vs exact",
-              ("sketch", "events")),
+              ("sketch", "events"), bench=True),
     QuerySpec("ev_hll_merge_days", ev_hll_merge_days, EV_HLL_MERGE_DAYS_SQL,
               "daily HLL sketches merged across days (re-aggregation property)",
-              ("sketch", "events")),
+              ("sketch", "events"), bench=True),
 ]

@@ -65,15 +65,19 @@ def main() -> int:
     bad = 0
     t0 = time.perf_counter()
     for name in queries:  # registry order, like the driver
+        tq = time.perf_counter()
         sp = queries[name](spark, sf_dir).toPandas()
+        dt = time.perf_counter() - tq
         if name not in oracles:
-            print(f"{name:34s} rows {len(sp):5d} (no oracle)")
+            print(f"{name:34s} {dt:6.2f}s rows {len(sp):5d} (no oracle)")
             continue
         od = con.execute(oracles[name]).fetchdf()
         ok = _hash(sp) == _hash(od) and len(sp) == len(od)
         bad += not ok
-        if not ok:
-            print(f"{name:34s} rows spark={len(sp)} oracle={len(od)} MISMATCH")
+        print(
+            f"{name:34s} {dt:6.2f}s rows spark={len(sp):5d} oracle={len(od):5d}"
+            f"{' MISMATCH' if not ok else ''}"
+        )
     print(
         f"queries: {len(queries)} mismatches: {bad} "
         f"total {time.perf_counter() - t0:.0f}s"

@@ -152,6 +152,30 @@ def test_connected_components_resolves_chained_groups(spark):
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 20: 20, 21: 20}
 
 
+def test_connected_components_converges_on_long_chain(spark):
+    """A 12-node path graph needs 11 propagation hops — far beyond any
+    fixed small iteration count. The fixpoint loop (stop when no label
+    changes, iters only a safety cap) must label the whole chain with
+    the single min id."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    got = {r.doc_id: r.canon_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True swaps localCheckpoint for checkpoint()
+    (cluster mode: survives executor loss); results are identical."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.canon_id
+        for r in dedup.connected_components(pairs, reliable_checkpoint=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
 def test_repetition_stats_on_constructed_docs(spark):
     """Known repetition values: 'a a a a' is 75% duplicate words and
     2/3 duplicate 2-grams; a fully distinct doc scores 0.0 everywhere."""

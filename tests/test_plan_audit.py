@@ -8,7 +8,13 @@ constant work at any scale), which Catalyst necessarily plans as a
 nested-loop cross join.
 
 Also doubles as a build-every-plan smoke test: `.explain` forces full
-analysis/optimization of all 66 plans without executing them.
+analysis/optimization of every registry plan (the fixpoint-iterating
+connected-components queries additionally execute their label jobs at
+build time — inherent to convergence detection).
+
+The shared-stage cache (plans/shared.py) is disabled here so `.explain`
+shows every stage's full plan, not an InMemoryTableScan over a cached
+prefix — the audit must see the joins inside the shared stages.
 """
 
 from __future__ import annotations
@@ -18,7 +24,17 @@ import io
 
 import pytest
 
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import all_queries
+
+
+@pytest.fixture(autouse=True)
+def _no_shared_cache():
+    shared.DISABLE = True
+    try:
+        yield
+    finally:
+        shared.DISABLE = False
 
 # Queries whose ONLY nested-loop join is against a broadcast 1-row
 # scalar aggregate (q11/q22 lazy scalar subqueries, doc_top_terms'
