@@ -1,6 +1,6 @@
 # Developer entrypoints (mirrors .claude/skills/verify/SKILL.md)
 
-.PHONY: test verify bench slow-parity list
+.PHONY: test verify bench slow-parity list kafka-e2e
 
 test:
 	python -m pytest tests/ -q
@@ -16,3 +16,13 @@ slow-parity:
 
 list:
 	python -m flink_tank_spark.tools.run_query --list
+
+# Real-broker E2E (S1/S2 + K1/K2). Needs Docker + network:
+#   docker compose up -d kafka     # single-node KRaft on localhost:9092
+#   make kafka-e2e
+# SPARK_GRAFT_PACKAGES resolves the Kafka connector from Maven at session
+# start (version must match the installed pyspark).
+kafka-e2e:
+	SPARK_GRAFT_KAFKA_BOOTSTRAP=localhost:9092 \
+	SPARK_GRAFT_PACKAGES=org.apache.spark:spark-sql-kafka-0-10_2.13:$$(python -c 'import pyspark; print(pyspark.__version__)') \
+	python -m pytest tests/test_kafka_integration.py -q

@@ -44,17 +44,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has varied across testdata generations: parquet
         # TIMESTAMP(NANOS) (readable only as a nanos long via the legacy
-        # flag), micros TIMESTAMP_NTZ, or a plain epoch long. Normalize
-        # all of them to Spark's native TimestampType so every downstream
-        # plan sees one schema. (Runtime-settable conf, so this works in
-        # any caller-provided session, including the driver's.)
+        # flag) or micros TIMESTAMP_NTZ. Normalize both to Spark's native
+        # TimestampType so every downstream plan sees one schema.
+        # (Runtime-settable confs, so this works in any caller-provided
+        # session, including the driver's.)
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The ntz->timestamp cast reinterprets the wall-clock value in the
+        # SESSION timezone; anything but UTC would shift every event
+        # relative to the stored value (and the DuckDB oracle).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Only the nanosAsLong long is supported here: a plain epoch
+            # long in millis/micros would be silently misscaled by the
+            # div-1000, so integral ts columns are DEFINED as nanos.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type != "timestamp":  # timestamp_ntz under UTC session tz
+        elif isinstance(ts_type, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, TimestampType):
+            # No unit-guessing for anything else (e.g. an int32 epoch):
+            # fail loudly instead of picking an inconsistent scale.
+            raise TypeError(f"unsupported events.ts type: {ts_type}")
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

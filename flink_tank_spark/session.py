@@ -63,6 +63,13 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
     )
+    # Optional Maven coordinates (comma-separated) resolved at session
+    # start — the supported way to pull the spark-sql-kafka connector for
+    # the real-broker E2E (Makefile `kafka-e2e`). Needs network; unset =
+    # no resolution attempt, offline suite unaffected.
+    packages = os.environ.get("SPARK_GRAFT_PACKAGES")
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

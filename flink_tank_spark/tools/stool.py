@@ -24,8 +24,39 @@ import sys
 
 DEFAULT_NAMESPACE = "kafka"
 DEFAULT_POD = "kafka-cluster-kafka-0"
+# Strimzi labels every broker pod of a cluster; discovery-by-label keeps
+# the CLI working when pod names change (reference ktool.py:14-41 finds
+# its broker the same way).
+DEFAULT_POD_LABEL = "strimzi.io/cluster=kafka-cluster,strimzi.io/kind=Kafka"
 BOOTSTRAP = "localhost:9092"
 KAFKA_BIN = "/opt/kafka/bin"
+
+
+def discover_pod_command(ns: str, label: str) -> list[str]:
+    """kubectl invocation that resolves a broker pod name by label
+    (pure construction — unit-testable without a cluster)."""
+    return [
+        "kubectl", "get", "pod", "-n", ns, "-l", label,
+        "-o", "jsonpath={.items[0].metadata.name}",
+    ]
+
+
+def discover_pod(ns: str, label: str) -> str | None:
+    """First broker pod matching ``label``, or None (no cluster / no match)."""
+    try:
+        out = subprocess.run(
+            discover_pod_command(ns, label), capture_output=True, text=True, check=True
+        ).stdout.strip()
+        return out or None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+
+
+def resolve_pod(args) -> str:
+    """--pod wins if given; else label discovery; else the fixed default."""
+    if args.pod is not None:
+        return args.pod
+    return discover_pod(args.namespace, args.pod_label) or DEFAULT_POD
 
 
 def _kexec(ns: str, pod: str, cmd: str, stdin: str | None = None) -> int:
@@ -40,7 +71,12 @@ def _kexec(ns: str, pod: str, cmd: str, stdin: str | None = None) -> int:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="stool", description="Kafka ops for the Spark deployment")
     ap.add_argument("-n", "--namespace", default=DEFAULT_NAMESPACE)
-    ap.add_argument("-p", "--pod", default=DEFAULT_POD)
+    ap.add_argument(
+        "-p", "--pod", default=None,
+        help=f"broker pod (default: discover by label, else {DEFAULT_POD})",
+    )
+    ap.add_argument("--pod-label", default=DEFAULT_POD_LABEL,
+                    help="label selector for broker-pod discovery")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("list-topics", help="list all topics")
@@ -75,7 +111,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     cmd, stdin = build_command(args)
-    return _kexec(args.namespace, args.pod, cmd, stdin=stdin)
+    return _kexec(args.namespace, resolve_pod(args), cmd, stdin=stdin)
 
 
 def build_command(args) -> tuple[str, str | None]:

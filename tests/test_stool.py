@@ -16,6 +16,7 @@ def _build(argv: list[str], monkeypatch) -> tuple[str, str | None]:
         return 0
 
     monkeypatch.setattr(stool, "_kexec", fake_kexec)
+    monkeypatch.setattr(stool, "discover_pod", lambda ns, label: None)
     assert stool.main(argv) == 0
     return captured["cmd"], captured["stdin"]
 
@@ -72,6 +73,28 @@ def test_query_single_partition_spec(monkeypatch):
 def test_topic_names_are_shell_quoted(monkeypatch):
     cmd, _ = _build(["describe", "-t", "weird topic;rm"], monkeypatch)
     assert "'weird topic;rm'" in cmd
+
+
+def test_pod_discovery_command_string():
+    # ktool.py:20-41 parity: broker pod resolved by Strimzi label via
+    # kubectl jsonpath lookup
+    cmd = stool.discover_pod_command("kafka", stool.DEFAULT_POD_LABEL)
+    assert cmd[:5] == ["kubectl", "get", "pod", "-n", "kafka"]
+    assert "strimzi.io/cluster=kafka-cluster,strimzi.io/kind=Kafka" in cmd
+    assert "jsonpath={.items[0].metadata.name}" in cmd
+
+
+def test_pod_resolution_precedence(monkeypatch):
+    """Explicit --pod wins; else label discovery; else the fixed default."""
+    import argparse
+
+    ns = argparse.Namespace(pod="explicit-0", namespace="kafka", pod_label="x")
+    assert stool.resolve_pod(ns) == "explicit-0"
+    ns.pod = None
+    monkeypatch.setattr(stool, "discover_pod", lambda n, l: "discovered-kafka-1")
+    assert stool.resolve_pod(ns) == "discovered-kafka-1"
+    monkeypatch.setattr(stool, "discover_pod", lambda n, l: None)
+    assert stool.resolve_pod(ns) == stool.DEFAULT_POD
 
 
 def test_run_query_cli_list_and_check(spark, capsys):
