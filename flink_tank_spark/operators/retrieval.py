@@ -1,0 +1,115 @@
+"""Lexical retrieval: inverted-index BM25-style top-k document search.
+
+Extension surface for training-data pipelines (SURVEY §2.12): lexical
+similar-document retrieval complements the embedding ANN layer
+(operators/similarity.py) — dedup/curation pipelines use both signals.
+
+Scale shape — the posting-list join, never a doc cross-product:
+
+- one explode + map-side-combinable groupBy builds (term, doc, tf)
+  postings and per-term document frequencies;
+- the query side (a bounded query set's distinct terms) is broadcast;
+- the only corpus-sized shuffle is the (query, doc) partial-score
+  aggregation, whose cardinality is bounded by matched postings.
+
+At 100 TB the standard further step is dynamic pruning (WAND / impact
+ordering) to skip low-impact postings; the exact variant here is the
+correctness baseline those optimizations must agree with, and the idf
+weighting already sends ultra-common terms' contributions toward zero.
+
+Determinism (hash-verifiable against the DuckDB oracle, reproducible
+under any partitioning): the classic ln() idf is replaced by its
+argument, the rational odds ratio ``(N - df + 0.5) / (df + 0.5)``
+(monotone in the same df, so per-term ordering is identical; multi-term
+sums weight rare terms more strongly than log-BM25). Every arithmetic
+step is a correctly-rounded IEEE op mirrored verbatim in SQL, and the
+per-(query, doc) sum of term scores goes through fixed-point
+``floor(x * 1e9 + 0.5)`` integers so summation order cannot matter
+(functions/numeric.py rationale; 1e9 keeps worst-case totals far inside
+2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.functions.numeric import davg
+
+SCORE_SCALE = 1e9
+
+
+def term_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, term) postings with term frequency and doc length:
+    one explode + one map-side-combinable groupBy."""
+    words = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    return words.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _term_score(tf: Column, dl: Column, df: Column, n_docs: Column, avgdl: Column,
+                k1: float, b: float) -> Column:
+    # Mirrored VERBATIM in the oracle SQL — parenthesization included.
+    idf = (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5))
+    norm = tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dl / avgdl))
+    return idf * ((tf * F.lit(k1 + 1.0)) / norm)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_ids,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k corpus docs per query doc by BM25-style lexical score.
+
+    ``query_ids``: ids of docs whose distinct terms form the queries
+    (doc-as-query retrieval). The query doc itself is excluded from its
+    own result list. Ties break on doc id for determinism.
+    """
+    posts = term_postings(docs, id_col, text_col)
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # 1-row corpus stats, lazily cross-joined (constant work at any
+    # scale — same lazy-scalar pattern as tpch q11/q22).
+    stats = posts.select(id_col, "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl")
+    )
+    qterms = (
+        posts.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("query_id"), "term")
+        .distinct()
+    )
+    matched = (
+        posts.join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    score_t = _term_score(
+        F.col("tf"), F.col("dl"), F.col("df"),
+        F.col("n_docs"), F.col("avgdl"), k1, b,
+    )
+    scored = (
+        matched.select(
+            "query_id",
+            F.col(id_col),
+            F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rk")
+    )

@@ -98,3 +98,74 @@ def hll_distinct(
 ) -> DataFrame:
     """End-to-end: per-group approximate distinct count of ``key_col``."""
     return hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-precision histograms → rank-based quantiles
+# ---------------------------------------------------------------------------
+
+def fp_histogram(
+    df: DataFrame, value_col: str, group_cols: list[str], cents: int = 100
+) -> DataFrame:
+    """Per-group fixed-precision histogram: (group_cols..., bin, n).
+
+    The quantile analogue of the HLL register table: one map-side-
+    combinable groupBy reduces any number of rows to at most
+    ``|groups| × |value range| × cents`` bins, and histograms MERGE by
+    summing counts — so daily histogram tables answer all-time quantile
+    questions without rescanning history (union + re-sum, see
+    :func:`histogram_quantiles`).
+
+    For fixed-precision data (money-like values with ≤ ``log10(cents)``
+    decimals) the binning ``floor(x·cents + 0.5)`` is lossless, so the
+    derived quantiles are EXACT rank-based quantiles, not estimates —
+    the counting-sort trick. For continuous data the error is bounded by
+    half a bin width. Pure IEEE multiply+floor ⇒ bit-identical binning
+    in Spark and the SQL oracle.
+    """
+    b = F.floor(F.col(value_col) * F.lit(float(cents)) + F.lit(0.5)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    cents: int = 100,
+) -> DataFrame:
+    """Collapse a histogram table (or a UNION of several — sketch merge)
+    to per-group lower quantiles: p_q = smallest value whose cumulative
+    count reaches ``ceil(q·N)``.
+
+    The cumulative window runs over the MERGED histogram — per group at
+    most a few thousand bins, so the window partition is tiny no matter
+    how many input rows the histogram absorbed.
+    """
+    from pyspark.sql.window import Window as W
+
+    merged = hist.groupBy(*group_cols, "bin").agg(F.sum("n").alias("n"))
+    w_cum = W.partitionBy(*group_cols).orderBy("bin")
+    w_tot = W.partitionBy(*group_cols)
+    cum = merged.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("bin"))
+        ).alias(f"_b{round(q * 100)}")
+        for q in qs
+    ]
+    out = cum.groupBy(*group_cols).agg(*aggs)
+    return out.select(
+        *group_cols,
+        *[
+            (F.col(f"_b{round(q * 100)}") / F.lit(float(cents))).alias(
+                f"p{round(q * 100)}"
+            )
+            for q in qs
+        ],
+    )

@@ -259,6 +259,62 @@ DOC_JACCARD_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# doc_bm25_topk — inverted-index BM25-style lexical retrieval
+# --------------------------------------------------------------------------
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Doc-as-query lexical retrieval: for each of 5 query docs, the
+    top-10 corpus docs by BM25-style score over word postings — the
+    lexical complement of the embedding ANN queries. Posting-list equi
+    joins only; see operators/retrieval.py for the scale + determinism
+    story (log-free rational idf, fixed-point score sums)."""
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, query_ids=range(5), k=k).orderBy("query_id", "rk")
+
+
+DOC_BM25_TOPK_SQL = dedent(f"""
+    WITH posts AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM posts GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, {sql_davg('dl')} AS avgdl
+      FROM (SELECT DISTINCT doc_id, dl FROM tf)
+    ),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
+    matched AS (
+      SELECT q.query_id, t.doc_id, t.tf, t.dl, d.df, s.n_docs, s.avgdl
+      FROM tf t
+      JOIN qterms q USING (term)
+      JOIN dfreq d USING (term)
+      CROSS JOIN stats s
+      WHERE t.doc_id <> q.query_id
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(FLOOR(
+               ((n_docs - df + 0.5) / (df + 0.5))
+                 * ((tf * 2.2) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+                 * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000.0 AS score
+      FROM matched GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id AS match_id, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+    FROM scored
+    QUALIFY rk <= 10
+    ORDER BY query_id, rk
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_simhash — 64-bit SimHash signatures
 # --------------------------------------------------------------------------
 
@@ -1276,6 +1332,45 @@ MM_DECODE_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# mm_wav_roundtrip — REAL RIFF/WAVE codec: encode through stdlib `wave`,
+# decode through decode_real's chunk parser; oracle derives the decoded
+# fields arithmetically, so a hash match proves the real codec roundtrip
+# --------------------------------------------------------------------------
+
+def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_wav(docs, "doc_id", "text")
+    return (
+        multimodal.decode_real(media)
+        .select(
+            "media_id", "format", "n_channels", "sample_width",
+            "frame_rate", "n_frames",
+        )
+        .orderBy("media_id")
+    )
+
+
+# PCM payload = utf-8 text padded to even length; frames = padded/2;
+# rate = 8000 + padded%8 * 1000 (encode_wav's deterministic recipe).
+MM_WAV_ROUNDTRIP_SQL = dedent("""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text))
+               + octet_length(encode(text)) % 2 AS n_padded
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           'wav' AS format,
+           1 AS n_channels,
+           2 AS sample_width,
+           CAST(8000 + n_padded % 8 * 1000 AS INTEGER) AS frame_rate,
+           CAST(n_padded // 2 AS BIGINT) AS n_frames
+    FROM b
+    ORDER BY media_id
+""")
+
+
+# --------------------------------------------------------------------------
 # mm_frame_stats — frame sampling stats through the Arrow decode path
 # --------------------------------------------------------------------------
 
@@ -1349,6 +1444,9 @@ QUERIES = [
     QuerySpec("doc_jaccard_topk", doc_jaccard_topk, DOC_JACCARD_TOPK_SQL,
               "inverted-index Jaccard top-20 (df-pruned candidates, exact rescore)",
               ("llm", "dedup")),
+    QuerySpec("doc_bm25_topk", doc_bm25_topk, DOC_BM25_TOPK_SQL,
+              "inverted-index BM25-style top-10 lexical retrieval, 5 query docs",
+              ("llm", "retrieval")),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),
     QuerySpec("doc_lang_id", doc_lang_id, DOC_LANG_ID_SQL,
@@ -1379,4 +1477,7 @@ QUERIES = [
               "multimodal fake-container decode via mapInPandas", ("llm", "multimodal")),
     QuerySpec("mm_frame_stats", mm_frame_stats, MM_FRAME_STATS_SQL,
               "frame-sampling stats through the Arrow decode path", ("llm", "multimodal")),
+    QuerySpec("mm_wav_roundtrip", mm_wav_roundtrip, MM_WAV_ROUNDTRIP_SQL,
+              "real RIFF/WAVE codec roundtrip (stdlib wave) vs arithmetic oracle",
+              ("llm", "multimodal")),
 ]

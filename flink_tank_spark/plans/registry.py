@@ -42,7 +42,9 @@ class QuerySpec:
 # run FIRST (order is otherwise meaningless to the gate). Round-3
 # rotation: the 15 round-2 additions that have never had a driver row,
 # plus doc_token_stats whose only driver row (r1) predates its fix —
-# everything else is green in CORRECTNESS_r01/r02.
+# everything else is green in CORRECTNESS_r01/r02. Round-3 additions
+# (new queries, no row anywhere yet) are appended at the end of the
+# block so they certify this round too.
 FRONT_OF_LINE = (
     "doc_token_stats",
     "doc_repetition",
@@ -60,6 +62,10 @@ FRONT_OF_LINE = (
     "doc_dedup_groups",
     "doc_dedup_corpus",
     "emb_semantic_dedup",
+    "mm_wav_roundtrip",
+    "doc_bm25_topk",
+    "ev_value_quantiles",
+    "ev_value_quantiles_merged",
 )
 
 

@@ -133,6 +133,68 @@ EV_HLL_MERGE_DAYS_SQL = dedent(f"""
 """)
 
 
+# ---------------------------------------------------------------------------
+# Histogram-quantile pair: direct build vs merged daily sketches — same
+# two properties as the HLL pair (bounded shuffle, exact re-aggregation),
+# and because events.value is 2-decimal the quantiles are EXACT.
+# ---------------------------------------------------------------------------
+
+def ev_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketch.fp_histogram(ev, "value", ["event_type"])
+    return sketch.histogram_quantiles(hist, ["event_type"]).orderBy("event_type")
+
+
+def ev_value_quantiles_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram per (day, type), merged across days — bit-identical
+    quantiles to the direct pass (pinned in tests/test_sketch.py)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = sketch.fp_histogram(ev, "value", ["day", "event_type"])
+    merged = daily.drop("day")
+    return sketch.histogram_quantiles(merged, ["event_type"]).orderBy("event_type")
+
+
+_HIST_QUANTILE_SELECT = dedent("""\
+    SELECT event_type,
+           MIN(CASE WHEN cum >= CEIL(0.5 * total) THEN bin END) / 100.0 AS p50,
+           MIN(CASE WHEN cum >= CEIL(0.95 * total) THEN bin END) / 100.0 AS p95,
+           MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN bin END) / 100.0 AS p99
+    FROM c GROUP BY event_type ORDER BY event_type""")
+
+EV_VALUE_QUANTILES_SQL = dedent(f"""
+    WITH b AS (
+      SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS bin
+      FROM events
+    ),
+    h AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    {_HIST_QUANTILE_SELECT}
+""")
+
+EV_VALUE_QUANTILES_MERGED_SQL = dedent(f"""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    b AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS bin
+      FROM events
+    ),
+    daily AS (SELECT day, event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2, 3),
+    h AS (SELECT event_type, bin, SUM(n) AS n FROM daily GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    )
+    {_HIST_QUANTILE_SELECT}
+""")
+
+
 QUERIES = [
     QuerySpec("ev_hll_user_days", ev_hll_user_days, EV_HLL_USER_DAYS_SQL,
               "HLL-sketched distinct user-days per event type vs exact",
@@ -140,4 +202,11 @@ QUERIES = [
     QuerySpec("ev_hll_merge_days", ev_hll_merge_days, EV_HLL_MERGE_DAYS_SQL,
               "daily HLL sketches merged across days (re-aggregation property)",
               ("sketch", "events"), bench=True),
+    QuerySpec("ev_value_quantiles", ev_value_quantiles, EV_VALUE_QUANTILES_SQL,
+              "exact p50/p95/p99 per type from a fixed-precision histogram",
+              ("sketch", "events")),
+    QuerySpec("ev_value_quantiles_merged", ev_value_quantiles_merged,
+              EV_VALUE_QUANTILES_MERGED_SQL,
+              "daily histograms merged across days (same quantiles, re-aggregation)",
+              ("sketch", "events")),
 ]

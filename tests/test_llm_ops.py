@@ -32,6 +32,45 @@ def test_multimodal_frame_sample(spark):
     assert [f.frame_idx for f in frames] == [0, 10, 20]
 
 
+def test_wav_roundtrip_through_real_codec(spark):
+    """encode_wav builds genuine RIFF/WAVE files and decode_real parses
+    them with the stdlib wave codec: 'abc' -> 4 padded PCM bytes -> 2
+    frames at 8000 + 4%8*1000 = 12000 Hz."""
+    df = spark.createDataFrame([(1, "abc"), (2, "abcd")], ["doc_id", "text"])
+    media = multimodal.encode_wav(df)
+    raw = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert raw[1][:4] == b"RIFF" and raw[1][8:12] == b"WAVE"
+    rows = {r.media_id: r for r in multimodal.decode_real(media).collect()}
+    assert rows[1].format == "wav"
+    assert (rows[1].n_channels, rows[1].sample_width) == (1, 2)
+    assert rows[1].n_frames == 2 and rows[1].frame_rate == 12000
+    assert rows[2].n_frames == 2 and rows[2].frame_rate == 12000
+
+
+def test_decode_real_parses_png_and_rejects_unknown(spark):
+    """decode_real handles a genuine PNG (IHDR parse + CRC check) and
+    raises for formats that truly need PIL/ffmpeg."""
+    import struct
+    import zlib
+
+    ihdr_data = struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+    )
+    png = b"\x89PNG\r\n\x1a\n" + ihdr
+    df = spark.createDataFrame([(1, "image", bytearray(png))], ["media_id", "kind", "content"])
+    row = multimodal.decode_real(df).collect()[0]
+    assert (row.format, row.width, row.height) == ("png", 320, 200)
+
+    bad = spark.createDataFrame(
+        [(2, "image", bytearray(b"\xff\xd8\xff\xe0JFIF-ish"))],
+        ["media_id", "kind", "content"],
+    )
+    with pytest.raises(Exception, match="PIL/ffmpeg"):
+        multimodal.decode_real(bad).collect()
+
+
 def test_lsh_recalls_known_near_dups(spark, sf_dir):
     """The synthetic corpus contains ~0.99-Jaccard pairs; MinHash-LSH
     blocking must recover them (2 bands x 2 rows at j=0.99 misses with
@@ -262,3 +301,23 @@ def test_dot_vectorized_bit_equals_hof(spark):
     )
     for r in got:
         assert r.hof == r.vec, (r.i, r.hof, r.vec)
+
+
+def test_bm25_ranks_exact_term_overlap_first(spark):
+    """A doc sharing the query's rare terms outranks one sharing only a
+    corpus-wide common term, and the query doc never matches itself."""
+    from flink_tank_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra quark common"),
+            (1, "zebra quark common filler filler"),  # both rare terms
+            (2, "common filler filler filler"),       # only the common term
+            (3, "common zebra filler filler"),        # one rare term
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, query_ids=[0], k=3).collect()
+    assert all(r.query_id == 0 and r.match_id != 0 for r in out)
+    ranked = [r.match_id for r in sorted(out, key=lambda r: r.rk)]
+    assert ranked[0] == 1 and ranked[1] == 3 and ranked[2] == 2

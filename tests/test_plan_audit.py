@@ -43,6 +43,7 @@ SCALAR_BROADCAST_OK = {
     "q11_important_stock",
     "q22_sales_opportunity",
     "doc_top_terms",
+    "doc_bm25_topk",  # 1-row (n_docs, avgdl) corpus stats
     "win_balance_quartiles",
     "win_exact_percentiles",
 }

@@ -73,3 +73,43 @@ def test_partitioning_invariance(spark, sf_dir):
         ev.repartition(17, "user_day"), "user_day", ["event_type"]
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+
+def test_histogram_quantiles_exact_for_two_decimal_data(spark):
+    """events.value-style 2-decimal data: floor(x*100+0.5) binning is
+    lossless, so the sketch quantile equals the brute-force lower
+    quantile (smallest v with rank >= ceil(q*N))."""
+    import math
+
+    vals = [round(0.01 * v, 2) for v in (5, 5, 7, 11, 11, 11, 42, 99, 100, 250)]
+    df = spark.createDataFrame([("a", v) for v in vals], ["g", "value"])
+    hist = sketch.fp_histogram(df, "value", ["g"])
+    got = sketch.histogram_quantiles(hist, ["g"], qs=(0.5, 0.9)).collect()[0]
+    sv = sorted(vals)
+    assert got["p50"] == sv[math.ceil(0.5 * len(sv)) - 1] == 0.11
+    assert got["p90"] == sv[math.ceil(0.9 * len(sv)) - 1] == 1.00
+
+
+def test_histogram_merge_identity(spark, sf_dir):
+    """Union of per-day histograms re-aggregated == direct histogram:
+    the property that lets daily sketch tables answer all-time quantile
+    questions. Bit-identical, not approximately equal."""
+    from flink_tank_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    direct = sketch.histogram_quantiles(
+        sketch.fp_histogram(ev, "value", ["event_type"]), ["event_type"]
+    ).collect()
+    daily = sketch.fp_histogram(ev, "value", ["day", "event_type"]).drop("day")
+    merged = sketch.histogram_quantiles(daily, ["event_type"]).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, merged))
+
+
+def test_histogram_is_bounded(spark):
+    """The histogram table is O(groups x distinct bins), not O(rows) —
+    the bounded-size property that makes it a sketch: 10k rows over 100
+    distinct cent values collapse to exactly 100 rows per group."""
+    df = spark.createDataFrame(
+        [("g", round(0.01 * (i % 100), 2)) for i in range(10_000)], ["g", "value"]
+    )
+    assert sketch.fp_histogram(df, "value", ["g"]).count() == 100
