@@ -40,6 +40,10 @@ HEAVY = [
     "doc_pack_chunks",
     "emb_near_dup_pairs",
     "emb_ivf_kmeans_topk",
+    "doc_bm25_topk",
+    "ev_value_quantiles_merged",
+    "ev_hll_merge_days",
+    "mm_wav_roundtrip",
 ]
 
 
