@@ -47,6 +47,13 @@ def hll_registers(
     shuffle carries at most ``|groups| * 256`` rows regardless of input
     size. The output IS the sketch: union register tables from any
     number of runs/days and re-MAX to merge (see :func:`hll_estimate`).
+
+    Works UNCHANGED on a streaming DataFrame: max-per-register is an
+    algebraic aggregate Structured Streaming maintains incrementally in
+    its state store (update/complete mode), so the streaming state for a
+    distinct-count query is the bounded sketch — groups×256 rows — not
+    the unbounded distinct-key set. Pinned in
+    tests/test_streaming.py::test_hll_registers_as_streaming_state.
     """
     h = F.md5(F.col(key_col).cast("string").cast("binary"))
     v48 = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")

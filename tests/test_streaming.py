@@ -366,3 +366,63 @@ def test_ingest_job_lands_partitioned_parquet(spark, tmp_path):
     assert pruned.count() == 2
     errors = spark.read.parquet(f"{lake}/errors")
     assert errors.count() == 1
+
+
+def test_hll_registers_as_streaming_state(spark, tmp_path):
+    """The HLL register table works as STREAMING state: max-per-register
+    is an algebraic aggregate Structured Streaming maintains in its
+    state store, so after any number of micro-batches the emitted
+    registers (and hence estimates) are bit-identical to the batch
+    sketch over all rows seen — distinct-count state stays bounded at
+    groups x 256 rows no matter how many events arrive."""
+    import json
+    import os
+
+    from flink_tank_spark.operators import sketch
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(src)
+    batch1 = [("click", f"u{i}:d1") for i in range(300)]
+    batch2 = [("click", f"u{i}:d2") for i in range(200)] + [
+        ("view", f"u{i}:d1") for i in range(150)
+    ]
+
+    def write_batch(rows):
+        name = os.path.join(src, f"b{len(os.listdir(src))}.jsonl")
+        with open(name, "w") as f:
+            for et, ud in rows:
+                f.write(json.dumps({"event_type": et, "user_day": ud}) + "\n")
+
+    def run_stream():
+        stream = spark.readStream.schema("event_type string, user_day string").json(src)
+        q = (
+            sketch.hll_registers(stream, "user_day", ["event_type"])
+            .writeStream.format("memory")
+            .queryName("hll_stream_regs")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.event_type, r.register): r.rho
+            for r in spark.table("hll_stream_regs").collect()
+        }
+
+    def batch_regs(rows):
+        df = spark.createDataFrame(rows, ["event_type", "user_day"])
+        return {
+            (r.event_type, r.register): r.rho
+            for r in sketch.hll_registers(df, "user_day", ["event_type"]).collect()
+        }
+
+    write_batch(batch1)
+    assert run_stream() == batch_regs(batch1)
+
+    # second micro-batch: the restarted query resumes from the same
+    # checkpoint and only the register STATE carries history forward
+    write_batch(batch2)
+    streamed = run_stream()
+    assert streamed == batch_regs(batch1 + batch2)
+    assert len(streamed) <= 2 * 256  # bounded: groups x registers
