@@ -79,6 +79,9 @@ def all_queries() -> dict[str, QuerySpec]:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")
             registry[spec.name] = spec
-    ordered = {n: registry.pop(n) for n in FRONT_OF_LINE if n in registry}
+    unknown = [n for n in FRONT_OF_LINE if n not in registry]
+    if unknown:
+        raise ValueError(f"FRONT_OF_LINE names not in registry: {unknown}")
+    ordered = {n: registry.pop(n) for n in FRONT_OF_LINE}
     ordered.update(registry)
     return ordered
