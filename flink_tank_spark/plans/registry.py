@@ -66,6 +66,8 @@ FRONT_OF_LINE = (
     "doc_bm25_topk",
     "ev_value_quantiles",
     "ev_value_quantiles_merged",
+    "ev_gap_fill",
+    "ev_pivot_type_counts",
 )
 
 

@@ -351,6 +351,117 @@ EV_TUMBLING_HOURLY_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# ev_gap_fill — dense hourly series with zero-filled empty buckets
+# --------------------------------------------------------------------------
+
+def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: hourly (type, hour) counts INCLUDING hours
+    with no events — the batch analogue of the reference's zero-count
+    heartbeat (AggregationJob.kt:171-186 emits even when the window is
+    empty; declarative aggs only emit observed buckets).
+
+    Scale shape: the dense skeleton is DIMENSION-sized — hours exploded
+    from a 1-row min/max aggregate × the distinct type table — never
+    event-sized; the event-side work stays one map-side-combinable
+    groupBy. The hours×types product uses the column-derived always-zero
+    equi key (see similarity._broadcast_all_pairs) so it plans as a
+    BroadcastHashJoin, not a nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_start")
+    ).withColumn("_xk", F.dayofmonth("hour_start") % F.lit(1))
+    types = ev.select("event_type").distinct().withColumn(
+        "_xk", F.length("event_type") % F.lit(1)
+    )
+    skeleton = hours.join(F.broadcast(types), "_xk").drop("_xk")
+    return (
+        skeleton.join(counts, ["hour_start", "event_type"], "left")
+        .select(
+            "hour_start", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EV_GAP_FILL_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT h.hour_start, t.event_type, COALESCE(c.n, 0) AS n
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN counts c
+      ON c.hour_start = h.hour_start AND c.event_type = t.event_type
+    ORDER BY 1, 2
+""")
+
+
+# --------------------------------------------------------------------------
+# ev_pivot_type_counts — wide per-user activity profile (pivot)
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def ev_pivot_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per user, one count column per event
+    type. The pivot value list is EXPLICIT, so the output schema is
+    static and Spark skips the extra distinct-scan job it otherwise
+    runs to discover pivot values — at 100 TB that scan is a full pass.
+    Count aggregation is map-side combinable; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    counts = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    total = sum(
+        (F.coalesce(F.col(t), F.lit(0)).cast("long") for t in EVENT_TYPES),
+        start=F.lit(0).cast("long"),
+    ).alias("n_total")
+    return wide.select("user_id", *counts, total).orderBy("user_id")
+
+
+_PIVOT_COLS = ",\n           ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+    for t in EVENT_TYPES
+)
+_PIVOT_TOTAL = " + ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END)" for t in EVENT_TYPES
+)
+
+EV_PIVOT_TYPE_COUNTS_SQL = dedent(f"""
+    SELECT user_id,
+           {_PIVOT_COLS},
+           {_PIVOT_TOTAL} AS n_total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+""")
+
+
+# --------------------------------------------------------------------------
 # ev_asof_login — as-of join: latest login at-or-before each purchase
 # --------------------------------------------------------------------------
 
@@ -477,4 +588,10 @@ QUERIES = [
               "interval join: clicks within 5min before each error", ("streaming", "rangejoin")),
     QuerySpec("ev_salted_counts", ev_salted_counts, EV_SALTED_COUNTS_SQL,
               "skew-safe salted two-stage aggregation", ("streaming", "skew")),
+    QuerySpec("ev_gap_fill", ev_gap_fill, EV_GAP_FILL_SQL,
+              "dense hourly series with zero-filled gaps (heartbeat, batch form)",
+              ("streaming", "timeseries")),
+    QuerySpec("ev_pivot_type_counts", ev_pivot_type_counts, EV_PIVOT_TYPE_COUNTS_SQL,
+              "long→wide pivot: per-user count column per event type",
+              ("batch", "pivot")),
 ]
