@@ -68,6 +68,7 @@ FRONT_OF_LINE = (
     "ev_value_quantiles_merged",
     "ev_gap_fill",
     "ev_pivot_type_counts",
+    "agg_grouping_sets",
 )
 
 

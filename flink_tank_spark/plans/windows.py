@@ -376,6 +376,36 @@ AGG_CUBE_SQL = dedent(f"""
 """)
 
 
+# --------------------------------------------------------------------------
+# agg_grouping_sets — explicit GROUPING SETS (the general form ROLLUP/CUBE
+# specialize): per-status, per-priority, and grand-total rows in ONE pass
+# --------------------------------------------------------------------------
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+AGG_GROUPING_SETS_SQL = dedent(f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+""")
+
+
 QUERIES = [
     QuerySpec("win_running_total", win_running_total, WIN_RUNNING_TOTAL_SQL,
               "running revenue per customer (exact fixed-point window sum)", ("window",)),
@@ -391,6 +421,9 @@ QUERIES = [
               "ROLLUP revenue by region/nation", ("groupingsets",)),
     QuerySpec("agg_cube_status_priority", agg_cube_status_priority, AGG_CUBE_SQL,
               "CUBE revenue/counts over order status x priority", ("groupingsets",)),
+    QuerySpec("agg_grouping_sets", agg_grouping_sets, AGG_GROUPING_SETS_SQL,
+              "explicit GROUPING SETS: per-status + per-priority + grand total",
+              ("groupingsets",)),
     QuerySpec("win_price_position", win_price_position, WIN_PRICE_POSITION_SQL,
               "percent_rank/cume_dist of order price within priority", ("window",)),
     QuerySpec("win_exact_percentiles", win_exact_percentiles, WIN_EXACT_PERCENTILES_SQL,
