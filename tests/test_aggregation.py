@@ -76,3 +76,16 @@ def test_events_outside_window_pruned(spark):
     df = _processed_df(spark, [("u1", "a", 0), ("u1", "b", 660)])
     out = get_aggregation_stream(df, window_size="10 minutes", slide="5 seconds")
     assert max(r.totalEventCount for r in out.collect()) == 1
+
+
+def test_pivot_value_list_covers_all_event_types(spark, oracle_sf_dir):
+    """ev_pivot_type_counts pins its pivot values explicitly (so no
+    discovery scan runs at scale); this guards the data contract — a new
+    event type appearing in the data would otherwise be silently dropped
+    from the wide table AND from both sides of the oracle comparison."""
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.plans.streaming_batch import EVENT_TYPES
+
+    ev = load_table(spark, oracle_sf_dir, "events")
+    actual = {r.event_type for r in ev.select("event_type").distinct().collect()}
+    assert actual <= set(EVENT_TYPES), f"unpivoted event types: {actual - set(EVENT_TYPES)}"
