@@ -1,0 +1,176 @@
+"""End-to-end training-corpus curation job (batch).
+
+Composes the LLM-pipeline operators into the sequence a real corpus
+build runs — the job-level artifact behind the individual registry
+queries (each stage is the same logic the oracle gate verifies):
+
+  1. exact dedup         keep the min-id doc per content hash
+  2. near-dup dedup      MinHash-LSH pairs → connected components →
+                         keep the component canon (operators/dedup.py)
+  3. repetition filter   Gopher-style duplicate-n-gram fractions
+  4. quality filter      punctuation/stopword/length heuristic score
+  5. decontamination     drop docs sharing any word-8-gram with the
+                         eval suite (GPT-3-style overlap rule)
+  6. materialize         lang-partitioned parquet + one JSON stats line
+
+Scale shape: stages 3-4 are per-row map work fused into the corpus
+scan; stage 1 is one hash-keyed shuffle; stage 2 is the blocked
+LSH + label-propagation pipeline (never all-pairs); stage 5 broadcasts
+the (small) eval-suite n-gram set against the corpus scan. Every
+per-doc decision is computed as a FLAG column first, so the stage
+funnel is ONE aggregation over one pass of the flag table, not a
+count-job per stage.
+
+Usage:
+    python -m flink_tank_spark.jobs.curation_job \\
+        --sf-dir /root/testdata/sf0.01 --out /tmp/corpus \\
+        [--min-quality 0.2] [--max-dup-3gram 0.5] [--no-decontam]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table, write_partitioned
+from flink_tank_spark.operators import dedup, text
+
+# Stage order defines the funnel semantics: a doc is "dropped by stage
+# k" only if it survived stages 1..k-1.
+STAGES = ("exact", "neardup", "repetition", "quality", "decontam")
+
+
+def curation_flags(
+    docs: DataFrame,
+    min_quality: float = 0.2,
+    max_dup_3gram: float = 0.5,
+    eval_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-doc keep/drop flags for every stage: (doc_id, lang,
+    keep_exact, keep_neardup, keep_repetition, keep_quality,
+    keep_decontam, kept).
+
+    ``eval_docs``: (doc_id, text) benchmark suite for decontamination;
+    None ⇒ keep_decontam is true everywhere.
+    """
+    with_words = docs.select(
+        "doc_id", "lang", "text", F.split("text", " ").alias("_w")
+    )
+
+    # 1. exact: min doc_id per content hash survives.
+    hashed = with_words.withColumn("_h", F.md5(F.col("text").cast("binary")))
+    canon_exact = hashed.groupBy("_h").agg(F.min("doc_id").alias("_keep_id"))
+    flags = hashed.join(canon_exact, "_h").withColumn(
+        "keep_exact", F.col("doc_id") == F.col("_keep_id")
+    ).drop("_h", "_keep_id")
+
+    # 2. near-dup: component canon survives (same LSH->CC pipeline the
+    # doc_dedup_groups/doc_dedup_corpus queries certify).
+    shingled = dedup.shingle_sets(docs)
+    sigs = dedup.minhash_from_shingled(shingled)
+    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2, max_bucket_size=64)
+    pairs = dedup.rescore_jaccard(cands, shingled).filter(
+        F.col("jaccard") >= 0.8
+    ).select("id_a", "id_b")
+    dropped_nd = (
+        dedup.connected_components(pairs)
+        .filter(F.col("canon_id") < F.col("doc_id"))
+        .select("doc_id")
+        .withColumn("_nd_drop", F.lit(True))
+    )
+    flags = flags.join(F.broadcast(dropped_nd), "doc_id", "left").withColumn(
+        "keep_neardup", F.col("_nd_drop").isNull()
+    ).drop("_nd_drop")
+
+    # 3./4. per-row map stages.
+    rep = text.repetition_stats(F.col("_w"), F.col("text"))
+    flags = flags.withColumn(
+        "keep_repetition", rep["dup_3gram_frac"] <= F.lit(max_dup_3gram)
+    ).withColumn(
+        "keep_quality", text.quality_score(F.col("text")) >= F.lit(min_quality)
+    )
+
+    # 5. decontamination: any shared word-8-gram with the eval suite.
+    if eval_docs is not None:
+        gram = lambda df: df.select(  # noqa: E731
+            "doc_id", F.explode(text.shingles_from_words(
+                F.split("text", " "), F.col("text"), 8
+            )).alias("g"),
+        )
+        eval_grams = gram(eval_docs).select("g").distinct()
+        contaminated = (
+            gram(docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti"))
+            .join(F.broadcast(eval_grams), "g")
+            .select("doc_id")
+            .distinct()
+            .withColumn("_ct_drop", F.lit(True))
+        )
+        # unlike the near-dup drop list, contamination has no smallness
+        # guarantee — plain (shuffled) join, AQE may still broadcast it
+        flags = flags.join(contaminated, "doc_id", "left").withColumn(
+            "keep_decontam", F.col("_ct_drop").isNull()
+        ).drop("_ct_drop")
+    else:
+        flags = flags.withColumn("keep_decontam", F.lit(True))
+
+    kept = None
+    for s in STAGES:
+        c = F.col(f"keep_{s}")
+        kept = c if kept is None else kept & c
+    return flags.select(
+        "doc_id", "lang", *[f"keep_{s}" for s in STAGES], kept.alias("kept")
+    )
+
+
+def funnel_stats(flags: DataFrame) -> dict:
+    """Stage funnel in ONE aggregation pass: survivors after each stage
+    (in order) plus total/kept."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    running = None
+    for s in STAGES:
+        c = F.col(f"keep_{s}")
+        running = c if running is None else running & c
+        aggs.append(F.sum(running.cast("long")).alias(f"after_{s}"))
+    row = flags.agg(*aggs).first().asDict()
+    row["n_kept"] = row[f"after_{STAGES[-1]}"]
+    return row
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="curation_job")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.2)
+    ap.add_argument("--max-dup-3gram", type=float, default=0.5)
+    ap.add_argument("--no-decontam", action="store_true")
+    args = ap.parse_args(argv)
+
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("curation-job")
+    return run(spark, args)
+
+
+def run(spark: SparkSession, args) -> int:
+    docs = load_table(spark, args.sf_dir, "documents")
+    # default eval suite: the same doc_id % 11 == 0 slice the
+    # doc_contamination registry query treats as the benchmark set
+    eval_docs = None if args.no_decontam else docs.filter(
+        F.col("doc_id") % 11 == 0
+    ).select("doc_id", "text")
+    flags = curation_flags(
+        docs, args.min_quality, args.max_dup_3gram, eval_docs
+    )
+    kept_ids = flags.filter("kept").select("doc_id")
+    corpus = docs.join(kept_ids, "doc_id")
+    write_partitioned(corpus, args.out, ["lang"])
+    stats = funnel_stats(flags)
+    print(json.dumps({"out": args.out, **stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

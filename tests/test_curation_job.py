@@ -1,0 +1,51 @@
+"""End-to-end curation job: stage funnel + materialized corpus."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.jobs.curation_job import STAGES, curation_flags, funnel_stats, run
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_flags_consistent_and_funnel_monotone(spark):
+    docs = load_table(spark, SF, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    flags = curation_flags(docs, eval_docs=eval_docs)
+    rows = flags.collect()
+    assert len(rows) == docs.count()
+    # kept == AND of all stage flags, row by row
+    for r in rows:
+        assert r.kept == all(getattr(r, f"keep_{s}") for s in STAGES)
+    stats = funnel_stats(flags)
+    # funnel never grows, something survives, something is dropped
+    seq = [stats["n_docs"]] + [stats[f"after_{s}"] for s in STAGES]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    assert 0 < stats["n_kept"] < stats["n_docs"]
+    # eval docs themselves are never decontam-dropped (anti-joined out)
+    ev = {r.doc_id for r in eval_docs.select("doc_id").collect()}
+    for r in rows:
+        if r.doc_id in ev:
+            assert r.keep_decontam
+
+
+def test_job_materializes_lang_partitioned_corpus(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    args = argparse.Namespace(
+        sf_dir=SF, out=out, min_quality=0.2, max_dup_3gram=0.5, no_decontam=False
+    )
+    assert run(spark, args) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    corpus = spark.read.parquet(out)
+    assert corpus.count() == stats["n_kept"]
+    # hive-style lang partitioning on disk
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("lang=")}
+    langs = {r.lang for r in corpus.select("lang").distinct().collect()}
+    assert parts == {f"lang={l}" for l in langs} and parts
