@@ -35,17 +35,23 @@ def main() -> None:
     cold: dict[str, float] = {}
     for spec in specs:
         # Warm run first (codegen compile, parquet footer cache, broadcast
-        # build), then the timed run measures steady-state execution —
-        # collect() is fine because every headline query returns a small
-        # (aggregated) result. The warm-up is also recorded (``cold``) so
-        # first-touch cost — codegen, shared-stage builds — stays visible
-        # instead of disappearing into an untimed run.
+        # build), then the BEST of two timed runs measures steady-state
+        # execution — this VM shows stochastic multi-x spikes on single
+        # runs (JVM/host noise), and min-of-2 keeps one spike from
+        # reading as a regression. collect() is fine because every
+        # headline query returns a small (aggregated) result. The warm-up
+        # is also recorded (``cold``) so first-touch cost — codegen,
+        # shared-stage builds — stays visible instead of disappearing
+        # into an untimed run.
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).collect()
         cold[spec.name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[spec.name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
