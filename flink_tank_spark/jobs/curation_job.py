@@ -48,6 +48,7 @@ def curation_flags(
     min_quality: float = 0.2,
     max_dup_3gram: float = 0.5,
     eval_docs: DataFrame | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Per-doc keep/drop flags for every stage: (doc_id, lang,
     keep_exact, keep_neardup, keep_repetition, keep_quality,
@@ -76,7 +77,7 @@ def curation_flags(
         F.col("jaccard") >= 0.8
     ).select("id_a", "id_b")
     dropped_nd = (
-        dedup.connected_components(pairs)
+        dedup.connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
         .filter(F.col("canon_id") < F.col("doc_id"))
         .select("doc_id")
         .withColumn("_nd_drop", F.lit(True))
@@ -146,6 +147,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--max-dup-3gram", type=float, default=0.5)
     ap.add_argument("--no-decontam", action="store_true")
+    # cluster mode: CC lineage truncation via reliable checkpoint()
+    # (requires spark.checkpoint.dir, see k8s/spark/curation-job.yaml)
+    ap.add_argument("--reliable-checkpoint", action="store_true")
     args = ap.parse_args(argv)
 
     from flink_tank_spark.session import get_spark
@@ -162,7 +166,8 @@ def run(spark: SparkSession, args) -> int:
         F.col("doc_id") % 11 == 0
     ).select("doc_id", "text")
     flags = curation_flags(
-        docs, args.min_quality, args.max_dup_3gram, eval_docs
+        docs, args.min_quality, args.max_dup_3gram, eval_docs,
+        reliable_checkpoint=getattr(args, "reliable_checkpoint", False),
     )
     kept_ids = flags.filter("kept").select("doc_id")
     corpus = docs.join(kept_ids, "doc_id")
