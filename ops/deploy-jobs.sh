@@ -33,3 +33,4 @@ kubectl wait --for=condition=available --timeout=60s \
   deployment/event-producer -n data-processing
 
 echo "jobs + producer deployed"
+echo "(batch corpus curation runs on demand: kubectl apply -f k8s/spark/curation-job.yaml)"
