@@ -1,0 +1,136 @@
+"""Product-analytics queries over the events table: funnels, retention.
+
+Extension surface (SURVEY §2.12): the day-to-day event-analytics shapes
+an engine user runs alongside the TPC-H-style reporting queries. Both
+are pure conditional-aggregation plans — per-user reductions that
+map-side combine, no window over an unbounded partition, no self-join
+explosion — so they scan-bound at 100 TB.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.plans.registry import QuerySpec
+
+FUNNEL_STEPS = ("signup", "view", "purchase")
+
+
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (signup → view → purchase): users counted
+    at step k only if each step's FIRST qualifying event happens
+    strictly after the previous step's AND within the 4-hour conversion
+    window (first-touch attribution with a step deadline — the form
+    product funnels are actually defined in).
+
+    Shape: one conditional min-timestamp aggregation per step — three
+    map-side-combinable passes keyed by user, joined on user_id (the
+    later passes reduce to the users still in the funnel), then a 1-row
+    count. The correlated "first view AFTER the signup" condition is
+    why this is per-step passes rather than one pivot: each step's
+    threshold is the previous step's result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    window = F.expr("interval 4 hours")
+
+    t1 = ev.filter(F.col("event_type") == FUNNEL_STEPS[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # one lazy 1-row plan (no driver-side .count() actions): four scalar
+    # aggregates cross-joined — constant work at any scale, same lazy-
+    # scalar pattern as tpch q11/q22
+    return (
+        ev.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(t1.agg(F.count(F.lit(1)).alias("n_signup")))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_signup_view")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+EV_FUNNEL_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 4 HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t2 AND e.ts <= t2.t2 + INTERVAL 4 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM t1) AS n_signup,
+           (SELECT COUNT(*) FROM t2) AS n_signup_view,
+           (SELECT COUNT(*) FROM t3) AS n_full_funnel
+""")
+
+
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str, max_offset: int = 7) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each subsequent day-offset they were active (0..max_offset).
+
+    Shape: first-seen is one per-user min; activity is the distinct
+    (user, day) set; one join on user_id and one (cohort, offset)
+    count — the triangle a cohort chart is drawn from.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EV_RETENTION_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first AS (SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY user_id)
+    SELECT f.cohort_day, date_diff('day', f.cohort_day, a.day) AS day_offset,
+           COUNT(*) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, a.day) <= 7
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+""")
+
+
+QUERIES = [
+    QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
+              "ordered signup→view→purchase funnel, first-touch attribution",
+              ("analytics", "events")),
+    QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
+              "first-seen cohorts x day-offset retention counts (0..7)",
+              ("analytics", "events")),
+]

@@ -69,15 +69,24 @@ FRONT_OF_LINE = (
     "ev_gap_fill",
     "ev_pivot_type_counts",
     "agg_grouping_sets",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
 )
 
 
 def all_queries() -> dict[str, QuerySpec]:
     """Assemble the full registry (imported lazily to keep startup light)."""
-    from flink_tank_spark.plans import llm, sketches, streaming_batch, tpch, windows
+    from flink_tank_spark.plans import (
+        analytics,
+        llm,
+        sketches,
+        streaming_batch,
+        tpch,
+        windows,
+    )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (tpch, windows, streaming_batch, sketches, llm):
+    for module in (tpch, windows, streaming_batch, sketches, analytics, llm):
         for spec in module.QUERIES:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")
