@@ -8,6 +8,11 @@ test:
 verify:
 	python scripts/verify_gate.py
 
+# same gate at 10x the driver's scale factor (slow; full-registry
+# robustness check against the DuckDB oracle on sf0.1)
+verify-sf01:
+	python scripts/verify_gate.py /root/testdata/sf0.1
+
 bench:
 	python bench.py 2>/dev/null | tail -1
 
