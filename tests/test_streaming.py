@@ -426,3 +426,52 @@ def test_hll_registers_as_streaming_state(spark, tmp_path):
     streamed = run_stream()
     assert streamed == batch_regs(batch1 + batch2)
     assert len(streamed) <= 2 * 256  # bounded: groups x registers
+
+
+def test_histogram_as_streaming_state(spark, tmp_path):
+    """Like the HLL registers, the fixed-precision histogram is an
+    algebraic aggregate (count per bin): the same fp_histogram transform
+    runs on a streaming DataFrame with state bounded at groups x bins,
+    and after checkpointed restarts across micro-batches the emitted
+    bins equal the batch histogram over all rows seen."""
+    import json
+    import os
+
+    from flink_tank_spark.operators import sketch
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(src)
+    batch1 = [("a", round(0.01 * (i % 50), 2)) for i in range(400)]
+    batch2 = [("a", round(0.01 * (i % 30), 2)) for i in range(300)]
+
+    def write_batch(rows):
+        name = os.path.join(src, f"b{len(os.listdir(src))}.jsonl")
+        with open(name, "w") as f:
+            for g, v in rows:
+                f.write(json.dumps({"g": g, "value": v}) + "\n")
+
+    def run_stream():
+        stream = spark.readStream.schema("g string, value double").json(src)
+        q = (
+            sketch.fp_histogram(stream, "value", ["g"])
+            .writeStream.format("memory")
+            .queryName("hist_stream")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.g, r.bin): r.n for r in spark.table("hist_stream").collect()}
+
+    def batch_hist(rows):
+        df = spark.createDataFrame(rows, ["g", "value"])
+        return {
+            (r.g, r.bin): r.n
+            for r in sketch.fp_histogram(df, "value", ["g"]).collect()
+        }
+
+    write_batch(batch1)
+    assert run_stream() == batch_hist(batch1)
+    write_batch(batch2)
+    assert run_stream() == batch_hist(batch1 + batch2)
