@@ -5,9 +5,14 @@
     python -m flink_tank_spark.tools.run_query doc_lsh_near_dups --explain
     python -m flink_tank_spark.tools.run_query q6_forecast_revenue --oracle
     python -m flink_tank_spark.tools.run_query emb_cosine_topk --check
+    python -m flink_tank_spark.tools.run_query --sql \\
+        "SELECT lang, COUNT(*) FROM documents GROUP BY lang"
 
 ``--check`` runs the Spark plan AND the DuckDB oracle and diffs them —
-the same comparison the correctness gate applies.
+the same comparison the correctness gate applies. ``--sql`` runs ad-hoc
+Spark SQL with every catalog table (region nation customer supplier
+part orders lineitem events documents embeddings) registered as a view
+— the free-form entry point next to the curated registry.
 """
 
 from __future__ import annotations
@@ -29,7 +34,21 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--explain", action="store_true", help="print the physical plan")
     ap.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL")
     ap.add_argument("--check", action="store_true", help="diff Spark vs DuckDB oracle")
+    ap.add_argument("--sql", help="ad-hoc Spark SQL over the registered catalog views")
     args = ap.parse_args(argv)
+
+    if args.sql:
+        from flink_tank_spark.io.tables import register_tables
+        from flink_tank_spark.session import get_spark
+
+        spark = get_spark("run-sql")
+        register_tables(spark, args.sf_dir)
+        df = spark.sql(args.sql)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.rows, truncate=False)
+        return 0
 
     from flink_tank_spark.plans.registry import all_queries
 

@@ -110,3 +110,15 @@ def test_run_query_cli_list_and_check(spark, capsys):
     assert main(["q6_forecast_revenue", "--check", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "OK" in capsys.readouterr().out
     assert main(["nope", "--check"]) == 2
+
+
+def test_run_query_adhoc_sql(spark, capsys):
+    """--sql runs free-form Spark SQL over the registered catalog views."""
+    from flink_tank_spark.tools.run_query import main
+
+    assert main([
+        "--sql", "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "lang" in out and "n" in out and "en" in out
