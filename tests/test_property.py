@@ -120,3 +120,63 @@ def test_distributed_ntile_property(n, k):
         for r in df.withColumn("nt", F.ntile(k).over(W.orderBy("v", "tid"))).collect()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """The fixpoint label propagation must equal a reference union-find
+    (min-root union ⇒ every component's root is its min id) on arbitrary
+    random graphs — chains, duplicate edges, multiple components."""
+    from flink_tank_spark.operators import dedup
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.doc_id: r.canon_id for r in dedup.connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.decimals(min_value=Decimal("0.00"), max_value=Decimal("999.99"),
+                    places=2, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_histogram_quantiles_match_rank_reference(spark, vals):
+    """For 2-decimal data the histogram quantile must equal the exact
+    lower rank quantile (smallest v with rank >= ceil(q*N)) — the
+    losslessness claim behind the sketch."""
+    from flink_tank_spark.operators import sketch
+
+    floats = [float(v) for v in vals]
+    df = spark.createDataFrame([("g", v) for v in floats], ["g", "value"])
+    hist = sketch.fp_histogram(df, "value", ["g"])
+    row = sketch.histogram_quantiles(hist, ["g"], qs=(0.5, 0.9, 0.99)).collect()[0]
+    sv = sorted(floats)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        want = sv[max(0, math.ceil(q * len(sv)) - 1)]
+        assert getattr(row, col) == want, (q, sv)
