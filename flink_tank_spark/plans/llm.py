@@ -1371,6 +1371,33 @@ MM_WAV_ROUNDTRIP_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# mm_resize — nearest-neighbor payload resize through the Arrow path
+# --------------------------------------------------------------------------
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.encode_fake(docs, "doc_id", "text", kind="image")
+    return multimodal.resize_fake(media, scale=2).orderBy("media_id")
+
+
+# Subsampled payload = every 2nd byte of the (ASCII) text, so the
+# resized dims/length/md5 are all SQL-derivable; a hash match proves the
+# byte-level transform ran correctly through the Arrow batches.
+MM_RESIZE_SQL = dedent("""
+    SELECT doc_id AS media_id,
+           'image' AS kind,
+           CAST((length(text) % 640 + 16) // 2 AS INTEGER) AS width,
+           CAST((length(text) % 480 + 16) // 2 AS INTEGER) AS height,
+           CAST((length(text) + 1) // 2 AS BIGINT) AS n_payload_bytes,
+           md5(array_to_string(
+             list_transform(range(1, length(text) + 1, 2),
+                            i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS payload_md5
+    FROM documents
+    ORDER BY media_id
+""")
+
+
+# --------------------------------------------------------------------------
 # mm_frame_stats — frame sampling stats through the Arrow decode path
 # --------------------------------------------------------------------------
 
@@ -1479,5 +1506,8 @@ QUERIES = [
               "frame-sampling stats through the Arrow decode path", ("llm", "multimodal")),
     QuerySpec("mm_wav_roundtrip", mm_wav_roundtrip, MM_WAV_ROUNDTRIP_SQL,
               "real RIFF/WAVE codec roundtrip (stdlib wave) vs arithmetic oracle",
+              ("llm", "multimodal")),
+    QuerySpec("mm_resize", mm_resize, MM_RESIZE_SQL,
+              "nearest-neighbor payload resize (dims/2, byte subsample + md5)",
               ("llm", "multimodal")),
 ]

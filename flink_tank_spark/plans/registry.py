@@ -71,6 +71,7 @@ FRONT_OF_LINE = (
     "agg_grouping_sets",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
+    "mm_resize",
 )
 
 

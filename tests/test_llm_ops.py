@@ -321,3 +321,16 @@ def test_bm25_ranks_exact_term_overlap_first(spark):
     assert all(r.query_id == 0 and r.match_id != 0 for r in out)
     ranked = [r.match_id for r in sorted(out, key=lambda r: r.rk)]
     assert ranked[0] == 1 and ranked[1] == 3 and ranked[2] == 2
+
+
+def test_resize_fake_halves_dims_and_subsamples_payload(spark):
+    """resize_fake: dims halved, payload keeps every 2nd byte — checked
+    against a locally computed md5 of the expected subsample."""
+    import hashlib
+
+    df = spark.createDataFrame([(1, "abcdefg")], ["media_id", "payload"])
+    media = multimodal.encode_fake(df, "media_id", "payload")
+    row = multimodal.resize_fake(media, scale=2).collect()[0]
+    assert (row.width, row.height) == ((7 % 640 + 16) // 2, (7 % 480 + 16) // 2)
+    assert row.n_payload_bytes == 4  # 'aceg'
+    assert row.payload_md5 == hashlib.md5(b"aceg").hexdigest()
