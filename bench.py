@@ -2,12 +2,13 @@
 
 Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
 
-Per query: one warm-up-free timed run measuring full plan execution via a
-count-style action that forces all partitions without driver collection
-(write to noop-like sink = df.write format noop is jvm-only; we use
-``df._jdf.count()`` equivalent: DataFrame.count / collect of limited rows).
+Per query: one COLD run (recorded — first-touch codegen/broadcast/
+shared-stage cost) followed by two timed warm runs of which the BEST is
+reported (single warm runs on this VM show stochastic multi-x host-noise
+spikes). ``value`` is the sum of the per-query best-warm times.
 Prints: {"metric": "...", "value": total_sec, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": sf}
+         "queries": {name: best_warm_sec, ...},
+         "cold_total": sec, "cold": {name: first_run_sec, ...}, "sf": sf}
 """
 
 from __future__ import annotations

@@ -68,14 +68,10 @@ def curation_flags(
         "keep_exact", F.col("doc_id") == F.col("_keep_id")
     ).drop("_h", "_keep_id")
 
-    # 2. near-dup: component canon survives (same LSH->CC pipeline the
-    # doc_dedup_groups/doc_dedup_corpus queries certify).
-    shingled = dedup.shingle_sets(docs)
-    sigs = dedup.minhash_from_shingled(shingled)
-    cands = dedup.lsh_candidate_pairs(sigs, rows_per_band=2, max_bucket_size=64)
-    pairs = dedup.rescore_jaccard(cands, shingled).filter(
-        F.col("jaccard") >= 0.8
-    ).select("id_a", "id_b")
+    # 2. near-dup: component canon survives — the SAME pipeline (and
+    # constants) the oracle-certified doc_dedup_groups/doc_dedup_corpus
+    # queries run, single-sourced in operators/dedup.lsh_near_dup_pairs.
+    pairs = dedup.lsh_near_dup_pairs(docs).select("id_a", "id_b")
     dropped_nd = (
         dedup.connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
         .filter(F.col("canon_id") < F.col("doc_id"))
@@ -96,10 +92,16 @@ def curation_flags(
 
     # 5. decontamination: any shared word-8-gram with the eval suite.
     if eval_docs is not None:
+        # shingles_from_words REQUIRES a materialized words column: an
+        # inline split is re-evaluated per element inside the
+        # interpreted HOF lambda — O(words²) per doc (see its docstring)
         gram = lambda df: df.select(  # noqa: E731
-            "doc_id", F.explode(text.shingles_from_words(
-                F.split("text", " "), F.col("text"), 8
-            )).alias("g"),
+            "doc_id", "text", F.split("text", " ").alias("_gw")
+        ).select(
+            "doc_id",
+            F.explode(
+                text.shingles_from_words(F.col("_gw"), F.col("text"), 8)
+            ).alias("g"),
         )
         eval_grams = gram(eval_docs).select("g").distinct()
         contaminated = (
@@ -168,11 +170,14 @@ def run(spark: SparkSession, args) -> int:
     flags = curation_flags(
         docs, args.min_quality, args.max_dup_3gram, eval_docs,
         reliable_checkpoint=getattr(args, "reliable_checkpoint", False),
-    )
-    kept_ids = flags.filter("kept").select("doc_id")
-    corpus = docs.join(kept_ids, "doc_id")
-    write_partitioned(corpus, args.out, ["lang"])
-    stats = funnel_stats(flags)
+    ).persist()  # consumed twice (corpus write + funnel stats): compute once
+    try:
+        kept_ids = flags.filter("kept").select("doc_id")
+        corpus = docs.join(kept_ids, "doc_id")
+        write_partitioned(corpus, args.out, ["lang"])
+        stats = funnel_stats(flags)
+    finally:
+        flags.unpersist()
     print(json.dumps({"out": args.out, **stats}))
     return 0
 

@@ -201,6 +201,36 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-dup pair detection: shingle → MinHash → LSH
+    blocking (bucket-capped) → exact Jaccard rescore ≥ ``threshold``.
+
+    The single source of the pipeline's tuning constants — both the
+    oracle-certified registry queries (plans/llm.py) and the curation
+    job compose THIS function, so banding/threshold changes can't
+    silently diverge between them. Pass ``shingled`` (a
+    :func:`shingle_sets` output) to reuse an already-computed/persisted
+    shingle pass; otherwise it is derived from ``docs``.
+    """
+    if shingled is None:
+        shingled = shingle_sets(docs, id_col=id_col, text_col=text_col)
+    sigs = minhash_from_shingled(shingled, id_col=id_col)
+    cands = lsh_candidate_pairs(
+        sigs, id_col=id_col, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+    )
+    return rescore_jaccard(cands, shingled, id_col=id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def connected_components(
     pairs: DataFrame, iters: int = 30, reliable_checkpoint: bool = False
 ) -> DataFrame:
@@ -221,8 +251,9 @@ def connected_components(
     changed is counted (a cheap aggregate over the just-checkpointed
     rows); min-propagation is monotone, so an iteration that changes
     nothing proves convergence. ``iters`` is only a safety cap against
-    pathological graphs (a cap hit means components wider than ``iters``
-    hops may carry split labels — raise the cap, don't trust the split).
+    pathological graphs; hitting the cap WITHOUT converging raises
+    RuntimeError (split labels would silently under-deduplicate
+    downstream — never return them).
 
     ``reliable_checkpoint``: iterative lineage control. ``False`` (local
     mode / tests): ``localCheckpoint`` — executor-storage truncation,
@@ -250,6 +281,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+    changed = 0
     for i in range(iters):
         nbr_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -272,6 +304,13 @@ def connected_components(
             if not changed:
                 break
         labels = labels.drop("_chg")
+    else:
+        if changed:
+            raise RuntimeError(
+                f"connected_components hit the {iters}-iteration cap with "
+                f"{changed} labels still changing: a component spans more "
+                "hops than the cap and its labels are split. Raise iters."
+            )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canon_id"))
 
 

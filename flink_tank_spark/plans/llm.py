@@ -116,13 +116,12 @@ def _lsh_verified_pairs(
     queries differ only in what they derive from the pairs)."""
 
     def build() -> DataFrame:
-        shingled = _shingled_docs(spark, sf_dir)
-        sigs = dedup.minhash_from_shingled(shingled)
-        cands = dedup.lsh_candidate_pairs(
-            sigs, rows_per_band=2, max_bucket_size=max_bucket_size
-        )
-        return dedup.rescore_jaccard(cands, shingled).filter(
-            F.col("jaccard") >= threshold
+        docs = load_table(spark, sf_dir, "documents")
+        return dedup.lsh_near_dup_pairs(
+            docs,
+            threshold=threshold,
+            max_bucket_size=max_bucket_size,
+            shingled=_shingled_docs(spark, sf_dir),
         )
 
     return shared.stage(
@@ -1380,18 +1379,21 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_fake(media, scale=2).orderBy("media_id")
 
 
-# Subsampled payload = every 2nd byte of the (ASCII) text, so the
-# resized dims/length/md5 are all SQL-derivable; a hash match proves the
-# byte-level transform ran correctly through the Arrow batches.
+# Subsampled payload = every 2nd BYTE of the utf-8 text (derived via hex
+# pairs, so multi-byte characters can never diverge from the Spark
+# side); checksum = md5 of the lowercase hex of those bytes. header
+# width/height derive from length(text) because encode_fake computes
+# them with F.length (character semantics).
 MM_RESIZE_SQL = dedent("""
     SELECT doc_id AS media_id,
            'image' AS kind,
            CAST((length(text) % 640 + 16) // 2 AS INTEGER) AS width,
            CAST((length(text) % 480 + 16) // 2 AS INTEGER) AS height,
-           CAST((length(text) + 1) // 2 AS BIGINT) AS n_payload_bytes,
-           md5(array_to_string(
-             list_transform(range(1, length(text) + 1, 2),
-                            i -> substr(text, CAST(i AS INTEGER), 1)), '')) AS payload_md5
+           CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_payload_bytes,
+           md5(lower(array_to_string(
+             list_transform(range(0, CAST(octet_length(encode(text)) AS INTEGER), 2),
+                            j -> substr(hex(encode(text)), CAST(2*j + 1 AS INTEGER), 2)),
+             ''))) AS payload_md5
     FROM documents
     ORDER BY media_id
 """)

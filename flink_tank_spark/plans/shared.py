@@ -65,16 +65,28 @@ def stage(
     if hit is not None and hit[0] == params:
         return hit[1]
     if hit is not None:
-        hit[1].unpersist()
-        del _cache[key]
+        _drop(key)
     df = builder().persist(StorageLevel.MEMORY_AND_DISK)
     _cache[key] = (params, df)
     return df
 
 
+def _drop(key: tuple[str, str]) -> None:
+    # best-effort: the entry's SparkContext may already be stopped (a
+    # recreated session gets a new applicationId); the dict entry must
+    # go regardless, and a dead context's unpersist must not abort the
+    # caller's loop.
+    df = _cache.pop(key)[1]
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def clear(spark: SparkSession | None = None) -> None:
-    """Unpersist and drop every cached stage (of one app, or all)."""
+    """Unpersist and drop every cached stage (of one app, or all —
+    including entries whose SparkContext has since been stopped)."""
     app = spark.sparkContext.applicationId if spark is not None else None
     for key in list(_cache):
         if app is None or key[0] == app:
-            _cache.pop(key)[1].unpersist()
+            _drop(key)

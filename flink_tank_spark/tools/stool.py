@@ -42,13 +42,16 @@ def discover_pod_command(ns: str, label: str) -> list[str]:
 
 
 def discover_pod(ns: str, label: str) -> str | None:
-    """First broker pod matching ``label``, or None (no cluster / no match)."""
+    """First broker pod matching ``label``, or None (no cluster / no
+    match / lookup slower than 5 s — an unreachable API server must not
+    hang the CLI, which previously proceeded instantly on DEFAULT_POD)."""
     try:
         out = subprocess.run(
-            discover_pod_command(ns, label), capture_output=True, text=True, check=True
+            discover_pod_command(ns, label),
+            capture_output=True, text=True, check=True, timeout=5,
         ).stdout.strip()
         return out or None
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError):
         return None
 
 

@@ -333,4 +333,17 @@ def test_resize_fake_halves_dims_and_subsamples_payload(spark):
     row = multimodal.resize_fake(media, scale=2).collect()[0]
     assert (row.width, row.height) == ((7 % 640 + 16) // 2, (7 % 480 + 16) // 2)
     assert row.n_payload_bytes == 4  # 'aceg'
-    assert row.payload_md5 == hashlib.md5(b"aceg").hexdigest()
+    # checksum contract: md5 of the lowercase hex of the subsampled
+    # bytes (byte-accurate + expressible in DuckDB, whose md5 is
+    # VARCHAR-only)
+    assert row.payload_md5 == hashlib.md5(b"aceg".hex().encode()).hexdigest()
+
+
+def test_connected_components_raises_on_cap_without_convergence(spark):
+    """Hitting the iteration cap unconverged must raise, never silently
+    return split labels (they would under-deduplicate downstream)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="iteration cap"):
+        dedup.connected_components(pairs, iters=3)
