@@ -122,3 +122,15 @@ def test_run_query_adhoc_sql(spark, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "lang" in out and "n" in out and "en" in out
+
+
+def test_pod_discovery_timeout_falls_back(monkeypatch):
+    """A hung kubectl (unreachable API server) must not hang the CLI:
+    TimeoutExpired resolves to None and the fixed default pod is used."""
+    import subprocess as sp
+
+    def hang(*a, **kw):
+        raise sp.TimeoutExpired(cmd="kubectl", timeout=kw.get("timeout", 5))
+
+    monkeypatch.setattr(stool.subprocess, "run", hang)
+    assert stool.discover_pod("kafka", stool.DEFAULT_POD_LABEL) is None
