@@ -39,39 +39,48 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries that still lack a driver-certified CORRECTNESS row in ANY round
-# run FIRST (order is otherwise meaningless to the gate). Round-3
-# rotation: the 15 round-2 additions that have never had a driver row,
-# plus doc_token_stats whose only driver row (r1) predates its fix —
-# everything else is green in CORRECTNESS_r01/r02. Round-3 additions
-# (new queries, no row anywhere yet) are appended at the end of the
-# block so they certify this round too.
+# run FIRST (order is otherwise meaningless to the gate). Round-4
+# rotation: the 33 queries with no round-3 driver row (round-3 certified
+# exactly the other 50 — CORRECTNESS_r03.json is 50/50 green), so after
+# this round every query's newest driver cert is ≤2 rounds old. The 7
+# queries whose only cert is round-1 (doc_dedup_stats … doc_quality)
+# lead the block.
 FRONT_OF_LINE = (
-    "doc_token_stats",
-    "doc_repetition",
-    "doc_contamination",
-    "doc_sample_stratified",
-    "doc_ngram_freq",
-    "doc_top_terms",
-    "doc_pack_chunks",
-    "emb_quantize_int8",
-    "ev_hll_user_days",
-    "ev_hll_merge_days",
-    "mm_frame_stats",
-    "emb_ivf_kmeans_topk",
-    "emb_ivf_recall",
-    "doc_dedup_groups",
-    "doc_dedup_corpus",
-    "emb_semantic_dedup",
-    "mm_wav_roundtrip",
-    "doc_bm25_topk",
-    "ev_value_quantiles",
-    "ev_value_quantiles_merged",
-    "ev_gap_fill",
-    "ev_pivot_type_counts",
-    "agg_grouping_sets",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "mm_resize",
+    # certified r1 only — highest staleness
+    "doc_dedup_stats",
+    "doc_minhash",
+    "doc_lsh_near_dups",
+    "doc_jaccard_topk",
+    "doc_simhash",
+    "doc_lang_id",
+    "doc_quality",
+    # certified r1/r2, no r3 row
+    "doc_fingerprint",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "mm_decode",
+    "win_order_gaps",
+    "win_moving_avg",
+    "win_balance_quartiles",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "win_price_position",
+    "win_exact_percentiles",
+    "set_churned_customers",
+    "set_loyal_customers",
+    "ev_parse_route",
+    "ev_error_routing",
+    "ev_sequence",
+    "ev_enrich",
+    "ev_sliding_peak",
+    "ev_type_counts",
+    "ev_sessionize",
+    "ev_json_extract",
+    "ev_tumbling_hourly",
+    "ev_asof_login",
+    "ev_interval_clicks",
+    "ev_salted_counts",
 )
 
 
