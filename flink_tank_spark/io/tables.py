@@ -46,15 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) (readable only as a nanos long via the legacy
         # flag) or micros TIMESTAMP_NTZ. Normalize both to Spark's native
         # TimestampType so every downstream plan sees one schema.
-        # (Runtime-settable confs, so this works in any caller-provided
-        # session, including the driver's.)
         from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
+        # Read-path flag only (how NANOS parquet is decoded); runtime-
+        # settable so a caller-provided session works. Unlike the session
+        # timezone (NOT touched here — see the ntz branch), it cannot
+        # change the semantics of unrelated queries.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The ntz->timestamp cast reinterprets the wall-clock value in the
-        # SESSION timezone; anything but UTC would shift every event
-        # relative to the stored value (and the DuckDB oracle).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
@@ -63,7 +61,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # div-1000, so integral ts columns are DEFINED as nanos.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Interpret the stored wall clock AS UTC without consulting
+            # (or mutating) the session timezone: a plain ntz->timestamp
+            # cast reinterprets in the SESSION zone, so it would either
+            # shift events in a non-UTC session or force a permanent
+            # session-wide `timeZone` override from inside a loader.
+            # Epoch micros via interval arithmetic is tz-independent.
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestamp_micros(cast(cast(cast("
+                    "(ts - timestamp_ntz'1970-01-01 00:00:00')"
+                    " as interval second) as decimal(30,6))"
+                    " * 1000000 as bigint))"
+                ),
+            )
         elif not isinstance(ts_type, TimestampType):
             # No unit-guessing for anything else (e.g. an int32 epoch):
             # fail loudly instead of picking an inconsistent scale.

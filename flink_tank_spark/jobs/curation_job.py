@@ -91,6 +91,13 @@ def curation_flags(
     )
 
     # 5. decontamination: any shared word-8-gram with the eval suite.
+    # The scan covers EVERY corpus doc — deliberately including docs
+    # whose text IS an eval doc (whatever their ids): under the
+    # GPT-3-style overlap rule a benchmark doc present verbatim in the
+    # training corpus is the worst contamination case and must be
+    # dropped, never shipped. No id-based exemption: eval_docs may be an
+    # external benchmark suite whose id namespace is unrelated to the
+    # corpus, so doc_id equality carries no meaning here.
     if eval_docs is not None:
         # shingles_from_words REQUIRES a materialized words column: an
         # inline split is re-evaluated per element inside the
@@ -105,7 +112,7 @@ def curation_flags(
         )
         eval_grams = gram(eval_docs).select("g").distinct()
         contaminated = (
-            gram(docs.join(eval_docs.select("doc_id"), "doc_id", "left_anti"))
+            gram(docs)
             .join(F.broadcast(eval_grams), "g")
             .select("doc_id")
             .distinct()

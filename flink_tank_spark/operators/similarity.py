@@ -192,7 +192,9 @@ def kmeans_centroids(
     Designed to be ORACLE-REPRODUCIBLE (and cluster-reproducible), which
     rules out k-means||'s random seeding and raw-double means:
 
-    - init: the first ``k`` vectors by id (deterministic seed set);
+    - init: the ``k`` smallest-id vectors (deterministic seed set; a
+      sort-limit, planned as TakeOrderedAndProject — works on sparse or
+      offset id spaces, unlike a ``id < k`` filter);
     - assign: nearest centroid by the fixed-point cosine (ties → lowest
       centroid id) — one broadcast-hash pass per iteration;
     - update: per-(cell, dim) mean via posexplode + the exact fixed-point
@@ -206,8 +208,13 @@ def kmeans_centroids(
     """
     from flink_tank_spark.functions.numeric import davg
 
-    cent = vectors.filter(F.col(id_col) < k).select(
-        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
+    cent = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
     )
     for _ in range(iters):
         assigned = ivf_assign(

@@ -129,7 +129,7 @@ EV_RETENTION_SQL = dedent("""
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
-              ("analytics", "events")),
+              ("analytics", "events"), bench=True),
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
               "first-seen cohorts x day-offset retention counts (0..7)",
               ("analytics", "events")),

@@ -1050,7 +1050,7 @@ def _kmeans_cells_sql(k: int, iters: int) -> tuple[str, str]:
         c0 AS (
           SELECT vec_id AS centroid_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-          FROM embeddings WHERE vec_id < {k}
+          FROM embeddings ORDER BY vec_id LIMIT {k}
         )""")]
     prev = "c0"
     for i in range(1, iters + 1):
@@ -1475,7 +1475,7 @@ QUERIES = [
               ("llm", "dedup")),
     QuerySpec("doc_bm25_topk", doc_bm25_topk, DOC_BM25_TOPK_SQL,
               "inverted-index BM25-style top-10 lexical retrieval, 5 query docs",
-              ("llm", "retrieval")),
+              ("llm", "retrieval"), bench=True),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),
     QuerySpec("doc_lang_id", doc_lang_id, DOC_LANG_ID_SQL,
@@ -1508,7 +1508,7 @@ QUERIES = [
               "frame-sampling stats through the Arrow decode path", ("llm", "multimodal")),
     QuerySpec("mm_wav_roundtrip", mm_wav_roundtrip, MM_WAV_ROUNDTRIP_SQL,
               "real RIFF/WAVE codec roundtrip (stdlib wave) vs arithmetic oracle",
-              ("llm", "multimodal")),
+              ("llm", "multimodal"), bench=True),
     QuerySpec("mm_resize", mm_resize, MM_RESIZE_SQL,
               "nearest-neighbor payload resize (dims/2, byte subsample + md5)",
               ("llm", "multimodal")),

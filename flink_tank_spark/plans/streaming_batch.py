@@ -377,8 +377,13 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours = span.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hour_start")
     ).withColumn("_xk", F.dayofmonth("hour_start") % F.lit(1))
+    # NULL-safe derived key: length(NULL) is NULL and would silently drop
+    # a NULL event_type from the skeleton (the oracle's CROSS JOIN keeps
+    # it with n=0). Coalesce keeps the key column-derived (so constant
+    # folding can't collapse the equi join back into a cross join) while
+    # guaranteeing 0 for every row.
     types = ev.select("event_type").distinct().withColumn(
-        "_xk", F.length("event_type") % F.lit(1)
+        "_xk", F.length(F.coalesce("event_type", F.lit(""))) % F.lit(1)
     )
     skeleton = hours.join(F.broadcast(types), "_xk").drop("_xk")
     return (

@@ -89,3 +89,7 @@ def test_pivot_value_list_covers_all_event_types(spark, oracle_sf_dir):
     ev = load_table(spark, oracle_sf_dir, "events")
     actual = {r.event_type for r in ev.select("event_type").distinct().collect()}
     assert actual <= set(EVENT_TYPES), f"unpivoted event types: {actual - set(EVENT_TYPES)}"
+    # NULL event_type would also diverge Spark vs oracle in ev_gap_fill's
+    # left-join counts (equality never matches NULL); pin it absent so a
+    # testdata regeneration that introduces NULLs fails here, loudly
+    assert None not in actual, "events.event_type contains NULL"

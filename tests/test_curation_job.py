@@ -27,11 +27,13 @@ def test_flags_consistent_and_funnel_monotone(spark):
     seq = [stats["n_docs"]] + [stats[f"after_{s}"] for s in STAGES]
     assert all(a >= b for a, b in zip(seq, seq[1:])), seq
     assert 0 < stats["n_kept"] < stats["n_docs"]
-    # eval docs themselves are never decontam-dropped (anti-joined out)
+    # eval docs present verbatim in the corpus are contamination BY
+    # DEFINITION (they share every 8-gram with the bench set) and must
+    # be decontam-dropped — benchmark text never ships in the corpus
     ev = {r.doc_id for r in eval_docs.select("doc_id").collect()}
     for r in rows:
         if r.doc_id in ev:
-            assert r.keep_decontam
+            assert not r.keep_decontam
 
 
 def test_job_materializes_lang_partitioned_corpus(spark, tmp_path, capsys):

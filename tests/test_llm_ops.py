@@ -165,6 +165,21 @@ def test_ivf_multiprobe_supersets_single_probe(spark, sf_dir):
     assert one < two and len(two) == 2 * len(one)
 
 
+def test_kmeans_seeds_from_k_smallest_ids_on_sparse_ids(spark):
+    """Seed init must take the k SMALLEST ids, not filter(id < k): on a
+    corpus whose ids are sparse/offset (here 1000, 1007, ...), the old
+    filter silently produced 0 seeds. k-means must still return k
+    centroids, keyed by the actual smallest ids."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(1000 + 7 * i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = similarity.kmeans_centroids(emb, k=4, iters=1)
+    got = sorted(r.centroid_id for r in cent.select("centroid_id").collect())
+    assert got == [1000, 1007, 1014, 1021]
+
+
 def test_similarity_layer_has_no_nested_loop_join(spark, sf_dir):
     """Blocking means equi joins everywhere: no BroadcastNestedLoopJoin
     may appear in the near-dup or top-k plans."""

@@ -21,18 +21,37 @@ def test_merge_equals_direct_bit_exact(spark, sf_dir):
     """Union-of-daily-sketches then estimate == estimate of one pass.
     Must hold EXACTLY (not approximately): max-merge is associative and
     the estimator is order-free fixed-point — this is what makes daily
-    sketch tables answerable without rescanning history."""
+    sketch tables answerable without rescanning history.
+
+    Pinned at the OPERATOR level (hll_registers/hll_estimate built
+    independently here), because the two registry queries now share one
+    per-(day, type) register stage — comparing them would be a tautology.
+    This test is exactly the property that makes that sharing sound."""
+    ev = _user_day_events(spark, sf_dir)
     direct = {
         r["event_type"]: (r["n_reg_set"], r["hll_est"])
-        for r in ev_hll_user_days(spark, sf_dir).collect()
+        for r in sketch.hll_estimate(
+            sketch.hll_registers(ev, "user_day", ["event_type"]), ["event_type"]
+        ).collect()
     }
     merged = {
         r["event_type"]: (r["n_reg_set"], r["hll_est"])
-        for r in ev_hll_merge_days(spark, sf_dir).collect()
+        for r in sketch.hll_estimate(
+            sketch.hll_registers(ev, "user_day", ["day", "event_type"]),
+            ["event_type"],
+        ).collect()
     }
     assert direct.keys() == merged.keys()
     for et in direct:
         assert direct[et] == merged[et], et  # bit-identical, == on floats
+    # and the registry pair serves exactly these values
+    q = {r["event_type"]: (r["n_reg_set"], r["hll_est"])
+         for r in ev_hll_merge_days(spark, sf_dir).collect()}
+    assert q == merged
+    q2 = {r["event_type"]: (r["n_reg_set"], r["hll_est"])
+          for r in ev_hll_user_days(spark, sf_dir)
+          .select("event_type", "n_reg_set", "hll_est").collect()}
+    assert q2 == merged
 
 
 def test_estimate_error_envelope(spark, oracle_sf_dir):
