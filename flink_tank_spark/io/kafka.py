@@ -53,7 +53,9 @@ def read_kafka_stream(
     )
 
 
-def read_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonl_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-based stand-in source for tests/local runs.
 
     Format: ``<arrival>\\t<json message>`` per line — the explicit arrival
@@ -61,10 +63,16 @@ def read_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
     offset, and monotonically_increasing_id is not allowed on streams).
     Raw tab characters cannot appear inside JSON string literals, so the
     delimiter is unambiguous.
+
+    ``max_files_per_trigger`` is the file-source analogue of the Kafka
+    source's ``maxOffsetsPerTrigger`` rate limit: it bounds each
+    micro-batch, which (a) keeps per-batch state/shuffle memory flat on
+    a backlogged source and (b) gives crash-recovery tests a stream
+    whose progress is spread over many committed batches.
     """
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    return (
+    reader = (
         spark.readStream.schema(
             StructType(
                 [
@@ -74,8 +82,10 @@ def read_jsonl_stream(spark: SparkSession, path: str) -> DataFrame:
             )
         )
         .options(sep="\t", quote="", escape="")
-        .csv(path)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(path)
 
 
 def write_kafka_stream(

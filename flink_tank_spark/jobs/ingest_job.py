@@ -50,8 +50,9 @@ def start_ingest(
     lake_dir: str,
     checkpoint_dir: str,
     once: bool = False,
+    max_files_per_trigger: int | None = None,
 ):
-    raw = read_jsonl_stream(spark, source_dir)
+    raw = read_jsonl_stream(spark, source_dir, max_files_per_trigger)
     landed, errors = ingest_stream(raw)
     w1 = (
         landed.writeStream.format("parquet")

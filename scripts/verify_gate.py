@@ -1,11 +1,17 @@
 """Driver-style correctness gate: run every registry query against its
 DuckDB oracle at sf0.01 with the driver's own canonicalization/hash.
 
-    python scripts/verify_gate.py [sf_dir]
+    python scripts/verify_gate.py [sf_dir] [cpus]
 
 Exit 0 iff every query matches. This is the same comparison the round
 driver applies (row count + sorted-column value hash), so a green run
 here means a green CORRECTNESS_r{N}.json.
+
+``cpus`` (default 8, the driver-comparable setting) sizes local[N] and
+shuffle partitions — raise it for scale-stress runs (data/sf1) where
+the default serializes 6 M-row scans onto 8 threads. Per-query output
+shows Spark and oracle wall time separately so DuckDB-side bottlenecks
+at larger SFs are attributable.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ def _hash(pdf: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", f"{REPO}/__spark_entry__.py"
     )
@@ -47,8 +54,8 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -69,14 +76,18 @@ def main() -> int:
         sp = queries[name](spark, sf_dir).toPandas()
         dt = time.perf_counter() - tq
         if name not in oracles:
-            print(f"{name:34s} {dt:6.2f}s rows {len(sp):5d} (no oracle)")
+            print(f"{name:34s} {dt:6.2f}s rows {len(sp):5d} (no oracle)", flush=True)
             continue
+        to = time.perf_counter()
         od = con.execute(oracles[name]).fetchdf()
+        dto = time.perf_counter() - to
         ok = _hash(sp) == _hash(od) and len(sp) == len(od)
         bad += not ok
         print(
-            f"{name:34s} {dt:6.2f}s rows spark={len(sp):5d} oracle={len(od):5d}"
-            f"{' MISMATCH' if not ok else ''}"
+            f"{name:34s} {dt:6.2f}s oracle {dto:6.2f}s"
+            f" rows spark={len(sp):5d} oracle={len(od):5d}"
+            f"{' MISMATCH' if not ok else ''}",
+            flush=True,
         )
     print(
         f"queries: {len(queries)} mismatches: {bad} "
