@@ -386,8 +386,13 @@ def ev_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_xk", F.length(F.coalesce("event_type", F.lit(""))) % F.lit(1)
     )
     skeleton = hours.join(F.broadcast(types), "_xk").drop("_xk")
+    # counts is DIMENSION-bounded (≤ hours × types rows) no matter how
+    # many events fed the groupBy, but Catalyst's size estimate scales
+    # with the input, so at sf1 this left join flips to a sort-merge
+    # join (scripts/plan_scale_audit.py finding). Hint the truth: the
+    # aggregated side always fits a broadcast.
     return (
-        skeleton.join(counts, ["hour_start", "event_type"], "left")
+        skeleton.join(F.broadcast(counts), ["hour_start", "event_type"], "left")
         .select(
             "hour_start", "event_type", F.coalesce("n", F.lit(0)).alias("n")
         )
