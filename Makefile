@@ -1,6 +1,6 @@
 # Developer entrypoints (mirrors .claude/skills/verify/SKILL.md)
 
-.PHONY: test verify bench slow-parity list kafka-e2e
+.PHONY: test verify bench slow-parity list kafka-e2e sf1 verify-sf1 bench-sf1 plan-audit
 
 test:
 	python -m pytest tests/ -q
@@ -17,7 +17,28 @@ bench:
 	python bench.py 2>/dev/null | tail -1
 
 slow-parity:
-	SPARK_GRAFT_SLOW_TESTS=1 python -m pytest tests/test_parity_sf01.py -q
+	SPARK_GRAFT_SLOW_TESTS=1 python -m pytest tests/test_parity_sf01.py tests/test_cluster_checkpoint.py -q
+
+# ---- scale stress (round-4): sf1 = deterministic 10x key-offset
+# replication of sf0.1 (6M lineitem / 1M events / 50k docs) ----
+data/sf1/lineitem.parquet:
+	python scripts/make_sfn.py --out data/sf1 --factor 10
+
+sf1: data/sf1/lineitem.parquet
+
+# full 83-query oracle gate at sf1. Slow: Spark totals a few minutes,
+# but several DuckDB oracle mirrors are 10-100x slower than the engine
+# at this SF (quadratic-ish SQL rescoring the blocked operators avoid)
+# — expect ~1h wall. The gate itself stays hash-exact.
+verify-sf1: sf1
+	python scripts/verify_gate.py data/sf1 24
+
+bench-sf1: sf1
+	SPARK_GRAFT_SF_DIR=data/sf1 python bench.py 2>/dev/null | tail -1
+
+# physical join-strategy diff across SFs (plan flips at 10x)
+plan-audit: sf1
+	python scripts/plan_scale_audit.py /root/testdata/sf0.1 data/sf1
 
 list:
 	python -m flink_tank_spark.tools.run_query --list
