@@ -44,13 +44,22 @@ def term_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(doc, term) postings with term frequency and doc length:
-    one explode + one map-side-combinable groupBy."""
+    one explode + one map-side-combinable groupBy.
+
+    ``dl`` is recovered as ``sum(tf)`` per doc (identical to
+    ``size(split(text))`` by definition) via a window over the
+    ALREADY-AGGREGATED postings — never as a ``size(split(...))``
+    projection alongside the explode, which Catalyst collapses into the
+    Generate and re-evaluates the split once per OUTPUT row (measured
+    ~3.5× slower on the corpus explode)."""
     words = docs.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
-    return words.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    posts = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return posts.withColumn(
+        "dl", F.sum("tf").over(W.partitionBy(id_col))
+    ).select(id_col, "dl", "term", "tf")
 
 
 def _term_score(tf: Column, dl: Column, df: Column, n_docs: Column, avgdl: Column,
@@ -76,22 +85,39 @@ def bm25_topk(
     (doc-as-query retrieval). The query doc itself is excluded from its
     own result list. Ties break on doc id for determinism.
     """
-    posts = term_postings(docs, id_col, text_col)
-    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # 1-row corpus stats, lazily cross-joined (constant work at any
-    # scale — same lazy-scalar pattern as tpch q11/q22).
-    stats = posts.select(id_col, "dl").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl")
+    # scale — same lazy-scalar pattern as tpch q11/q22). Derived straight
+    # from the docs table — no explode: split() yields >=1 token ([""])
+    # for every non-NULL text, so count/avg over docs equals the
+    # postings-derived (doc, dl) distinct of the naive formulation.
+    stats = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
     )
+    # Query terms come from the query docs ONLY (predicate pushdown on
+    # id), not from a corpus-wide postings build.
     qterms = (
-        posts.filter(F.col(id_col).isin(list(query_ids)))
-        .select(F.col(id_col).alias("query_id"), "term")
+        docs.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
         .distinct()
     )
+    # ONE corpus explode+groupBy builds the postings; document frequency
+    # is a per-term window count over the postings pruned to query terms
+    # (a term's full posting list survives the prune, so df is exact) —
+    # no second corpus pass, and every subsequent shuffle carries only
+    # aggregated posting rows, never the raw token stream.
+    mposts = (
+        term_postings(docs, id_col, text_col)
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    )
     matched = (
-        posts.join(F.broadcast(qterms), "term")
+        mposts.join(F.broadcast(qterms), "term")
         .filter(F.col(id_col) != F.col("query_id"))
-        .join(dfreq, "term")
         .crossJoin(F.broadcast(stats))
     )
     score_t = _term_score(
