@@ -731,15 +731,16 @@ def doc_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """tf-idf-style keyword extraction with a log-free weight
     (tf × N / df): ln() is not bit-identical across engines' libm, a
     pure integer ratio is — so the scores hash-match the oracle exactly.
-    Shape: two shuffles on the word key (tf, df) + a broadcast scalar N,
-    per-doc top-k window partitioned by doc."""
+    Shape: ONE corpus explode + tf groupBy; df falls out of the
+    aggregated tf table (rows per term == distinct docs per term) as a
+    per-term window count — no second corpus pass, no countDistinct
+    shuffle; then a broadcast scalar N and the per-doc top-k window."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
