@@ -1,6 +1,9 @@
 """Benchmark harness: run the headline queries and print ONE JSON line.
 
-Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+Usage: python bench.py  (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS;
+SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just the named registry queries —
+any registry name, not only the default bench set — for scale
+spot-checks at big SF dirs where the full set would take too long)
 
 Per query: one COLD run (recorded — first-touch codegen/broadcast/
 shared-stage cost) followed by two timed warm runs of which the BEST is
@@ -25,7 +28,15 @@ def main() -> None:
 
     spark = get_spark("flink_tank_spark-bench")
 
-    specs = [s for s in all_queries().values() if s.bench]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - set(all_queries())
+        if unknown:
+            raise KeyError(f"SPARK_GRAFT_BENCH_ONLY names not in registry: {sorted(unknown)}")
+        specs = [s for s in all_queries().values() if s.name in names]
+    else:
+        specs = [s for s in all_queries().values() if s.bench]
     specs.sort(key=lambda s: s.name)
 
     # Warm the JVM/codegen/catalog on a trivial plan so per-query numbers

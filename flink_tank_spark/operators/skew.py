@@ -53,3 +53,25 @@ def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame
         [(F.count(F.lit(1)), F.sum("n"), "n")],
         n_salts=n_salts,
     )
+
+
+def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the input is under-parallelized.
+
+    The inverse skew problem: a byte-small but CPU-dense input (a few
+    MB of text that will fan out into millions of hash evaluations)
+    arrives as 1-2 parquet splits because partitioning is BYTE-based
+    (``spark.sql.files.maxPartitionBytes``), pinning all downstream
+    per-row compute onto one task. Measured here: the char-8-gram
+    fingerprint over a single-file 50 k-doc corpus ran 24 s on one task
+    vs 3 s spread over 32 (see PLANS.md round-4).
+
+    No-op when the input already has >= min_parts partitions (a real
+    lake scan at cluster scale), so the extra shuffle is only paid when
+    it unlocks parallelism worth more than the (tiny, by precondition)
+    data movement.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -202,3 +202,35 @@ def fingerprint(text: Column, k: int = 8) -> Column:
     """Winnowing-style document fingerprint: min md5 over char k-grams.
     Equal fingerprints ⇒ shared rare substring — cheap near-dup signal."""
     return F.array_min(F.transform(char_ngrams(text, k), lambda g: F.md5(g.cast("binary"))))
+
+
+def fingerprint_docs(
+    df, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+):
+    """DataFrame-level ``fingerprint``: identical result, distributed
+    shape. The Column form evaluates an interpreted (non-codegen)
+    ``transform(..., md5)`` per row — ~300 md5 calls per doc on ONE
+    task when the corpus arrives as a single parquet split. This form
+    spreads the input, explodes the gram offsets, computes md5 as a
+    codegen'd top-level expression, and takes the per-doc min through a
+    map-side-combinable aggregate (the shuffle carries one row per doc
+    per partition). Measured 24 s -> 3 s on a 50 k-doc single-file
+    corpus (PLANS.md round-4).
+    """
+    from pyspark.sql import functions as F  # noqa: redefined for clarity
+
+    from flink_tank_spark.operators.skew import spread_partitions
+
+    n = F.length(text_col)
+    offs = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array(F.lit(0))
+    )
+    ex = spread_partitions(df).select(
+        F.col(id_col), F.col(text_col), F.explode(offs).alias("_i")
+    )
+    gram = F.when(F.col("_i") == 0, F.col(text_col)).otherwise(
+        F.substring(F.col(text_col), F.col("_i"), k)
+    )
+    return ex.select(
+        F.col(id_col), F.md5(gram.cast("binary")).alias("_h")
+    ).groupBy(id_col).agg(F.min("_h").alias("fingerprint"))

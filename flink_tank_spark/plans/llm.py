@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 from flink_tank_spark.functions.numeric import sql_davg
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup, multimodal, similarity, text
+from flink_tank_spark.operators.skew import spread_partitions
 from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
@@ -103,7 +104,12 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "doc_shingles",
         sf_dir,
-        lambda: dedup.shingle_sets(load_table(spark, sf_dir, "documents")),
+        # spread_partitions: the corpus can arrive as one parquet split
+        # (byte-small, CPU-dense) — spread BEFORE the md5-heavy shingle
+        # pass so the persisted stage is parallel for all five consumers.
+        lambda: dedup.shingle_sets(
+            spread_partitions(load_table(spark, sf_dir, "documents"))
+        ),
     )
 
 
@@ -468,9 +474,7 @@ DOC_TOKEN_STATS_SQL = dedent(f"""
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", text.fingerprint(F.col("text"), 8).alias("fingerprint")
-    ).orderBy("doc_id")
+    return text.fingerprint_docs(docs, "doc_id", "text", 8).orderBy("doc_id")
 
 
 DOC_FINGERPRINT_SQL = dedent("""
@@ -907,7 +911,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_ivf_recall, so the full-corpus scoring pass runs once per session."""
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
         queries = emb.filter(F.col("vec_id") < 10)
         return similarity.cosine_topk(emb, queries, k=5)
 
@@ -1031,7 +1035,7 @@ def _kmeans_assigned(
     train once per session, reuse the assignment."""
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
         cent = similarity.kmeans_centroids(emb, k=k_cells, iters=iters)
         return similarity.ivf_assign(
             emb,
@@ -1186,7 +1190,7 @@ def _emb_verified_pairs(
     the common prefix of emb_near_dup_pairs and emb_semantic_dedup."""
 
     def build() -> DataFrame:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
         centroids = emb.filter(F.col("vec_id") < n_cells)
         assigned = similarity.ivf_assign(emb, centroids, probes=probes)
         cand = (
