@@ -324,7 +324,7 @@ DOC_BM25_TOPK_SQL = dedent(f"""
 # --------------------------------------------------------------------------
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return dedup.simhash_bits(docs).orderBy("doc_id")
 
 
@@ -353,7 +353,7 @@ DOC_SIMHASH_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",
@@ -404,7 +404,7 @@ DOC_LANG_ID_SQL = dedent(f"""
 # --------------------------------------------------------------------------
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     q = text.quality_score(F.col("text"))
     return (
         docs.select("doc_id", q.alias("quality"))
@@ -443,7 +443,7 @@ DOC_QUALITY_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     stats = text.token_stats(F.col("text"))
     return (
         docs.select("lang", *[v.alias(k) for k, v in stats.items()])
@@ -495,8 +495,10 @@ DOC_FINGERPRINT_SQL = dedent("""
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc repetition fractions (duplicate words / 2-grams / 3-grams)
     — the Gopher repetition quality filter. Pure per-row array math over
-    the corpus scan: zero shuffle, trivially scan-bound at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
+    the corpus scan: zero shuffle at cluster scale (spread_partitions
+    is a no-op on a many-split scan; it only kicks in when the corpus
+    arrives as fewer splits than cores)."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     with_words = docs.select(
         "doc_id", "text", F.split(F.col("text"), " ").alias("_w")
     )
@@ -547,7 +549,7 @@ def doc_contamination(
     not a second corpus), so it broadcasts — the corpus grams stream
     past it map-side with no shuffle of the corpus. 13-gram overlap on
     real pipelines (GPT-3 appendix C); k=8 fits the synthetic docs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     with_words = docs.select(
         "doc_id", "text", F.split(F.col("text"), " ").alias("_w")
     )
@@ -976,7 +978,7 @@ def _ivf_cell_topk(assigned: DataFrame, n_queries: int = 10, k: int = 5) -> Data
 
 
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < 8)
     assigned = similarity.ivf_assign(emb, centroids)
     return _ivf_cell_topk(assigned)

@@ -32,8 +32,15 @@ FIXED_NOW_MS = 1_717_243_200_000
 
 def _events_as_wire(spark: SparkSession, sf_dir: str, corrupt_every: int = 0) -> DataFrame:
     """Serialize the events table into the InputEvent JSON wire format
-    (M3 in reverse); optionally corrupt every Nth message."""
-    ev = load_table(spark, sf_dir, "events")
+    (M3 in reverse); optionally corrupt every Nth message.
+
+    spread_partitions: the serialize→parse round trip is per-row JSON
+    work over a byte-small table — without the spread a single-split
+    events file pins the whole wire pipeline on one task (no-op on a
+    many-split scan)."""
+    from flink_tank_spark.operators.skew import spread_partitions
+
+    ev = spread_partitions(load_table(spark, sf_dir, "events"))
     value = F.to_json(
         F.struct(
             F.col("user_id").cast("string").alias("id"),
