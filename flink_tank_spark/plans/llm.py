@@ -1311,7 +1311,7 @@ EMB_SEMANTIC_DEDUP_SQL = dedent(f"""
 # --------------------------------------------------------------------------
 
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     media = multimodal.encode_fake(docs, "doc_id", "text", kind="image")
     return multimodal.decode_stub(media).orderBy("media_id")
 
@@ -1337,7 +1337,10 @@ MM_DECODE_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: the encode/decode round trip is per-row Python codec work
+    # over mapInPandas — a single-split corpus would pin it on ONE
+    # Python worker (no-op on a many-split scan)
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     media = multimodal.encode_wav(docs, "doc_id", "text")
     return (
         multimodal.decode_real(media)
@@ -1374,7 +1377,7 @@ MM_WAV_ROUNDTRIP_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     media = multimodal.encode_fake(docs, "doc_id", "text", kind="image")
     return multimodal.resize_fake(media, scale=2).orderBy("media_id")
 
@@ -1407,7 +1410,7 @@ def mm_frame_stats(spark: SparkSession, sf_dir: str, every_nth: int = 10) -> Dat
     """Aggregate over the mapInPandas decode + frame-sample explode:
     proves the multimodal plumbing (Arrow batches, binary containers,
     typed schema) composes with ordinary declarative aggregation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
     media = multimodal.encode_fake(docs, "doc_id", "text", kind="image").withColumn(
         "kind", F.when(F.col("media_id") % 2 == 0, "image").otherwise("video")
     )
