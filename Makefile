@@ -40,6 +40,14 @@ bench-sf1: sf1
 plan-audit: sf1
 	python scripts/plan_scale_audit.py /root/testdata/sf0.1 data/sf1
 
+# end-to-end ingest capacity: wire JSON -> parse/route -> exactly-once
+# partitioned parquet lake (same topology the recovery tests kill/restart)
+bench-streaming:
+	python scripts/bench_streaming.py /root/testdata/sf0.1 2>/dev/null | tail -1
+
+bench-streaming-sf1: sf1
+	python scripts/bench_streaming.py data/sf1 2>/dev/null | tail -1
+
 list:
 	python -m flink_tank_spark.tools.run_query --list
 

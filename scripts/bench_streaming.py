@@ -1,0 +1,97 @@
+"""Streaming ingest throughput bench: events/sec through the landing job.
+
+The reference's streaming surface is configured at 2 events/sec in and
+<=10 messages/sec out (EventProducer.kt; BASELINE.md documents that no
+other number is published), so the meaningful engine number is the
+CAPACITY of the identical topology: wire-format JSON lines -> lenient
+parse/route (operators/parse.py) -> date-partitioned parquet lake with
+exactly-once file-sink commits (jobs/ingest_job.py) — the same code
+paths the crash-recovery test kills and restarts (tests/test_recovery.py).
+
+Method: serialize the events table into the wire format once (N files so
+micro-batches parallelize), then drain it with trigger(availableNow)
+through start_ingest and time start->termination. That includes ALL of:
+source listing, JSON parse, validity routing, partitioned parquet
+commit, checkpoint/transaction-log writes. Prints ONE JSON line.
+
+Usage:
+    python scripts/bench_streaming.py [sf_dir] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from flink_tank_spark.jobs.ingest_job import start_ingest
+    from flink_tank_spark.plans.streaming_batch import _events_as_wire
+
+    work = tempfile.mkdtemp(prefix="stream-bench-")
+    src, lake, chk = (os.path.join(work, d) for d in ("src", "lake", "chk"))
+    try:
+        # wire-format corpus: one text line per event, spread over cpus
+        # files so the availableNow drain parallelizes like a backlogged
+        # topic with cpus partitions
+        wire = _events_as_wire(spark, sf_dir)
+        n_events = wire.count()
+        (
+            wire.select(
+                F.concat_ws("\t", F.col("arrival").cast("string"), F.col("value"))
+            )
+            .repartition(cpus)
+            .write.mode("overwrite")
+            .text(src)
+        )
+
+        t0 = time.perf_counter()
+        q1, q2 = start_ingest(spark, src, lake, chk, once=True)
+        q1.awaitTermination()
+        q2.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        landed = spark.read.parquet(os.path.join(lake, "events")).count()
+        out = {
+            "metric": "streaming_ingest_throughput",
+            "value": round(landed / wall, 1),
+            "unit": "events/sec",
+            "events": landed,
+            "sent": n_events,
+            "wall_sec": round(wall, 2),
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+        return 0 if landed == n_events else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
