@@ -77,6 +77,42 @@ def main() -> int:
         wall = time.perf_counter() - t0
 
         landed = spark.read.parquet(os.path.join(lake, "events")).count()
+
+        # Job-1 processor topology: parse/route -> STATEFUL per-key
+        # sequence -> serialize, one checkpointed query feeding both
+        # sinks (the reference's EventProcessorJob shape). Slower than
+        # raw ingest by design: every event crosses the Python stateful
+        # operator.
+        from flink_tank_spark.io.kafka import read_jsonl_stream, write_dual_stream
+        from flink_tank_spark.streaming.jobs import (
+            get_tagged_output_stream,
+            split_tagged,
+        )
+
+        ok_dir, err_dir, chk2 = (
+            os.path.join(work, d) for d in ("ok", "err", "chk2")
+        )
+
+        def parquet_sink(path):
+            def write(df, batch_id):
+                df.write.mode("append").parquet(path)
+
+            return write
+
+        t0 = time.perf_counter()
+        q = write_dual_stream(
+            get_tagged_output_stream(read_jsonl_stream(spark, src), streaming=True),
+            split_tagged,
+            parquet_sink(ok_dir),
+            parquet_sink(err_dir),
+            chk2,
+            "bench-processor",
+            available_now=True,
+        )
+        q.awaitTermination()
+        proc_wall = time.perf_counter() - t0
+        processed = spark.read.parquet(ok_dir).count()
+
         out = {
             "metric": "streaming_ingest_throughput",
             "value": round(landed / wall, 1),
@@ -84,11 +120,14 @@ def main() -> int:
             "events": landed,
             "sent": n_events,
             "wall_sec": round(wall, 2),
+            "processor_events_per_sec": round(processed / proc_wall, 1),
+            "processor_events": processed,
+            "processor_wall_sec": round(proc_wall, 2),
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "cpus": cpus,
         }
         print(json.dumps(out))
-        return 0 if landed == n_events else 1
+        return 0 if landed == n_events and processed == n_events else 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
