@@ -26,6 +26,14 @@ data/sf1/lineitem.parquet:
 
 sf1: data/sf1/lineitem.parquet
 
+# 50x replication (30M lineitem / 5M events / 250k docs / 100k vectors)
+# for spot-benches beyond the sf1 gate scale:
+#   SPARK_GRAFT_SF_DIR=data/sf5 SPARK_GRAFT_BENCH_ONLY=q1_pricing_summary,... python bench.py
+data/sf5/lineitem.parquet:
+	python scripts/make_sfn.py --out data/sf5 --factor 50
+
+sf5: data/sf5/lineitem.parquet
+
 # full 83-query oracle gate at sf1. Slow: Spark totals a few minutes,
 # but several DuckDB oracle mirrors are 10-100x slower than the engine
 # at this SF (quadratic-ish SQL rescoring the blocked operators avoid)
