@@ -78,12 +78,19 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k corpus docs per query doc by BM25-style lexical score.
 
     ``query_ids``: ids of docs whose distinct terms form the queries
     (doc-as-query retrieval). The query doc itself is excluded from its
     own result list. Ties break on doc id for determinism.
+
+    ``posts``: an optional pre-built (id, dl, term, tf) postings table
+    (e.g. the shared persisted stage in plans/llm.py, or at cluster
+    scale a materialized inverted-index table) — the standard way to
+    amortize the corpus explode across retrieval queries. Built from
+    ``docs`` when absent.
     """
     # 1-row corpus stats, lazily cross-joined (constant work at any
     # scale — same lazy-scalar pattern as tpch q11/q22). Derived straight
@@ -105,18 +112,21 @@ def bm25_topk(
         )
         .distinct()
     )
-    # ONE corpus explode+groupBy builds the postings; document frequency
-    # is a per-term window count over the postings pruned to query terms
-    # (a term's full posting list survives the prune, so df is exact) —
-    # no second corpus pass, and every subsequent shuffle carries only
-    # aggregated posting rows, never the raw token stream.
-    mposts = (
-        term_postings(docs, id_col, text_col)
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+    # Postings pruned to query terms (a term's FULL posting list
+    # survives the term-equality prune, so df over mposts is exact).
+    # df is a map-side-combinable groupBy over the pruned postings
+    # joined back broadcast (≤ |query terms| rows) — NOT a per-term
+    # window count: a window partitions by term, and a hot term's whole
+    # posting list (O(n_docs) rows at corpus scale) would funnel into
+    # one task, where the partial aggregation spreads it across every
+    # input partition.
+    mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
+        F.broadcast(qterms.select("term").distinct()), "term"
     )
+    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     matched = (
-        mposts.join(F.broadcast(qterms), "term")
+        mposts.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
         .filter(F.col(id_col) != F.col("query_id"))
         .crossJoin(F.broadcast(stats))
     )

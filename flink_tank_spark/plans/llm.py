@@ -267,6 +267,23 @@ DOC_JACCARD_TOPK_SQL = dedent(f"""
 # doc_bm25_topk — inverted-index BM25-style lexical retrieval
 # --------------------------------------------------------------------------
 
+def _word_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: (doc_id, dl, term, tf) word postings — the
+    inverted-index prefix of doc_bm25_topk and doc_top_terms (one corpus
+    explode + tf groupBy per session; at cluster scale this is the
+    materialized inverted-index table every retrieval query reuses)."""
+    from flink_tank_spark.operators import retrieval
+
+    return shared.stage(
+        spark,
+        "doc_word_postings",
+        sf_dir,
+        lambda: retrieval.term_postings(
+            spread_partitions(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Doc-as-query lexical retrieval: for each of 5 query docs, the
     top-10 corpus docs by BM25-style score over word postings — the
@@ -276,7 +293,9 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     from flink_tank_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(docs, query_ids=range(5), k=k).orderBy("query_id", "rk")
+    return retrieval.bm25_topk(
+        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir)
+    ).orderBy("query_id", "rk")
 
 
 DOC_BM25_TOPK_SQL = dedent(f"""
@@ -737,16 +756,18 @@ def doc_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """tf-idf-style keyword extraction with a log-free weight
     (tf × N / df): ln() is not bit-identical across engines' libm, a
     pure integer ratio is — so the scores hash-match the oracle exactly.
-    Shape: ONE corpus explode + tf groupBy; df falls out of the
-    aggregated tf table (rows per term == distinct docs per term) as a
-    per-term window count — no second corpus pass, no countDistinct
-    shuffle; then a broadcast scalar N and the per-doc top-k window."""
+    Shape: the shared postings stage (one corpus explode per session);
+    df falls out of the aggregated tf table (rows per term == distinct
+    docs per term) as a map-side-combinable groupBy joined back on term
+    — never a per-term window, whose hot-term partition would funnel an
+    O(n_docs) posting list into one task; then a broadcast scalar N and
+    the per-doc top-k window."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _word_postings(spark, sf_dir).select("doc_id", "term", "tf")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
