@@ -1,0 +1,115 @@
+"""Unit tests for the round-4 scale operators.
+
+The oracle gate already hash-checks these end-to-end at sf0.01/sf1;
+these tests pin the component-level contracts: the spread guard's
+no-op condition, DataFrame-vs-Column fingerprint equivalence on edge
+strings, blocked-matmul pair parity with the naive quadratic rescore,
+and the integer-exactness of the adaptive IVF cell rule against the
+DuckDB expression it mirrors.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from flink_tank_spark.operators.skew import spread_partitions
+
+
+def test_spread_partitions_spreads_single_split(spark):
+    df = spark.range(1000).coalesce(1)
+    out = spread_partitions(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 1000
+
+
+def test_spread_partitions_noop_when_already_parallel(spark):
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(target + 3)
+    out = spread_partitions(df)
+    # unchanged object semantics: no extra exchange on an already-wide input
+    assert out.rdd.getNumPartitions() == target + 3
+    assert "RoundRobinPartitioning" not in out._jdf.queryExecution().executedPlan().toString() or out is df
+
+
+def test_fingerprint_docs_matches_column_form(spark):
+    from flink_tank_spark.operators import text
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "short"),          # < k chars: md5 of the whole text
+        (2, "exactly8"),       # == k chars: one gram
+        (3, ""),               # empty string
+        (4, "aaaaaaaaaaaaaaaa"),  # repeated grams collapse to one hash
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    col_form = {
+        r.doc_id: r.fp
+        for r in docs.select(
+            "doc_id", text.fingerprint(F.col("text"), 8).alias("fp")
+        ).collect()
+    }
+    df_form = {
+        r.doc_id: r.fingerprint
+        for r in text.fingerprint_docs(docs, "doc_id", "text", 8).collect()
+    }
+    assert df_form == col_form
+
+
+def test_cell_blocked_pairs_matches_naive_rescore(spark):
+    from flink_tank_spark.operators import similarity
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.2]),
+        (4, [0.5, 0.5, 0.0]),
+        (5, [1.0, 0.01, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") < 2)
+    assigned = similarity.ivf_assign(emb, centroids, probes=2)
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.cell_blocked_pairs(assigned, threshold=0.6).collect()
+    }
+    # naive: every pair sharing a probe cell, exact fixed-point cosine
+    cells = assigned.select("vec_id", "centroid_id").collect()
+    member = {}
+    for r in cells:
+        member.setdefault(r.centroid_id, set()).add(r.vec_id)
+    vmap = {
+        r.vec_id: (r.v, r.vnorm)
+        for r in assigned.select("vec_id", "v", "vnorm").distinct().collect()
+    }
+    import math
+
+    def fp_cos(a, b):
+        sa = sum(math.floor(x * y * 1e12 + 0.5) for x, y in zip(vmap[a][0], vmap[b][0]))
+        return (sa / 1e12) / (vmap[a][1] * vmap[b][1])
+
+    want = {}
+    for members in member.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                c = fp_cos(a, b)
+                if c >= 0.6:
+                    want[(a, b)] = c
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "n", [1, 100, 499, 500, 501, 15999, 16000, 16001, 20000, 100000, 12345678]
+)
+def test_adaptive_cell_rule_matches_duckdb(n):
+    """The engine computes max(32, (n+499)//500); the oracle SQL computes
+    GREATEST(32, (COUNT(*)+499)//500). They must agree INTEGER-EXACTLY
+    for any corpus size or the gate would diverge."""
+    py = max(32, (n + 499) // 500)
+    (db,) = duckdb.sql(f"SELECT GREATEST(32, ({n} + 499) // 500)").fetchone()
+    assert py == db
