@@ -149,3 +149,205 @@ def bm25_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rk")
     )
+
+
+def bm25_wand_parts(
+    docs: DataFrame,
+    query_ids,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    posts: DataFrame | None = None,
+    champions: int = 32,
+    salt_buckets: int = 16,
+) -> dict[str, DataFrame]:
+    """Building blocks of the WAND-pruned BM25 top-k (see
+    :func:`bm25_wand_topk`), exposed so tests and the pruning-stats
+    probe can inspect intermediate cardinalities (candidates touched,
+    postings skipped).
+
+    Returned keys: ``mposts`` (query-term-pruned postings), ``theta``
+    (per-query lower bound on the true k-th score), ``essential``
+    (per-query surviving terms), ``candidates`` ((query, doc) pairs that
+    must be exactly rescored), ``topk`` (the final answer — provably
+    identical to :func:`bm25_topk`).
+    """
+    stats = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
+    )
+    qterms = (
+        docs.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Exact per-posting impact: in bag-of-words BM25 every (term, doc)
+    # contribution is fully determined by (tf, dl, df, stats) — no bound
+    # needed at the posting level; UPPER bounds are only needed per TERM.
+    impact_col = _term_score(
+        F.col("tf"), F.col("dl"), F.col("df"),
+        F.col("n_docs"), F.col("avgdl"), k1, b,
+    )
+    imp = (
+        mposts.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", impact_col.alias("impact"))
+    )
+    # Champion lists: per-term top-`champions` postings by impact. Built
+    # skew-safely in two phases — a hot term's full posting list is
+    # O(n_docs) at corpus scale, so a single PARTITION BY term window
+    # would funnel it through one task. Phase 1 takes a per-(term, salt)
+    # top-M (salt spreads the hot term over `salt_buckets` tasks); phase
+    # 2 merges the ≤ salt_buckets×M survivors per term.
+    w_salt = W.partitionBy("term", "_salt").orderBy(F.desc("impact"), F.col(id_col))
+    w_term = W.partitionBy("term").orderBy(F.desc("impact"), F.col(id_col))
+    champ = (
+        imp.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
+        .withColumn("_r1", F.row_number().over(w_salt))
+        .filter(F.col("_r1") <= champions)
+        .withColumn("_r2", F.row_number().over(w_term))
+        .filter(F.col("_r2") <= champions)
+        .select(id_col, "term", "impact")
+    )
+    # θ per query: the k-th best CHAMPION-ONLY partial score. Each doc's
+    # partial ≤ its true score, so the k-th best partial is a valid lower
+    # bound on the true k-th best — fixed-point summed for partition-
+    # invariant determinism (same recipe as the exact scorer).
+    partial = (
+        champ.join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("pscore"))
+    )
+    w_q = W.partitionBy("query_id").orderBy(F.desc("pscore"), F.col(id_col))
+    theta = (
+        partial.withColumn("_rk", F.row_number().over(w_q))
+        .filter(F.col("_rk") == k)
+        .select("query_id", F.col("pscore").alias("theta"))
+    )
+    # Per-term upper bound = max posting impact (map-side agg; never a
+    # per-term window). WAND term prune: sort a query's terms by UB
+    # descending and suffix-sum; a term whose suffix-sum < θ is
+    # "non-essential" — a doc matching ONLY non-essential terms scores
+    # ≤ that suffix-sum < θ ≤ true k-th score, so it can never enter the
+    # top-k. Queries with < k champion partials get no θ row ⇒ every
+    # term stays essential (no unsafe pruning).
+    #
+    # The UB is the max FLOOR-SCALED impact: the exact scorer sums
+    # floor(s·1e9 + 0.5) terms, and round-half-up can exceed the raw
+    # float by half an ulp-at-1e-9 per term — flooring the UB through
+    # the same monotone function makes Σ UB' a true bound on any doc's
+    # floored score, so the < θ comparison is exact, not approximate.
+    ub = imp.groupBy("term").agg(
+        (F.max(F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5)))
+         .cast("double") / F.lit(SCORE_SCALE)).alias("ub")
+    )
+    w_suffix = (
+        W.partitionBy("query_id")
+        .orderBy(F.desc("ub"), "term")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    essential = (
+        qterms.join(F.broadcast(ub), "term")
+        .withColumn("ssum", F.sum("ub").over(w_suffix))
+        .join(F.broadcast(theta), "query_id", "left")
+        .filter(F.col("theta").isNull() | (F.col("ssum") >= F.col("theta")))
+        .select("query_id", "term")
+    )
+    # Candidates: docs on at least one essential term's posting list.
+    candidates = (
+        mposts.join(F.broadcast(essential), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    # Exact rescore of candidates over ALL their matched query terms —
+    # identical expression + fixed-point sum as bm25_topk, so the result
+    # is bit-identical to the unpruned operator.
+    matched = (
+        mposts.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(candidates, ["query_id", id_col])
+        .crossJoin(F.broadcast(stats))
+    )
+    score_t = _term_score(
+        F.col("tf"), F.col("dl"), F.col("df"),
+        F.col("n_docs"), F.col("avgdl"), k1, b,
+    )
+    scored = (
+        matched.select(
+            "query_id", id_col,
+            F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col(id_col).alias("match_id"), "score", "rk")
+    )
+    return {
+        "mposts": mposts,
+        "qterms": qterms,
+        "theta": theta,
+        "essential": essential,
+        "candidates": candidates,
+        "topk": topk,
+    }
+
+
+def bm25_wand_topk(
+    docs: DataFrame,
+    query_ids,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    posts: DataFrame | None = None,
+    champions: int = 32,
+) -> DataFrame:
+    """WAND-style dynamically-pruned BM25 top-k — the 100 TB scale path
+    the exact :func:`bm25_topk` names as its successor.
+
+    Classic WAND (Broder et al., CIKM'03) prunes doc-at-a-time with
+    per-term score upper bounds; this is its batch/distributed
+    restatement:
+
+    1. champion lists — per-term top-M postings by exact impact (two-
+       phase salted top-M, skew-safe for hot terms);
+    2. θ — the k-th best champion-only partial score per query, a valid
+       LOWER bound on the true k-th best score;
+    3. term prune — terms whose UB suffix-sum (descending UB order)
+       falls below θ are non-essential; docs matching only those are
+       provably outside the top-k and never rescored;
+    4. exact rescore of the surviving candidates with the identical
+       fixed-point scorer ⇒ output is BIT-IDENTICAL to ``bm25_topk``
+       (asserted by the oracle gate, which runs the exact SQL).
+
+    The win at scale: ultra-common terms' full posting lists (the
+    dominant cost — O(n_docs) rows each) are only traversed when the
+    term is essential for some query; with a selective query set most
+    postings are touched only in the capped champion stage.
+    """
+    return bm25_wand_parts(
+        docs, query_ids, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        posts=posts, champions=champions,
+    )["topk"]

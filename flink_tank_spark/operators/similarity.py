@@ -259,6 +259,20 @@ def cell_blocked_pairs(
     then one IEEE division by the JVM-computed norms carried on the
     input rows. Multi-probe duplicates (a pair sharing 2 cells) produce
     IDENTICAL rows, removed by the final distinct.
+
+    Zero-norm vectors are dropped before pairing: their cosine is NaN
+    (0/0) in every engine, and numpy's ``cos >= threshold`` is False for
+    NaN while Spark SQL's NaN ordering (NaN > any value) would pass it —
+    excluding them up front makes the two paths agree and matches the
+    oracle (DuckDB also yields NULL/NaN there).
+
+    Memory contract: ``applyInPandas`` materializes one CELL per task, so
+    peak per-task memory is O(cell_population × dim) for the group plus
+    the bounded (chunk, m, dim) product intermediate. The adaptive cell
+    count in plans/llm.py (``max(32, ceil(n/500))``) keeps population
+    ~500; callers passing explicit centroids with hot/skewed cells must
+    cap or salt oversized cells themselves (a 10M-vector cell WILL blow
+    an executor).
     """
     out_schema = "id_a long, id_b long, cos_sim double"
     _empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -266,6 +280,7 @@ def cell_blocked_pairs(
                            "cos_sim": pd.Series(dtype="float64")})
 
     def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["vnorm"] > 0.0]  # zero-norm ⇒ NaN cosine; see docstring
         m = len(pdf)
         if m < 2:
             return _empty

@@ -70,7 +70,15 @@ def spread_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     lake scan at cluster scale), so the extra shuffle is only paid when
     it unlocks parallelism worth more than the (tiny, by precondition)
     data movement.
+
+    Batch-only probe: the split count comes from ``df.rdd`` (there is no
+    DataFrame-level partition count), which plans the scan once on the
+    driver — cheap for the file scans this guards, and cached per plan
+    build. Streaming DataFrames have no static partitioning to probe
+    (and ``.rdd`` raises), so they pass through unchanged.
     """
+    if df.isStreaming:
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -59,9 +59,9 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar pattern as tpch q11/q22
     return (
         ev.agg(F.countDistinct("user_id").alias("n_users"))
-        .crossJoin(t1.agg(F.count(F.lit(1)).alias("n_signup")))
-        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_signup_view")))
-        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+        .crossJoin(F.broadcast(t1.agg(F.count(F.lit(1)).alias("n_signup"))))
+        .crossJoin(F.broadcast(t2.agg(F.count(F.lit(1)).alias("n_signup_view"))))
+        .crossJoin(F.broadcast(t3.agg(F.count(F.lit(1)).alias("n_full_funnel"))))
     )
 
 

@@ -347,6 +347,20 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_bits(docs).orderBy("doc_id")
 
 
+def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """WAND-pruned BM25 retrieval — same 5 query docs and k as
+    doc_bm25_topk, but only champion-stage + essential-term postings are
+    traversed (operators/retrieval.bm25_wand_topk). The oracle is the
+    UNPRUNED exact SQL: the gate therefore certifies the pruning is
+    lossless, the property WAND promises."""
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_wand_topk(
+        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir)
+    ).orderBy("query_id", "rk")
+
+
 DOC_SIMHASH_SQL = dedent("""
     WITH w AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
@@ -1499,6 +1513,10 @@ QUERIES = [
               ("llm", "dedup")),
     QuerySpec("doc_bm25_topk", doc_bm25_topk, DOC_BM25_TOPK_SQL,
               "inverted-index BM25-style top-10 lexical retrieval, 5 query docs",
+              ("llm", "retrieval"), bench=True),
+    QuerySpec("doc_bm25_wand", doc_bm25_wand, DOC_BM25_TOPK_SQL,
+              "WAND-pruned BM25 top-10 (champion lists + essential-term prune, "
+              "exact-oracle certified lossless)",
               ("llm", "retrieval"), bench=True),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),

@@ -38,49 +38,51 @@ class QuerySpec:
 
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
-# queries that still lack a driver-certified CORRECTNESS row in ANY round
-# run FIRST (order is otherwise meaningless to the gate). Round-4
-# rotation: the 33 queries with no round-3 driver row (round-3 certified
-# exactly the other 50 — CORRECTNESS_r03.json is 50/50 green), so after
-# this round every query's newest driver cert is ≤2 rounds old. The 7
-# queries whose only cert is round-1 (doc_dedup_stats … doc_quality)
-# lead the block.
+# queries whose newest driver-certified CORRECTNESS row is the STALEST
+# run FIRST (order is otherwise meaningless to the gate). Round-5
+# rotation: the 33 queries whose newest driver cert is round 3 (round 4
+# certified exactly the other 50 — CORRECTNESS_r04.json is 50/50
+# green), so after this round every query's newest driver cert stays
+# ≤2 rounds old. Any round-5 additions go at the head (never
+# certified). Recompute next round with:
+#   sorted(set(r_prev) - set(r_new)) over the CORRECTNESS_r*.json keys.
 FRONT_OF_LINE = (
-    # certified r1 only — highest staleness
-    "doc_dedup_stats",
-    "doc_minhash",
-    "doc_lsh_near_dups",
-    "doc_jaccard_topk",
-    "doc_simhash",
-    "doc_lang_id",
-    "doc_quality",
-    # certified r1/r2, no r3 row
-    "doc_fingerprint",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_pairs",
-    "mm_decode",
-    "win_order_gaps",
-    "win_moving_avg",
-    "win_balance_quartiles",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "win_price_position",
-    "win_exact_percentiles",
-    "set_churned_customers",
-    "set_loyal_customers",
-    "ev_parse_route",
-    "ev_error_routing",
-    "ev_sequence",
-    "ev_enrich",
-    "ev_sliding_peak",
-    "ev_type_counts",
-    "ev_sessionize",
-    "ev_json_extract",
-    "ev_tumbling_hourly",
-    "ev_asof_login",
-    "ev_interval_clicks",
-    "ev_salted_counts",
+    # new in round 5 — no driver cert yet
+    "doc_bm25_wand",
+    # newest cert is round 3
+    "agg_grouping_sets",
+    "doc_bm25_topk",
+    "doc_contamination",
+    "doc_dedup_corpus",
+    "doc_dedup_groups",
+    "doc_ngram_freq",
+    "doc_pack_chunks",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_token_stats",
+    "doc_top_terms",
+    "emb_ivf_kmeans_topk",
+    "emb_ivf_recall",
+    "emb_quantize_int8",
+    "emb_semantic_dedup",
+    "ev_funnel_conversion",
+    "ev_gap_fill",
+    "ev_hll_merge_days",
+    "ev_hll_user_days",
+    "ev_pivot_type_counts",
+    "ev_retention_cohorts",
+    "ev_value_quantiles",
+    "ev_value_quantiles_merged",
+    "mm_frame_stats",
+    "mm_resize",
+    "mm_wav_roundtrip",
+    "q11_important_stock",
+    "q20_excess_shipments",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "win_running_total",
+    "win_top_orders_per_cust",
 )
 
 

@@ -113,3 +113,75 @@ def test_adaptive_cell_rule_matches_duckdb(n):
     py = max(32, (n + 499) // 500)
     (db,) = duckdb.sql(f"SELECT GREATEST(32, ({n} + 499) // 500)").fetchone()
     assert py == db
+
+
+def test_bm25_wand_matches_exact_and_prunes_terms(spark, oracle_sf_dir):
+    """WAND promise, both halves, on the real sf0.01 corpus: (1) the
+    pruned top-k is row-identical to the exact operator; (2) the term
+    prune is REAL — non-essential (query, term) pairs exist, so their
+    posting lists are skipped during candidate generation. (Candidate
+    DOC pruning doesn't fire on this corpus — its uniform synthetic
+    vocabulary puts an essential term in every doc; the doc-level prune
+    is exercised on a skewed corpus in the next test.)"""
+    from flink_tank_spark.operators import retrieval
+    from flink_tank_spark.io.tables import load_table
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    qids = range(5)
+    exact = retrieval.bm25_topk(docs, qids, k=10)
+    parts = retrieval.bm25_wand_parts(docs, qids, k=10)
+
+    got = sorted(map(tuple, parts["topk"].collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want
+
+    # term-level prune: strictly fewer essential (query, term) pairs
+    # than query terms ⇒ postings skipped in candidate generation
+    n_qterms = parts["qterms"].count()
+    n_essential = parts["essential"].count()
+    assert n_essential < n_qterms, (n_essential, n_qterms)
+    # every query produced a theta (>= k champion partials at this SF)
+    assert parts["theta"].count() == 5
+
+
+def test_bm25_wand_doc_pruning_fires_on_skewed_corpus(spark):
+    """Doc-level prune on a discriminative query: docs containing ONLY
+    the ultra-common low-impact term must never become candidates, and
+    the answer must still equal the exact operator's."""
+    from flink_tank_spark.operators import retrieval
+
+    # query doc 0 = "rare common"; docs 1-8 match the rare term; docs
+    # 9-208 contain only the common term (plus per-doc unique filler so
+    # they aren't exact duplicates)
+    rows = [(0, "rare common")]
+    rows += [(i, f"rare common pad{i % 3}") for i in range(1, 9)]
+    rows += [(i, f"common filler{i}") for i in range(9, 209)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = retrieval.bm25_topk(docs, [0], k=3)
+    parts = retrieval.bm25_wand_parts(docs, [0], k=3, champions=8)
+    got = sorted(map(tuple, parts["topk"].collect()))
+    want = sorted(map(tuple, exact.collect()))
+    assert got == want
+
+    cand_docs = {r.doc_id for r in parts["candidates"].collect()}
+    # the rare-term docs are candidates; the common-only docs are not
+    assert cand_docs and cand_docs <= set(range(1, 9)), cand_docs
+    ess = {r.term for r in parts["essential"].collect()}
+    assert "common" not in ess and "rare" in ess, ess
+
+
+def test_bm25_wand_no_theta_means_no_pruning(spark):
+    """A query with < k champion-stage results must get NO theta row and
+    therefore keep every term essential — the no-unsafe-pruning path."""
+    from flink_tank_spark.operators import retrieval
+
+    rows = [(0, "alpha beta"), (1, "alpha gamma"), (2, "beta gamma")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    parts = retrieval.bm25_wand_parts(docs, [0], k=10)
+    assert parts["theta"].count() == 0
+    # all of query 0's terms stay essential
+    assert parts["essential"].count() == 2
+    got = sorted(map(tuple, parts["topk"].collect()))
+    want = sorted(map(tuple, retrieval.bm25_topk(docs, [0], k=10).collect()))
+    assert got == want
