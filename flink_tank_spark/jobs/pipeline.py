@@ -1,0 +1,155 @@
+"""The full two-job streaming chain: producer wire → Job 1 → Job 2.
+
+The reference's complete dataflow is two independently-deployed Flink
+jobs chained through Kafka topics: the event processor consumes
+``input-events`` and produces ``output-results`` + ``error-events``
+(``EventProcessorJob.kt:50-52``), and the aggregation job consumes
+``output-results`` and produces ``aggregated-metrics``
+(``AggregationJob.kt:214-215``). This module is that deployment as two
+checkpointed Structured Streaming queries:
+
+- **Job 1** (:func:`start_processor_job`): wire source → parse/route →
+  stateful per-key sequence → enrich → serialize, ONE query feeding the
+  processed and error sinks through a shared checkpoint
+  (io/kafka.write_dual_stream — the K1/K2 dual-topic parity).
+- **Job 2** (:func:`start_aggregation_job`): Job-1's processed output →
+  lenient parse (failures silently dropped — the reference's error-path
+  asymmetry, AggregationJob.kt:246-256) → timer-based sliding-window
+  heartbeat aggregator (streaming/heartbeat.py) → metrics sink.
+
+Transport: with a broker, both hops are Kafka (io/kafka.py) and the
+chain is at-least-once per hop, exactly like the reference (SURVEY §7.4
+pt 7). Without one, the hop is a directory of text files written by
+:func:`idempotent_wire_sink` — per-micro-batch DETERMINISTIC file names,
+so a replayed (uncommitted) batch rewrites the same file instead of
+minting a new one. Structured Streaming's file source tracks inputs by
+name, which upgrades the file hop to effectively exactly-once and makes
+the chain test's parity assertion strict instead of duplicate-tolerant.
+The sink coalesces each micro-batch to one file — matching the
+reference's operating point (≤10 msg/s out) and keeping the name set
+deterministic; a high-throughput deployment would use the Kafka hop,
+not this shim.
+
+Cadence defaults mirror the reference: 60 s checkpoint intervals
+(EventProcessorJob.kt:161), 10 min window / 5 s emit (AggregationJob.kt:
+53-54). Tests shrink all three to keep wall-clock short.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_tank_spark.io.kafka import (
+    DEFAULT_CHECKPOINT_INTERVAL,
+    read_jsonl_stream,
+    write_dual_stream,
+)
+from flink_tank_spark.streaming.heartbeat import (
+    EMIT_EVERY_MS,
+    WINDOW_MS,
+    sliding_metrics_heartbeat,
+)
+from flink_tank_spark.streaming.jobs import (
+    get_tagged_output_stream,
+    parse_processed_events,
+    serialize_metrics,
+    split_tagged,
+)
+
+
+def idempotent_wire_sink(dirpath: str):
+    """foreachBatch writer: land a micro-batch of ``value`` strings as
+    ONE deterministically-named text file ``batch-<id>.txt``.
+
+    Replay safety (the foreachBatch idempotency contract from the Spark
+    docs, keyed on ``batch_id``): the batch is written distributed to a
+    scratch dir, then its single part file is renamed over the final
+    name — a same-filesystem atomic replace. A replayed batch reproduces
+    the same row set (its input files and rolled-back state are the
+    same), so downstream file sources — which track files by NAME —
+    never double-read, and a batch that died before the rename left
+    nothing visible.
+    """
+    os.makedirs(dirpath, exist_ok=True)
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        scratch = os.path.join(dirpath, f"_scratch-{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").text(scratch)
+        parts = sorted(
+            f for f in os.listdir(scratch) if f.startswith("part-")
+        )
+        if parts:  # empty batches write no part file — nothing to land
+            os.replace(
+                os.path.join(scratch, parts[0]),
+                os.path.join(dirpath, f"batch-{batch_id:08d}.txt"),
+            )
+        for f in os.listdir(scratch):
+            os.remove(os.path.join(scratch, f))
+        os.rmdir(scratch)
+
+    return write
+
+
+def start_processor_job(
+    spark: SparkSession,
+    source_dir: str,
+    processed_dir: str,
+    errors_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    trigger_interval: str | None = DEFAULT_CHECKPOINT_INTERVAL,
+    available_now: bool = False,
+):
+    """Job 1 over the file wire: one checkpointed dual-sink query."""
+    raw = read_jsonl_stream(spark, source_dir, max_files_per_trigger)
+    tagged = get_tagged_output_stream(raw, streaming=True)
+    return write_dual_stream(
+        tagged,
+        split_tagged,
+        idempotent_wire_sink(processed_dir),
+        idempotent_wire_sink(errors_dir),
+        checkpoint_dir,
+        "processor-job",
+        available_now=available_now,
+        trigger_interval=None if available_now else trigger_interval,
+    )
+
+
+def start_aggregation_job(
+    spark: SparkSession,
+    processed_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    window_ms: int = WINDOW_MS,
+    emit_every_ms: int = EMIT_EVERY_MS,
+    trigger_interval: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Job 2 over the file wire: parse → heartbeat → metrics file sink.
+
+    The metrics sink is Structured Streaming's native text sink —
+    manifest-committed per micro-batch, so readers see each metric
+    exactly once across restarts of THIS query.
+    """
+    os.makedirs(processed_dir, exist_ok=True)  # source dir may not exist yet
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.text(processed_dir)
+    parsed = parse_processed_events(raw)
+    metrics = sliding_metrics_heartbeat(
+        parsed, window_ms=window_ms, emit_every_ms=emit_every_ms
+    )
+    writer = (
+        serialize_metrics(metrics)
+        .writeStream.format("text")
+        .option("path", metrics_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("aggregation-job")
+    )
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

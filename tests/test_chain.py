@@ -1,0 +1,211 @@
+"""End-to-end two-job streaming chain with mid-stream kill/restart.
+
+The one reference behavior no other test executes as a single pipeline:
+producer wire → Job 1 (parse/route → stateful sequence → enrich, dual
+checkpointed sinks) → Job 2 (parse → timer-based sliding heartbeat →
+metrics sink), chained through the file wire exactly as the reference
+chains EventProcessorJob → AggregationJob through Kafka topics
+(EventProcessorJob.kt:50-52 → AggregationJob.kt:214-215).
+
+Both queries are killed abruptly mid-stream and restarted from their
+checkpoints; more input arrives after recovery. Assertions:
+
+- the processed wire holds every valid input exactly once, with exact
+  per-key sequences 1..n (Job-1 state + sink idempotency both survived
+  the kill);
+- the error wire holds every malformed input exactly once;
+- the final per-key metrics equal the BATCH topology's answer on the
+  same input: per-key totals and per-type count maps (the heartbeat
+  window spans the whole run, so the last emission per key counts all
+  of that key's events). The file wire's deterministic names make the
+  hop effectively exactly-once, so equality is strict — the Kafka hop
+  would be at-least-once (SURVEY §7.4 pt 7), which only this transport
+  detail, not the topology, upgrades.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from flink_tank_spark.jobs.pipeline import (
+    start_aggregation_job,
+    start_processor_job,
+)
+from flink_tank_spark.streaming.jobs import get_output_streams
+
+_ARRIVAL = 0
+
+
+def _write_wire(dirpath: str, name: str, messages: list[str]) -> None:
+    global _ARRIVAL
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for m in messages:
+            f.write(f"{_ARRIVAL}\t{m}\n")
+            _ARRIVAL += 1
+    os.rename(tmp, os.path.join(dirpath, f"{name}.jsonl"))
+
+
+def _event(key: int, etype: str, i: int) -> str:
+    return json.dumps(
+        {"id": f"u{key}", "type": etype, "timestamp": i + 1, "data": {"n": i}}
+    )
+
+
+def _read_wire(dirpath: str) -> list[str]:
+    out: list[str] = []
+    if not os.path.isdir(dirpath):
+        return out
+    for fn in sorted(os.listdir(dirpath)):
+        if fn.startswith(("_", ".")):
+            continue
+        with open(os.path.join(dirpath, fn)) as f:
+            out += [line.rstrip("\n") for line in f if line.strip()]
+    return out
+
+
+def _metric_maxima(metrics_dir: str) -> dict[str, dict]:
+    """Per key, the emission with the highest totalEventCount."""
+    best: dict[str, dict] = {}
+    for line in _read_wire(metrics_dir):
+        m = json.loads(line)
+        cur = best.get(m["userId"])
+        if cur is None or m["totalEventCount"] > cur["totalEventCount"]:
+            best[m["userId"]] = m
+    return best
+
+
+def test_two_job_chain_survives_kill_and_restart(spark, tmp_path):
+    src = str(tmp_path / "wire-in")
+    processed = str(tmp_path / "wire-processed")
+    errors = str(tmp_path / "wire-errors")
+    metrics = str(tmp_path / "metrics")
+    chk1 = str(tmp_path / "chk-job1")
+    chk2 = str(tmp_path / "chk-job2")
+
+    n_keys, types = 12, ["a", "b", "c"]
+    expected: dict[str, dict[str, int]] = {f"u{k}": {} for k in range(n_keys)}
+    malformed: list[str] = []
+    seq = 0
+
+    def make_file(name: str, n_valid: int, n_bad: int) -> None:
+        nonlocal seq
+        msgs = []
+        for _ in range(n_valid):
+            k = seq % n_keys
+            t = types[seq % len(types)]
+            msgs.append(_event(k, t, seq))
+            expected[f"u{k}"][t] = expected[f"u{k}"].get(t, 0) + 1
+            seq += 1
+        for _ in range(n_bad):
+            bad = "{not json %d" % seq
+            msgs.append(bad)
+            malformed.append(bad)
+            seq += 1
+        _write_wire(src, name, msgs)
+
+    for b in range(6):
+        make_file(f"b{b}", 24, 1)
+
+    def start_both():
+        q1 = start_processor_job(
+            spark, src, processed, errors, chk1,
+            max_files_per_trigger=1, trigger_interval="250 milliseconds",
+        )
+        q2 = start_aggregation_job(
+            spark, processed, metrics, chk2,
+            window_ms=300_000, emit_every_ms=500,
+            trigger_interval="250 milliseconds",
+        )
+        return q1, q2
+
+    # phase 1: run until Job 1 has committed a few batches AND Job 2 has
+    # emitted at least one metric — both queries are genuinely mid-stream
+    q1, q2 = start_both()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            committed = [p for p in q1.recentProgress if p["numInputRows"] > 0]
+            if len(committed) >= 3 and _read_wire(metrics):
+                break
+            time.sleep(0.25)
+        else:
+            raise AssertionError("chain never reached mid-stream checkpoints")
+    finally:
+        # abrupt kill of BOTH queries (stream-execution threads
+        # interrupted; in-flight batches abandoned)
+        q1.stop()
+        q2.stop()
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+
+    # phase 2: restart both from their checkpoints; more input arrives
+    for b in range(6, 8):
+        make_file(f"b{b}", 24, 1)
+    want_totals = {u: sum(c.values()) for u, c in expected.items()}
+
+    q1, q2 = start_both()
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            best = _metric_maxima(metrics)
+            if all(
+                best.get(u, {}).get("totalEventCount", 0) >= n
+                for u, n in want_totals.items()
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+        q2.stop()
+    q1.awaitTermination(60)
+    q2.awaitTermination(60)
+
+    # --- processed wire: every valid input exactly once, sequences 1..n
+    proc = [json.loads(line) for line in _read_wire(processed)]
+    got_seqs: dict[str, list[int]] = {}
+    for p in proc:
+        got_seqs.setdefault(p["originalId"], []).append(p["sequence"])
+    assert set(got_seqs) == set(expected)
+    for u, seqs in got_seqs.items():
+        assert sorted(seqs) == list(range(1, want_totals[u] + 1)), (
+            u, sorted(seqs)[:5], want_totals[u],
+        )
+    got_types: dict[str, dict[str, int]] = {u: {} for u in expected}
+    for p in proc:
+        d = got_types[p["originalId"]]
+        d[p["eventType"]] = d.get(p["eventType"], 0) + 1
+    assert got_types == expected
+
+    # --- error wire: every malformed input exactly once
+    errs = [json.loads(line) for line in _read_wire(errors)]
+    assert sorted(e["rawMessage"] for e in errs) == sorted(malformed)
+
+    # --- metrics parity with the batch topology on the same input
+    raw_batch = (
+        spark.read.options(sep="\t", quote="", escape="")
+        .schema("arrival long, value string")
+        .csv(src)
+    )
+    batch_processed, _ = get_output_streams(raw_batch, order_by=["arrival"])
+    batch_counts = {
+        (r.originalId, r.eventType): r.cnt
+        for r in batch_processed.groupBy("originalId", "eventType")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    best = _metric_maxima(metrics)
+    assert set(best) == set(expected)
+    for u in expected:
+        m = best[u]
+        assert m["totalEventCount"] == want_totals[u], (u, m)
+        assert m["eventTypeCounts"] == {
+            t: c for (uu, t), c in batch_counts.items() if uu == u
+        }, (u, m)
+        # reference window-bound semantics: [now-window, now]
+        assert m["windowStart"] < m["windowEnd"]
