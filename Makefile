@@ -56,6 +56,19 @@ bench-streaming:
 bench-streaming-sf1: sf1
 	python scripts/bench_streaming.py data/sf1 2>/dev/null | tail -1
 
+# multi-probe IVF recall/cost curve (probes 1/2/4 vs exact top-5).
+# sf0.1 is the meaningful corpus: sfN replicas put a query's exact
+# duplicates in its own cell, pinning recall at 1.0
+ivf-recall:
+	python scripts/ivf_recall_curve.py /root/testdata/sf0.1 2>/dev/null
+
+# Spark-vs-Spark partition-invariance sweep of the bench subset at sf5
+# (beyond sf1 the DuckDB oracle, not the engine, is the gate bottleneck)
+invariance-sf5: sf5
+	python scripts/partition_invariance.py data/sf5 32 32 --bench 2>/dev/null > /tmp/pi_a.txt
+	python scripts/partition_invariance.py data/sf5 5 11 --bench 2>/dev/null > /tmp/pi_b.txt
+	diff /tmp/pi_a.txt /tmp/pi_b.txt && echo INVARIANT-OK
+
 list:
 	python -m flink_tank_spark.tools.run_query --list
 

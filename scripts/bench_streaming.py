@@ -115,6 +115,88 @@ def main() -> int:
         proc_wall = time.perf_counter() - t0
         processed = spark.read.parquet(ok_dir).count()
 
+        # Job-2 aggregator topology: ProcessedEvent JSON -> lenient parse
+        # -> timer-based sliding heartbeat (streaming/heartbeat.py), the
+        # reference's AggregationJob. Two key cardinalities: 50 (the
+        # reference's user pool, EventProducer.kt:20) and 50k (state-
+        # scale: one GroupState row per key). Reference cadence: 10 min
+        # window / 5 s emit, so a multi-second drain fires real timers.
+        from flink_tank_spark.streaming.heartbeat import sliding_metrics_heartbeat
+        from flink_tank_spark.streaming.jobs import (
+            parse_processed_events,
+            serialize_processed,
+        )
+
+        pe = parse_processed_events(spark.read.parquet(ok_dir))
+        job2 = {}
+        job2_ok = True
+        for n_keys in (50, 50_000):
+            src2 = os.path.join(work, f"job2-src-{n_keys}")
+            chk3 = os.path.join(work, f"chk3-{n_keys}")
+            remapped = pe.withColumn(
+                "originalId",
+                F.concat(
+                    F.lit("k"),
+                    F.pmod(F.xxhash64("originalId", "sequence"), F.lit(n_keys)).cast(
+                        "string"
+                    ),
+                ),
+            )
+            serialize_processed(remapped).repartition(cpus).write.mode(
+                "overwrite"
+            ).text(src2)
+            # hash remap leaves some of the n_keys pool unused (and at
+            # small SFs processed < n_keys): the state plateau target is
+            # the ACTUAL distinct key count, computed batch-side
+            expect_keys = remapped.select("originalId").distinct().count()
+
+            raw2 = (
+                spark.readStream.option("maxFilesPerTrigger", str(cpus))
+                .text(src2)
+            )
+            metrics = sliding_metrics_heartbeat(
+                parse_processed_events(raw2),
+                window_ms=600_000,
+                emit_every_ms=5_000,
+            )
+            # availableNow can NEVER terminate this query: the heartbeat
+            # re-registers a processing-time timer while its window is
+            # non-empty (activity-based heartbeat; window 10 min), so
+            # timer-only micro-batches continue after the source drains.
+            # Bound the run by polling progress until every input row is
+            # committed, then stop — wall measures the DATA path (the
+            # throughput question) plus whatever timers fired during it.
+            t0 = time.perf_counter()
+            q = (
+                metrics.writeStream.format("noop")
+                .option("checkpointLocation", chk3)
+                .queryName(f"bench-aggregator-{n_keys}")
+                .start()
+            )
+            state_rows = None
+            deadline = time.time() + 600
+            drained_at = None
+            while time.time() < deadline:
+                seen = sum(p["numInputRows"] for p in q.recentProgress)
+                p = q.lastProgress
+                if p and p.get("stateOperators"):
+                    state_rows = p["stateOperators"][0]["numRowsTotal"]
+                if seen >= processed and drained_at is None:
+                    drained_at = time.perf_counter()
+                if drained_at is not None and state_rows == expect_keys:
+                    break
+                time.sleep(0.2)
+            q.stop()
+            q.awaitTermination(60)
+            j2_wall = (drained_at or time.perf_counter()) - t0
+            job2[f"keys{n_keys}"] = {
+                "events_per_sec": round(processed / j2_wall, 1),
+                "wall_sec": round(j2_wall, 2),
+                "state_rows": state_rows,
+                "expected_keys": expect_keys,
+            }
+            job2_ok = job2_ok and state_rows == expect_keys
+
         out = {
             "metric": "streaming_ingest_throughput",
             "value": round(landed / wall, 1),
@@ -125,11 +207,12 @@ def main() -> int:
             "processor_events_per_sec": round(processed / proc_wall, 1),
             "processor_events": processed,
             "processor_wall_sec": round(proc_wall, 2),
+            "job2_heartbeat": job2,
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "cpus": cpus,
         }
         print(json.dumps(out))
-        return 0 if landed == n_events and processed == n_events else 1
+        return 0 if landed == n_events and processed == n_events and job2_ok else 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -1,0 +1,124 @@
+"""Multi-probe IVF recall/cost curve: recall@5 vs candidates scored.
+
+``ivf_assign(probes=N)`` is the standard ANN recall knob (probe the N
+nearest cells instead of 1); this script turns it from a code path into
+EVIDENCE: for probes ∈ {1, 2, 4} over the k-means IVF index it reports
+
+- mean recall@5 of the cell-restricted search vs the exact brute-force
+  top-5 (the emb_ivf_recall measurement, generalized to multi-probe);
+- candidates scored (the cost that scales with probes — at 100 TB this
+  is the knob trading scan fan-out for recall).
+
+Neighbors stay single-assigned (the index); only QUERIES multi-probe —
+each probe cell's candidate set is disjoint (a neighbor lives in exactly
+one cell), so the union needs no dedup before ranking.
+
+Usage:
+    python scripts/ivf_recall_curve.py [sf_dir] [cpus]
+Prints one JSON line per probe setting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import similarity
+    from flink_tank_spark.operators.skew import spread_partitions
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("ivf-recall-curve", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    n_vec = emb.count()
+
+    # exact ground truth: brute-force cosine top-5 for the 10 query ids
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = (
+        similarity.cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    exact.count()
+
+    # trained index: 8 k-means cells, single-assigned corpus
+    cent = similarity.kmeans_centroids(emb, k=8, iters=2)
+    cent_t = cent.select(
+        F.col("centroid_id").alias("vec_id"), F.col("cv").alias("embedding")
+    )
+    assigned = similarity.ivf_assign(emb, cent_t).persist()
+    assigned.count()
+
+    import time
+
+    for probes in (1, 2, 4):
+        t0 = time.perf_counter()
+        q_assigned = similarity.ivf_assign(queries, cent_t, probes=probes)
+        q_sel = q_assigned.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+            F.col("centroid_id").alias("q_cell"),
+        )
+        scored = assigned.join(
+            F.broadcast(q_sel),
+            (F.col("centroid_id") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                similarity.dot_vectorized(F.col("qv"), F.col("v"))
+                / (F.col("qnorm") * F.col("vnorm"))
+            ).alias("cos_sim"),
+        )
+        n_candidates = scored.count()
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+        approx = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select(
+                F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+            )
+        )
+        hits = exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+        ).count()
+        wall = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "probes": probes,
+                    "recall_at_5": round(hits / 50.0, 3),
+                    "candidates_scored": n_candidates,
+                    "corpus_vectors": n_vec,
+                    "wall_sec": round(wall, 2),
+                    "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
