@@ -79,9 +79,12 @@ def idempotent_wire_sink(dirpath: str):
         scratch = os.path.join(dirpath, f"_scratch-{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").text(scratch)
         parts = sorted(
-            f for f in os.listdir(scratch) if f.startswith("part-")
+            f
+            for f in os.listdir(scratch)
+            if f.startswith("part-")
+            and os.path.getsize(os.path.join(scratch, f)) > 0
         )
-        if parts:  # empty batches write no part file — nothing to land
+        if parts:  # an empty batch writes a 0-byte part — don't land it
             os.replace(
                 os.path.join(scratch, parts[0]),
                 os.path.join(dirpath, f"batch-{batch_id:08d}.txt"),

@@ -211,14 +211,14 @@ def bm25_wand_parts(
     # 2 merges the ≤ salt_buckets×M survivors per term.
     w_salt = W.partitionBy("term", "_salt").orderBy(F.desc("impact"), F.col(id_col))
     w_term = W.partitionBy("term").orderBy(F.desc("impact"), F.col(id_col))
-    champ = (
+    champ_ranked = (
         imp.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
         .withColumn("_r1", F.row_number().over(w_salt))
         .filter(F.col("_r1") <= champions)
         .withColumn("_r2", F.row_number().over(w_term))
         .filter(F.col("_r2") <= champions)
-        .select(id_col, "term", "impact")
     )
+    champ = champ_ranked.select(id_col, "term", "impact")
     # θ per query: the k-th best CHAMPION-ONLY partial score. Each doc's
     # partial ≤ its true score, so the k-th best partial is a valid lower
     # bound on the true k-th best — fixed-point summed for partition-
@@ -252,9 +252,12 @@ def bm25_wand_parts(
     # float by half an ulp-at-1e-9 per term — flooring the UB through
     # the same monotone function makes Σ UB' a true bound on any doc's
     # floored score, so the < θ comparison is exact, not approximate.
-    ub = imp.groupBy("term").agg(
-        (F.max(F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5)))
-         .cast("double") / F.lit(SCORE_SCALE)).alias("ub")
+    # Derived from the champion stage's rank-1 row (the top champion IS
+    # the term's max impact) instead of a second full impacts pass.
+    ub = champ_ranked.filter(F.col("_r2") == 1).select(
+        "term",
+        (F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5))
+         / F.lit(SCORE_SCALE)).alias("ub"),
     )
     w_suffix = (
         W.partitionBy("query_id")

@@ -209,3 +209,29 @@ def test_two_job_chain_survives_kill_and_restart(spark, tmp_path):
         }, (u, m)
         # reference window-bound semantics: [now-window, now]
         assert m["windowStart"] < m["windowEnd"]
+
+
+def test_idempotent_wire_sink_replay_overwrites_same_file(spark, tmp_path):
+    """The foreachBatch idempotency contract: replaying a batch id must
+    replace its file (same name, same row set), never mint a new one —
+    this is what makes the file hop effectively exactly-once for a
+    name-tracking downstream file source."""
+    from flink_tank_spark.jobs.pipeline import idempotent_wire_sink
+
+    out = str(tmp_path / "wire")
+    sink = idempotent_wire_sink(out)
+    df1 = spark.createDataFrame([("a",), ("b",)], "value string")
+    sink(df1, 3)
+    # replay of batch 3 (e.g. after a crash before the checkpoint
+    # commit) with the same rows in a different partitioning
+    sink(df1.repartition(4), 3)
+    sink(spark.createDataFrame([("c",)], "value string"), 4)
+
+    files = sorted(f for f in os.listdir(out) if not f.startswith(("_", ".")))
+    assert files == ["batch-00000003.txt", "batch-00000004.txt"]
+    with open(os.path.join(out, files[0])) as f:
+        assert sorted(f.read().split()) == ["a", "b"]
+    # empty batch: no file, no error
+    sink(spark.createDataFrame([], "value string"), 5)
+    files = sorted(f for f in os.listdir(out) if not f.startswith(("_", ".")))
+    assert files == ["batch-00000003.txt", "batch-00000004.txt"]
