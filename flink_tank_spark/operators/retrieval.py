@@ -160,8 +160,7 @@ def bm25_wand_parts(
     id_col: str = "doc_id",
     text_col: str = "text",
     posts: DataFrame | None = None,
-    champions: int = 32,
-    salt_buckets: int = 16,
+    max_seeds: int = 1024,
 ) -> dict[str, DataFrame]:
     """Building blocks of the WAND-pruned BM25 top-k (see
     :func:`bm25_wand_topk`), exposed so tests and the pruning-stats
@@ -191,73 +190,95 @@ def bm25_wand_parts(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
     dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # Exact per-posting impact: in bag-of-words BM25 every (term, doc)
-    # contribution is fully determined by (tf, dl, df, stats) — no bound
-    # needed at the posting level; UPPER bounds are only needed per TERM.
-    impact_col = _term_score(
-        F.col("tf"), F.col("dl"), F.col("df"),
-        F.col("n_docs"), F.col("avgdl"), k1, b,
-    )
-    imp = (
-        mposts.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(id_col, "term", impact_col.alias("impact"))
-    )
-    # Champion lists: per-term top-`champions` postings by impact. Built
-    # skew-safely in two phases — a hot term's full posting list is
-    # O(n_docs) at corpus scale, so a single PARTITION BY term window
-    # would funnel it through one task. Phase 1 takes a per-(term, salt)
-    # top-M (salt spreads the hot term over `salt_buckets` tasks); phase
-    # 2 merges the ≤ salt_buckets×M survivors per term.
-    w_salt = W.partitionBy("term", "_salt").orderBy(F.desc("impact"), F.col(id_col))
-    w_term = W.partitionBy("term").orderBy(F.desc("impact"), F.col(id_col))
-    champ_ranked = (
-        imp.withColumn("_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets)))
-        .withColumn("_r1", F.row_number().over(w_salt))
-        .filter(F.col("_r1") <= champions)
-        .withColumn("_r2", F.row_number().over(w_term))
-        .filter(F.col("_r2") <= champions)
-    )
-    champ = champ_ranked.select(id_col, "term", "impact")
-    # θ per query: the k-th best CHAMPION-ONLY partial score. Each doc's
-    # partial ≤ its true score, so the k-th best partial is a valid lower
-    # bound on the true k-th best — fixed-point summed for partition-
-    # invariant determinism (same recipe as the exact scorer).
-    partial = (
-        champ.join(F.broadcast(qterms), "term")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id", id_col,
-            F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
+
+    def rescore(restrict: DataFrame) -> DataFrame:
+        """Exact fixed-point BM25 of the (query, doc) pairs in
+        ``restrict`` over ALL their matched query terms — the identical
+        expression + sum as bm25_topk, so scores are bit-equal."""
+        matched = (
+            mposts.join(F.broadcast(dfreq), "term")
+            .join(F.broadcast(qterms), "term")
+            .filter(F.col(id_col) != F.col("query_id"))
+            .join(restrict, ["query_id", id_col])
+            .crossJoin(F.broadcast(stats))
         )
-        .groupBy("query_id", id_col)
-        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("pscore"))
+        score_t = _term_score(
+            F.col("tf"), F.col("dl"), F.col("df"),
+            F.col("n_docs"), F.col("avgdl"), k1, b,
+        )
+        return (
+            matched.select(
+                "query_id", id_col,
+                F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
+            )
+            .groupBy("query_id", id_col)
+            .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
+        )
+
+    # θ bootstrap: classic WAND refines θ progressively during
+    # doc-at-a-time traversal; a one-shot batch plan needs θ up front.
+    # Seed it from each query's RAREST term (min df): docs containing
+    # the highest-idf term are the classic top-score candidates, their
+    # EXACT scores are computed by the shared rescorer, and the k-th
+    # best of any subset of true scores is a valid lower bound on the
+    # true k-th best. The seed list is df-bounded by construction and
+    # additionally capped at ``max_seeds`` per query (a deterministic
+    # doc-id cap keeps θ valid — it only weakens, never unsafely
+    # strengthens, the bound). No corpus-sized window anywhere: the
+    # earlier champion-list formulation paid two full window sorts over
+    # every matched posting (measured 12 s engine-side at sf1 vs ~2 s
+    # for this shape).
+    w_rare = W.partitionBy("query_id").orderBy("df", "term")
+    rare = (
+        qterms.join(F.broadcast(dfreq), "term")
+        .withColumn("_r", F.row_number().over(w_rare))
+        .filter(F.col("_r") == 1)
+        .select("query_id", "term")
     )
-    w_q = W.partitionBy("query_id").orderBy(F.desc("pscore"), F.col(id_col))
+    w_seed = W.partitionBy("query_id").orderBy(F.col(id_col))
+    seeds = (
+        mposts.join(F.broadcast(rare), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col)
+        .withColumn("_r", F.row_number().over(w_seed))
+        .filter(F.col("_r") <= max_seeds)
+        .drop("_r")
+    )
+    w_q = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     theta = (
-        partial.withColumn("_rk", F.row_number().over(w_q))
+        rescore(seeds)
+        .withColumn("_rk", F.row_number().over(w_q))
         .filter(F.col("_rk") == k)
-        .select("query_id", F.col("pscore").alias("theta"))
+        .select("query_id", F.col("score").alias("theta"))
     )
-    # Per-term upper bound = max posting impact (map-side agg; never a
-    # per-term window). WAND term prune: sort a query's terms by UB
+    # Per-term upper bound = max posting impact (ONE map-side-combinable
+    # aggregation over the per-posting exact impacts; in bag-of-words
+    # BM25 every (term, doc) contribution is fully determined by
+    # (tf, dl, df, stats)). WAND term prune: sort a query's terms by UB
     # descending and suffix-sum; a term whose suffix-sum < θ is
     # "non-essential" — a doc matching ONLY non-essential terms scores
-    # ≤ that suffix-sum < θ ≤ true k-th score, so it can never enter the
-    # top-k. Queries with < k champion partials get no θ row ⇒ every
-    # term stays essential (no unsafe pruning).
+    # ≤ that suffix-sum < θ ≤ true k-th score, so it can never enter
+    # the top-k. Queries with < k seed docs get no θ row ⇒ every term
+    # stays essential (no unsafe pruning).
     #
     # The UB is the max FLOOR-SCALED impact: the exact scorer sums
     # floor(s·1e9 + 0.5) terms, and round-half-up can exceed the raw
     # float by half an ulp-at-1e-9 per term — flooring the UB through
     # the same monotone function makes Σ UB' a true bound on any doc's
     # floored score, so the < θ comparison is exact, not approximate.
-    # Derived from the champion stage's rank-1 row (the top champion IS
-    # the term's max impact) instead of a second full impacts pass.
-    ub = champ_ranked.filter(F.col("_r2") == 1).select(
-        "term",
-        (F.floor(F.col("impact") * F.lit(SCORE_SCALE) + F.lit(0.5))
-         / F.lit(SCORE_SCALE)).alias("ub"),
+    impact_col = _term_score(
+        F.col("tf"), F.col("dl"), F.col("df"),
+        F.col("n_docs"), F.col("avgdl"), k1, b,
+    )
+    ub = (
+        mposts.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.floor(impact_col * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_i"),
+        )
+        .groupBy("term")
+        .agg((F.max("_i").cast("double") / F.lit(SCORE_SCALE)).alias("ub"))
     )
     w_suffix = (
         W.partitionBy("query_id")
@@ -278,31 +299,10 @@ def bm25_wand_parts(
         .select("query_id", id_col)
         .distinct()
     )
-    # Exact rescore of candidates over ALL their matched query terms —
-    # identical expression + fixed-point sum as bm25_topk, so the result
-    # is bit-identical to the unpruned operator.
-    matched = (
-        mposts.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(candidates, ["query_id", id_col])
-        .crossJoin(F.broadcast(stats))
-    )
-    score_t = _term_score(
-        F.col("tf"), F.col("dl"), F.col("df"),
-        F.col("n_docs"), F.col("avgdl"), k1, b,
-    )
-    scored = (
-        matched.select(
-            "query_id", id_col,
-            F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
-        )
-        .groupBy("query_id", id_col)
-        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
-    )
     w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     topk = (
-        scored.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        rescore(candidates)
+        .withColumn("rk", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rk")
     )
@@ -325,7 +325,7 @@ def bm25_wand_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     posts: DataFrame | None = None,
-    champions: int = 32,
+    max_seeds: int = 1024,
 ) -> DataFrame:
     """WAND-style dynamically-pruned BM25 top-k — the 100 TB scale path
     the exact :func:`bm25_topk` names as its successor.
@@ -334,10 +334,11 @@ def bm25_wand_topk(
     per-term score upper bounds; this is its batch/distributed
     restatement:
 
-    1. champion lists — per-term top-M postings by exact impact (two-
-       phase salted top-M, skew-safe for hot terms);
-    2. θ — the k-th best champion-only partial score per query, a valid
-       LOWER bound on the true k-th best score;
+    1. θ seeding — the exact scores of each query's rarest-term posting
+       list (df-bounded, capped): the k-th best is a valid LOWER bound
+       on the true k-th best score;
+    2. per-term upper bounds — one map-side max over exact posting
+       impacts (never a per-term window);
     3. term prune — terms whose UB suffix-sum (descending UB order)
        falls below θ are non-essential; docs matching only those are
        provably outside the top-k and never rescored;
@@ -348,9 +349,9 @@ def bm25_wand_topk(
     The win at scale: ultra-common terms' full posting lists (the
     dominant cost — O(n_docs) rows each) are only traversed when the
     term is essential for some query; with a selective query set most
-    postings are touched only in the capped champion stage.
+    postings feed only the one map-side UB aggregation.
     """
     return bm25_wand_parts(
         docs, query_ids, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
-        posts=posts, champions=champions,
+        posts=posts, max_seeds=max_seeds,
     )["topk"]

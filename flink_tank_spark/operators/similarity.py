@@ -113,16 +113,25 @@ def cosine_topk(
     One pass over the corpus per partition, no shuffle of the corpus
     side; the only shuffle is the final per-query top-k (tiny). Norms
     are computed ONCE per vector (not per pair) — per pair only the dot
-    product remains.
+    product remains. Zero-norm vectors are excluded on both sides (no
+    direction ⇒ cosine undefined; ANSI mode would raise on the divide).
     """
     from pyspark.sql.window import Window as W
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double_array(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double_array(F.col(vec_col)).alias("cv")
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
     scored = (
         _broadcast_all_pairs(c, q, "neighbor_id", "query_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -155,13 +164,27 @@ def ivf_assign(
     on centroid id for determinism. Output carries the vector and its
     precomputed norm (``vnorm``) so downstream rescoring never recomputes
     norms per pair.
+
+    Zero-norm vectors are EXCLUDED: they have no direction, so cosine
+    assignment is undefined for them — under ANSI mode (Spark 4's
+    default) the 0-divide would kill the whole job, and pre-ANSI it
+    produced NaN similarities that compare differently in Spark SQL
+    (NaN sorts high) vs numpy (NaN comparisons are False). Curation
+    pipelines should route them through a quality filter instead.
     """
-    c = corpus.select(
-        F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
-    ).withColumn("vnorm", norm(F.col("v")))
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), as_double_array(F.col(vec_col)).alias("cv")
-    ).withColumn("cnorm", norm(F.col("cv")))
+    c = (
+        corpus.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .withColumn("vnorm", norm(F.col("v")))
+        .filter(F.col("vnorm") > 0)
+    )
+    cent = (
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cnorm", norm(F.col("cv")))
+        .filter(F.col("cnorm") > 0)
+    )
     scored = _broadcast_all_pairs(c, cent, id_col, "centroid_id").select(
         id_col,
         "v",

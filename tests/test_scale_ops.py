@@ -140,7 +140,7 @@ def test_bm25_wand_matches_exact_and_prunes_terms(spark, oracle_sf_dir):
     n_qterms = parts["qterms"].count()
     n_essential = parts["essential"].count()
     assert n_essential < n_qterms, (n_essential, n_qterms)
-    # every query produced a theta (>= k champion partials at this SF)
+    # every query produced a theta (>= k rare-term seed docs at this SF)
     assert parts["theta"].count() == 5
 
 
@@ -159,7 +159,7 @@ def test_bm25_wand_doc_pruning_fires_on_skewed_corpus(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     exact = retrieval.bm25_topk(docs, [0], k=3)
-    parts = retrieval.bm25_wand_parts(docs, [0], k=3, champions=8)
+    parts = retrieval.bm25_wand_parts(docs, [0], k=3)
     got = sorted(map(tuple, parts["topk"].collect()))
     want = sorted(map(tuple, exact.collect()))
     assert got == want
@@ -172,8 +172,8 @@ def test_bm25_wand_doc_pruning_fires_on_skewed_corpus(spark):
 
 
 def test_bm25_wand_no_theta_means_no_pruning(spark):
-    """A query with < k champion-stage results must get NO theta row and
-    therefore keep every term essential — the no-unsafe-pruning path."""
+    """A query with < k seed docs must get NO theta row and therefore
+    keep every term essential — the no-unsafe-pruning path."""
     from flink_tank_spark.operators import retrieval
 
     rows = [(0, "alpha beta"), (1, "alpha gamma"), (2, "beta gamma")]
@@ -185,3 +185,26 @@ def test_bm25_wand_no_theta_means_no_pruning(spark):
     got = sorted(map(tuple, parts["topk"].collect()))
     want = sorted(map(tuple, retrieval.bm25_topk(docs, [0], k=10).collect()))
     assert got == want
+
+
+def test_cell_blocked_pairs_drops_zero_norm_vectors(spark):
+    """A zero-norm embedding has NaN cosine to everything (0/0); the
+    blocked rescorer must exclude it from pairing (documented contract)
+    rather than let numpy's NaN-is-False comparison silently diverge
+    from Spark SQL's NaN-sorts-high semantics."""
+    from flink_tank_spark.operators import similarity
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 0.0]),  # zero norm
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    centroids = emb.filter(F.col("vec_id") == 0)
+    assigned = similarity.ivf_assign(emb, centroids)
+    pairs = similarity.cell_blocked_pairs(assigned, threshold=0.5).collect()
+    ids = {i for r in pairs for i in (r.id_a, r.id_b)}
+    assert 2 not in ids
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
