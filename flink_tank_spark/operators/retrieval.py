@@ -191,15 +191,19 @@ def bm25_wand_parts(
     )
     dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    def rescore(restrict: DataFrame) -> DataFrame:
+    def rescore(restrict: DataFrame, broadcast_restrict: bool = False) -> DataFrame:
         """Exact fixed-point BM25 of the (query, doc) pairs in
         ``restrict`` over ALL their matched query terms — the identical
-        expression + sum as bm25_topk, so scores are bit-equal."""
+        expression + sum as bm25_topk, so scores are bit-equal.
+        ``broadcast_restrict`` for bounded restrict sets (the seed list)
+        turns the restriction into a broadcast-hash probe instead of a
+        corpus-sized shuffle."""
+        r = F.broadcast(restrict) if broadcast_restrict else restrict
         matched = (
             mposts.join(F.broadcast(dfreq), "term")
             .join(F.broadcast(qterms), "term")
             .filter(F.col(id_col) != F.col("query_id"))
-            .join(restrict, ["query_id", id_col])
+            .join(r, ["query_id", id_col])
             .crossJoin(F.broadcast(stats))
         )
         score_t = _term_score(
@@ -233,20 +237,32 @@ def bm25_wand_parts(
         qterms.join(F.broadcast(dfreq), "term")
         .withColumn("_r", F.row_number().over(w_rare))
         .filter(F.col("_r") == 1)
-        .select("query_id", "term")
+        .select("query_id", "term", "df")
     )
-    w_seed = W.partitionBy("query_id").orderBy(F.col(id_col))
+    # The cap is deterministic hash-THINNING (keep ~max_seeds of df by
+    # hash residue), not a per-query row_number: a window partitioned by
+    # query_id would funnel the rare term's whole posting list through
+    # one task per query (measured: the sort-cap made wand scale WORSE
+    # than exact at sf5 on this unselective corpus). The thinning filter
+    # is partition-invariant (pure doc-id hash) and any subset keeps θ
+    # valid.
     seeds = (
         mposts.join(F.broadcast(rare), "term")
         .filter(F.col(id_col) != F.col("query_id"))
+        .filter(
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.floor(
+                    (F.col("df") + F.lit(max_seeds - 1)) / F.lit(max_seeds)
+                ).cast("long"),
+            )
+            == 0
+        )
         .select("query_id", id_col)
-        .withColumn("_r", F.row_number().over(w_seed))
-        .filter(F.col("_r") <= max_seeds)
-        .drop("_r")
     )
     w_q = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     theta = (
-        rescore(seeds)
+        rescore(seeds, broadcast_restrict=True)
         .withColumn("_rk", F.row_number().over(w_q))
         .filter(F.col("_rk") == k)
         .select("query_id", F.col("score").alias("theta"))
