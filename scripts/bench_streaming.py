@@ -197,6 +197,43 @@ def main() -> int:
             }
             job2_ok = job2_ok and state_rows == expect_keys
 
+        # Chained two-job dataflow (jobs/pipeline.py): Job-1 drains the
+        # wire while Job-2 concurrently consumes Job-1's output and runs
+        # the heartbeat — the reference's full deployment as one number.
+        # Includes the file-wire shim's one-file-per-micro-batch write
+        # (the determinism trade documented in pipeline.py); the Kafka
+        # hop would parallelize the sink.
+        from flink_tank_spark.jobs.pipeline import (
+            start_aggregation_job,
+            start_processor_job,
+        )
+
+        proc_c, err_c, met_c, chk_c1, chk_c2 = (
+            os.path.join(work, d)
+            for d in ("chain-ok", "chain-err", "chain-metrics", "chain-chk1", "chain-chk2")
+        )
+        t0 = time.perf_counter()
+        q1 = start_processor_job(
+            spark, src, proc_c, err_c, chk_c1, available_now=True
+        )
+        q2 = start_aggregation_job(
+            spark, proc_c, met_c, chk_c2,
+            window_ms=600_000, emit_every_ms=5_000,
+            trigger_interval="1 second",
+        )
+        q1.awaitTermination()
+        chain_done = None
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            seen = sum(p["numInputRows"] for p in q2.recentProgress)
+            if seen >= processed:
+                chain_done = time.perf_counter()
+                break
+            time.sleep(0.2)
+        q2.stop()
+        q2.awaitTermination(60)
+        chain_wall = (chain_done or time.perf_counter()) - t0
+
         out = {
             "metric": "streaming_ingest_throughput",
             "value": round(landed / wall, 1),
@@ -208,11 +245,20 @@ def main() -> int:
             "processor_events": processed,
             "processor_wall_sec": round(proc_wall, 2),
             "job2_heartbeat": job2,
+            "chain_events_per_sec": round(processed / chain_wall, 1),
+            "chain_wall_sec": round(chain_wall, 2),
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "cpus": cpus,
         }
         print(json.dumps(out))
-        return 0 if landed == n_events and processed == n_events and job2_ok else 1
+        return (
+            0
+            if landed == n_events
+            and processed == n_events
+            and job2_ok
+            and chain_done is not None
+            else 1
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
