@@ -70,6 +70,107 @@ def _term_score(tf: Column, dl: Column, df: Column, n_docs: Column, avgdl: Colum
     return idf * ((tf * F.lit(k1 + 1.0)) / norm)
 
 
+def _matched_postings(
+    docs: DataFrame,
+    query_ids,
+    id_col: str,
+    text_col: str,
+    posts: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared retrieval prefix: (stats, qterms, mposts, dfreq).
+
+    ONE definition used by both the exact and the WAND-pruned operator —
+    the pruned variant's correctness contract is bit-identity with the
+    exact scorer, which must not depend on copy-paste discipline.
+
+    - ``stats``: 1-row corpus stats, lazily cross-joined downstream
+      (constant work at any scale — same lazy-scalar pattern as tpch
+      q11/q22). Derived straight from the docs table — no explode:
+      split() yields >=1 token ([""]) for every non-NULL text, so
+      count/avg over docs equals the postings-derived (doc, dl)
+      distinct of the naive formulation.
+    - ``qterms``: query terms come from the query docs ONLY (predicate
+      pushdown on id), not from a corpus-wide postings build.
+    - ``mposts``: postings pruned to query terms (a term's FULL posting
+      list survives the term-equality prune, so df over mposts is
+      exact).
+    - ``dfreq``: df is a map-side-combinable groupBy over the pruned
+      postings joined back broadcast (≤ |query terms| rows) — NOT a
+      per-term window count: a window partitions by term, and a hot
+      term's whole posting list (O(n_docs) rows at corpus scale) would
+      funnel into one task, where the partial aggregation spreads it
+      across every input partition.
+    """
+    stats = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
+    )
+    qterms = (
+        docs.filter(F.col(id_col).isin(list(query_ids)))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .distinct()
+    )
+    mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return stats, qterms, mposts, dfreq
+
+
+def _exact_scores(
+    stats: DataFrame,
+    qterms: DataFrame,
+    mposts: DataFrame,
+    dfreq: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    restrict: DataFrame | None = None,
+    broadcast_restrict: bool = False,
+) -> DataFrame:
+    """Exact fixed-point BM25 per (query, doc) over ALL matched query
+    terms — THE scorer (both operators call this, so scores are
+    bit-equal by construction). Output carries the double ``score``
+    AND its scaled-integer form ``score_i`` (= score·SCORE_SCALE as an
+    exact long) so pruning comparisons can run in integer space.
+
+    ``restrict``: optional (query_id, id_col) pair set to score only;
+    ``broadcast_restrict`` for bounded restrict sets turns the
+    restriction into a broadcast-hash probe instead of a corpus-sized
+    shuffle."""
+    matched = (
+        mposts.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    if restrict is not None:
+        r = F.broadcast(restrict) if broadcast_restrict else restrict
+        matched = matched.join(r, ["query_id", id_col])
+    matched = matched.crossJoin(F.broadcast(stats))
+    score_t = _term_score(
+        F.col("tf"), F.col("dl"), F.col("df"),
+        F.col("n_docs"), F.col("avgdl"), k1, b,
+    )
+    return (
+        matched.select(
+            "query_id",
+            F.col(id_col),
+            F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5))
+            .cast("long")
+            .alias("_s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_s").alias("score_i"),
+            (F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_ids,
@@ -92,57 +193,10 @@ def bm25_topk(
     amortize the corpus explode across retrieval queries. Built from
     ``docs`` when absent.
     """
-    # 1-row corpus stats, lazily cross-joined (constant work at any
-    # scale — same lazy-scalar pattern as tpch q11/q22). Derived straight
-    # from the docs table — no explode: split() yields >=1 token ([""])
-    # for every non-NULL text, so count/avg over docs equals the
-    # postings-derived (doc, dl) distinct of the naive formulation.
-    stats = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
+    stats, qterms, mposts, dfreq = _matched_postings(
+        docs, query_ids, id_col, text_col, posts
     )
-    # Query terms come from the query docs ONLY (predicate pushdown on
-    # id), not from a corpus-wide postings build.
-    qterms = (
-        docs.filter(F.col(id_col).isin(list(query_ids)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
-        )
-        .distinct()
-    )
-    # Postings pruned to query terms (a term's FULL posting list
-    # survives the term-equality prune, so df over mposts is exact).
-    # df is a map-side-combinable groupBy over the pruned postings
-    # joined back broadcast (≤ |query terms| rows) — NOT a per-term
-    # window count: a window partitions by term, and a hot term's whole
-    # posting list (O(n_docs) rows at corpus scale) would funnel into
-    # one task, where the partial aggregation spreads it across every
-    # input partition.
-    mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
-    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    matched = (
-        mposts.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .crossJoin(F.broadcast(stats))
-    )
-    score_t = _term_score(
-        F.col("tf"), F.col("dl"), F.col("df"),
-        F.col("n_docs"), F.col("avgdl"), k1, b,
-    )
-    scored = (
-        matched.select(
-            "query_id",
-            F.col(id_col),
-            F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
-        )
-        .groupBy("query_id", id_col)
-        .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
-    )
+    scored = _exact_scores(stats, qterms, mposts, dfreq, id_col, k1, b)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -173,50 +227,14 @@ def bm25_wand_parts(
     must be exactly rescored), ``topk`` (the final answer — provably
     identical to :func:`bm25_topk`).
     """
-    stats = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
+    stats, qterms, mposts, dfreq = _matched_postings(
+        docs, query_ids, id_col, text_col, posts
     )
-    qterms = (
-        docs.filter(F.col(id_col).isin(list(query_ids)))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
-        )
-        .distinct()
-    )
-    mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
-        F.broadcast(qterms.select("term").distinct()), "term"
-    )
-    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
-    def rescore(restrict: DataFrame, broadcast_restrict: bool = False) -> DataFrame:
-        """Exact fixed-point BM25 of the (query, doc) pairs in
-        ``restrict`` over ALL their matched query terms — the identical
-        expression + sum as bm25_topk, so scores are bit-equal.
-        ``broadcast_restrict`` for bounded restrict sets (the seed list)
-        turns the restriction into a broadcast-hash probe instead of a
-        corpus-sized shuffle."""
-        r = F.broadcast(restrict) if broadcast_restrict else restrict
-        matched = (
-            mposts.join(F.broadcast(dfreq), "term")
-            .join(F.broadcast(qterms), "term")
-            .filter(F.col(id_col) != F.col("query_id"))
-            .join(r, ["query_id", id_col])
-            .crossJoin(F.broadcast(stats))
-        )
-        score_t = _term_score(
-            F.col("tf"), F.col("dl"), F.col("df"),
-            F.col("n_docs"), F.col("avgdl"), k1, b,
-        )
-        return (
-            matched.select(
-                "query_id", id_col,
-                F.floor(score_t * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_s"),
-            )
-            .groupBy("query_id", id_col)
-            .agg((F.sum("_s").cast("double") / F.lit(SCORE_SCALE)).alias("score"))
+    def rescore(restrict=None, broadcast_restrict=False):
+        return _exact_scores(
+            stats, qterms, mposts, dfreq, id_col, k1, b,
+            restrict=restrict, broadcast_restrict=broadcast_restrict,
         )
 
     # θ bootstrap: classic WAND refines θ progressively during
@@ -261,11 +279,13 @@ def bm25_wand_parts(
         .select("query_id", id_col)
     )
     w_q = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    # θ carried as the scaled LONG (score_i) so the prune comparison is
+    # exact integer arithmetic, never float accumulation.
     theta = (
         rescore(seeds, broadcast_restrict=True)
         .withColumn("_rk", F.row_number().over(w_q))
         .filter(F.col("_rk") == k)
-        .select("query_id", F.col("score").alias("theta"))
+        .select("query_id", F.col("score_i").alias("theta_i"))
     )
     # Per-term upper bound = max posting impact (ONE map-side-combinable
     # aggregation over the per-posting exact impacts; in bag-of-words
@@ -277,11 +297,13 @@ def bm25_wand_parts(
     # the top-k. Queries with < k seed docs get no θ row ⇒ every term
     # stays essential (no unsafe pruning).
     #
-    # The UB is the max FLOOR-SCALED impact: the exact scorer sums
-    # floor(s·1e9 + 0.5) terms, and round-half-up can exceed the raw
-    # float by half an ulp-at-1e-9 per term — flooring the UB through
-    # the same monotone function makes Σ UB' a true bound on any doc's
-    # floored score, so the < θ comparison is exact, not approximate.
+    # The UB is the max FLOOR-SCALED impact AS A LONG: the exact scorer
+    # sums floor(s·1e9 + 0.5) integer terms, and floor is monotone, so
+    # Σ max-floored-impacts over a doc's terms bounds its summed score
+    # exactly. Both the suffix-sum and the ≥ θ comparison stay in
+    # integer space (longs, exact up to 2^63) — summing the DIVIDED
+    # doubles instead could round a suffix-sum below its true value and
+    # unsafely prune a term whose bound ties θ.
     impact_col = _term_score(
         F.col("tf"), F.col("dl"), F.col("df"),
         F.col("n_docs"), F.col("avgdl"), k1, b,
@@ -291,21 +313,23 @@ def bm25_wand_parts(
         .crossJoin(F.broadcast(stats))
         .select(
             "term",
-            F.floor(impact_col * F.lit(SCORE_SCALE) + F.lit(0.5)).alias("_i"),
+            F.floor(impact_col * F.lit(SCORE_SCALE) + F.lit(0.5))
+            .cast("long")
+            .alias("_i"),
         )
         .groupBy("term")
-        .agg((F.max("_i").cast("double") / F.lit(SCORE_SCALE)).alias("ub"))
+        .agg(F.max("_i").alias("ub_i"))
     )
     w_suffix = (
         W.partitionBy("query_id")
-        .orderBy(F.desc("ub"), "term")
+        .orderBy(F.desc("ub_i"), "term")
         .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
     essential = (
         qterms.join(F.broadcast(ub), "term")
-        .withColumn("ssum", F.sum("ub").over(w_suffix))
+        .withColumn("ssum_i", F.sum("ub_i").over(w_suffix))
         .join(F.broadcast(theta), "query_id", "left")
-        .filter(F.col("theta").isNull() | (F.col("ssum") >= F.col("theta")))
+        .filter(F.col("theta_i").isNull() | (F.col("ssum_i") >= F.col("theta_i")))
         .select("query_id", "term")
     )
     # Candidates: docs on at least one essential term's posting list.

@@ -1002,27 +1002,42 @@ EMB_COSINE_TOPK_SQL = dedent(f"""
 # emb_ivf_topk — IVF-style ANN: search only the query's centroid cell
 # --------------------------------------------------------------------------
 
-def _ivf_cell_topk(assigned: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """Search only the query's own cell of an ivf_assign output: broadcast
-    the (tiny) query rows, equi-join on cell id, per-query top-k."""
-    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+def _ivf_cell_scored(
+    assigned: DataFrame,
+    n_queries: int = 10,
+    q_assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate scoring for the cell-restricted IVF search: broadcast
+    the (tiny) query rows, equi-join on cell id, exact fixed-point
+    cosine per candidate. ``q_assigned`` optionally supplies a separate
+    (possibly multi-probe) assignment for the query side — a query
+    assigned to P cells unions P DISJOINT candidate sets (each neighbor
+    lives in exactly one cell of ``assigned``), so no dedup is needed.
+    Shared by the registry queries and scripts/ivf_recall_curve.py so
+    the recall measurement runs the SAME certified code path."""
+    queries = (q_assigned if q_assigned is not None else assigned).filter(
+        F.col("vec_id") < n_queries
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("vnorm").alias("qnorm"),
         F.col("centroid_id").alias("q_cell"),
     )
-    scored = (
-        assigned.join(
-            F.broadcast(queries),
-            (F.col("centroid_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (similarity.dot(F.col("qv"), F.col("v"))
-             / (F.col("qnorm") * F.col("vnorm"))).alias("cos_sim"),
-        )
+    return assigned.join(
+        F.broadcast(queries),
+        (F.col("centroid_id") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (similarity.dot(F.col("qv"), F.col("v"))
+         / (F.col("qnorm") * F.col("vnorm"))).alias("cos_sim"),
     )
+
+
+def _ivf_cell_topk(assigned: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Search only the query's own cell of an ivf_assign output:
+    per-query top-k over the cell-restricted candidates."""
+    scored = _ivf_cell_scored(assigned, n_queries)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -176,8 +176,15 @@ def main() -> int:
             state_rows = None
             deadline = time.time() + 600
             drained_at = None
+            # latch per-batch input rows: recentProgress is a ring
+            # buffer (~100 entries), so a bare sum() undercounts once a
+            # long run (or the heartbeat's timer-only batches) evicts
+            # early data batches
+            batch_rows: dict[int, int] = {}
             while time.time() < deadline:
-                seen = sum(p["numInputRows"] for p in q.recentProgress)
+                for p in q.recentProgress:
+                    batch_rows[p["batchId"]] = p["numInputRows"]
+                seen = sum(batch_rows.values())
                 p = q.lastProgress
                 if p and p.get("stateOperators"):
                     state_rows = p["stateOperators"][0]["numRowsTotal"]
@@ -224,8 +231,11 @@ def main() -> int:
         q1.awaitTermination()
         chain_done = None
         deadline = time.time() + 900
+        chain_batch_rows: dict[int, int] = {}
         while time.time() < deadline:
-            seen = sum(p["numInputRows"] for p in q2.recentProgress)
+            for p in q2.recentProgress:
+                chain_batch_rows[p["batchId"]] = p["numInputRows"]
+            seen = sum(chain_batch_rows.values())
             if seen >= processed:
                 chain_done = time.perf_counter()
                 break

@@ -69,27 +69,17 @@ def main() -> int:
 
     import time
 
+    # exact top-5 rows can be < 50 on tiny/filtered corpora: use the
+    # real baseline count as the recall denominator
+    n_exact = exact.count()
+
+    from flink_tank_spark.plans.llm import _ivf_cell_scored
+
     for probes in (1, 2, 4):
         t0 = time.perf_counter()
         q_assigned = similarity.ivf_assign(queries, cent_t, probes=probes)
-        q_sel = q_assigned.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("vnorm").alias("qnorm"),
-            F.col("centroid_id").alias("q_cell"),
-        )
-        scored = assigned.join(
-            F.broadcast(q_sel),
-            (F.col("centroid_id") == F.col("q_cell"))
-            & (F.col("vec_id") != F.col("query_id")),
-        ).select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (
-                similarity.dot_vectorized(F.col("qv"), F.col("v"))
-                / (F.col("qnorm") * F.col("vnorm"))
-            ).alias("cos_sim"),
-        )
+        # the SAME cell-restricted scoring path the registry queries run
+        scored = _ivf_cell_scored(assigned, n_queries=10, q_assigned=q_assigned)
         n_candidates = scored.count()
         w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
         approx = (
@@ -109,7 +99,7 @@ def main() -> int:
             json.dumps(
                 {
                     "probes": probes,
-                    "recall_at_5": round(hits / 50.0, 3),
+                    "recall_at_5": round(hits / n_exact, 3) if n_exact else None,
                     "candidates_scored": n_candidates,
                     "corpus_vectors": n_vec,
                     "wall_sec": round(wall, 2),
