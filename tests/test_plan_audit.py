@@ -94,3 +94,49 @@ def test_fixed_dims_are_broadcast(spark, sf_dir):
 
     plan = _explain(q5_local_supplier_volume(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, tmp_path):
+    """Runtime bloom-filter injection (Spark's InjectRuntimeFilter): a
+    selective small side joined to a large scan gets a `might_contain`
+    semi-filter pushed onto the large side's scan stage — rows that
+    cannot match are dropped BEFORE the shuffle. This is the engine
+    feature that keeps the decontamination join (corpus n-grams ⋈
+    benchmark n-grams) from shuffling the whole corpus at 100 TB; the
+    application-side threshold defaults to 10 GB, so at lake scale it
+    fires out of the box — the test lowers it to fire at fixture scale."""
+    import pyspark.sql.functions as F
+
+    big_p, small_p = str(tmp_path / "big"), str(tmp_path / "small")
+    spark.range(100_000).withColumn("k", F.col("id") % 10_000).write.parquet(big_p)
+    spark.range(100).withColumn("k", F.col("id") * 97).write.parquet(small_p)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        big = spark.read.parquet(big_p)
+        small = spark.read.parquet(small_p).filter(F.col("id") < 50)
+        joined = big.join(small, "k")
+        plan = _explain(joined)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # and the filtered join still computes the right answer
+        assert joined.count() == 50 * 10  # each small k matches 10 big rows
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                conf.unset(key)
+            else:
+                conf.set(key, val)
