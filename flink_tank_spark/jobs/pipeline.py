@@ -156,3 +156,46 @@ def start_aggregation_job(
     if trigger_interval:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def main(argv: list[str] | None = None) -> None:
+    """Run the whole chain (both jobs, one driver) over the file wire.
+
+    The reference deploys the two jobs separately (two Flink clusters);
+    with a broker, use jobs/event_processor.py + jobs/aggregation.py the
+    same way. This entrypoint is the broker-less single-driver form —
+    the same two checkpointed queries the chain test kills/restarts.
+    """
+    import argparse
+
+    from flink_tank_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="Two-job streaming chain (file wire)")
+    ap.add_argument("--source", required=True, help="wire-format input dir")
+    ap.add_argument("--out", required=True, help="output root (processed/errors/metrics)")
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--trigger", default=DEFAULT_CHECKPOINT_INTERVAL)
+    args = ap.parse_args(argv)
+
+    spark = get_spark("pipeline")
+    q1 = start_processor_job(
+        spark,
+        args.source,
+        f"{args.out}/processed",
+        f"{args.out}/errors",
+        f"{args.checkpoint_dir}/job1",
+        trigger_interval=args.trigger,
+    )
+    q2 = start_aggregation_job(
+        spark,
+        f"{args.out}/processed",
+        f"{args.out}/metrics",
+        f"{args.checkpoint_dir}/job2",
+        trigger_interval=args.trigger,
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()
