@@ -180,3 +180,38 @@ def test_histogram_quantiles_match_rank_reference(spark, vals):
     for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
         want = sv[max(0, math.ceil(q * len(sv)) - 1)]
         assert getattr(row, col) == want, (q, sv)
+
+
+# ---------------------------------------------------------------------------
+# WAND losslessness under random corpora
+# ---------------------------------------------------------------------------
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "rho"]
+
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=6).map(" ".join),
+    min_size=3,
+    max_size=18,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_doc_texts, k=st.integers(min_value=1, max_value=5),
+       max_seeds=st.sampled_from([1, 2, 1024]))
+def test_bm25_wand_equals_exact_on_random_corpora(spark, texts, k, max_seeds):
+    """The WAND prune must be lossless for ANY corpus/k/seed-cap — the
+    adversarial surface is score ties against θ and tiny seed lists
+    (max_seeds=1 stresses the weakest valid bound). Rows must match the
+    exact operator EXACTLY (same scores, same ranks)."""
+    from flink_tank_spark.operators import retrieval
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    qids = [0, 1]
+    want = sorted(map(tuple, retrieval.bm25_topk(docs, qids, k=k).collect()))
+    got = sorted(
+        map(
+            tuple,
+            retrieval.bm25_wand_topk(docs, qids, k=k, max_seeds=max_seeds).collect(),
+        )
+    )
+    assert got == want
