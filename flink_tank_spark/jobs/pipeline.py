@@ -72,12 +72,35 @@ def idempotent_wire_sink(dirpath: str):
     same), so downstream file sources — which track files by NAME —
     never double-read, and a batch that died before the rename left
     nothing visible.
+
+    DEPLOYMENT CONSTRAINT: the rename runs DRIVER-side with ``os``
+    calls, so the path must be a POSIX filesystem visible to both the
+    driver and every executor — local mode (this repo's test/bench
+    setup) or a shared mount (NFS). It is NOT valid for object-store
+    paths (s3a://, gs://, …); a real cluster uses the Kafka hop
+    (io/kafka.py), not this shim. Guarded two ways below: URI schemes
+    are rejected up front, and a scratch dir the driver cannot see
+    (executors wrote to non-shared storage) fails loudly instead of
+    silently landing nothing.
     """
+    for prefix in ("s3://", "s3a://", "s3n://", "gs://", "abfs://",
+                   "abfss://", "wasb://", "hdfs://"):
+        if dirpath.startswith(prefix):
+            raise ValueError(
+                f"idempotent_wire_sink requires a driver-visible POSIX path, "
+                f"got {dirpath!r}; use the Kafka hop (io/kafka.py) on a cluster"
+            )
     os.makedirs(dirpath, exist_ok=True)
 
     def write(df: DataFrame, batch_id: int) -> None:
         scratch = os.path.join(dirpath, f"_scratch-{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").text(scratch)
+        if not os.path.isdir(scratch):
+            raise RuntimeError(
+                f"executors wrote {scratch!r} but the driver cannot see it: "
+                "idempotent_wire_sink needs a shared POSIX filesystem "
+                "(local mode or NFS); use the Kafka hop on a real cluster"
+            )
         parts = sorted(
             f
             for f in os.listdir(scratch)

@@ -963,6 +963,15 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
+# Oracle-side mirror of the engine's zero-norm exclusion (similarity.py
+# cosine_topk/ivf_assign filter ``norm > 0`` before any divide — ANSI
+# DIVIDE_BY_ZERO safety). Without this predicate a zero-norm embedding
+# in a future fixture would score NaN in DuckDB (NaN sorts FIRST under
+# ORDER BY DESC there) and hash-diverge from the engine, which drops it.
+_SQL_NZ_PRED = _SQL_NORM.format(a="embedding") + " > 0"
+_EMB_NZ_CTE = f"emb_nz AS (\n      SELECT * FROM embeddings WHERE {_SQL_NZ_PRED}\n    )"
+
+
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared stage: exact brute-force cosine top-5 (50 rows) — reused by
     emb_ivf_recall, so the full-corpus scoring pass runs once per session."""
@@ -980,10 +989,11 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_COSINE_TOPK_SQL = dedent(f"""
-    WITH scored AS (
+    WITH {_EMB_NZ_CTE},
+    scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
-      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      FROM emb_nz q JOIN emb_nz c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < 10
     ),
     ranked AS (
@@ -1055,10 +1065,11 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_IVF_TOPK_SQL = dedent(f"""
-    WITH assign_scored AS (
+    WITH {_EMB_NZ_CTE},
+    assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
              {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
-      FROM embeddings v JOIN embeddings c ON c.vec_id < 8
+      FROM emb_nz v JOIN emb_nz c ON c.vec_id < 8
     ),
     assigned AS (
       SELECT vec_id, centroid_id FROM (
@@ -1123,7 +1134,11 @@ def _kmeans_cells_sql(k: int, iters: int) -> tuple[str, str]:
     """CTE chain mirroring kmeans_centroids: assignment by fixed-point
     cosine, per-(cell, dim) fixed-point means via zipped parallel unnest.
     Returns (cte_sql, final_centroid_cte_name)."""
-    parts = [dedent(f"""\
+    # Zero-norm mirror (matches ivf_assign): the SEED pick is over the
+    # unfiltered corpus (engine: orderBy(id).limit(k)), but each
+    # assignment pass drops zero-norm corpus vectors AND centroids.
+    cnorm_pred = _SQL_NORM.format(a="cv") + " > 0"
+    parts = [_EMB_NZ_CTE, dedent(f"""\
         c0 AS (
           SELECT vec_id AS centroid_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -1138,7 +1153,8 @@ def _kmeans_cells_sql(k: int, iters: int) -> tuple[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                       ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
                                                c.centroid_id) AS rk
-            FROM embeddings v CROSS JOIN {prev} c) t WHERE rk = 1
+            FROM emb_nz v CROSS JOIN (SELECT * FROM {prev} WHERE {cnorm_pred}) c
+          ) t WHERE rk = 1
         )"""))
         parts.append(dedent(f"""\
         e{i} AS (
@@ -1171,7 +1187,9 @@ EMB_IVF_KMEANS_TOPK_SQL = dedent(f"""
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
                                   ORDER BY {_sql_cosine('v.embedding', 'c.cv')} DESC,
                                            c.centroid_id) AS rk
-        FROM embeddings v CROSS JOIN {_FINAL_CELLS} c) t WHERE rk = 1
+        FROM emb_nz v CROSS JOIN (
+          SELECT * FROM {_FINAL_CELLS} WHERE {_SQL_NORM.format(a="cv")} > 0) c
+      ) t WHERE rk = 1
     ),
     scored AS (
       SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
@@ -1294,16 +1312,18 @@ def _emb_verified_pairs(
 # Shared CTE block: IVF-blocked candidate pairs with exact cosine
 # rescoring (used by emb_near_dup_pairs and emb_semantic_dedup).
 EMB_NEAR_DUP_CTES = dedent(f"""\
+    {_EMB_NZ_CTE},
     n_cells AS (
       -- integer-exact mirror of the engine's adaptive cell count:
       -- max(32, ceil(n/500)) keeps per-cell population ~500 (linear
-      -- total candidate pairs) at any corpus size
+      -- total candidate pairs) at any corpus size; the count is over the
+      -- UNFILTERED corpus (engine probes emb.count() before ivf_assign)
       SELECT GREATEST(32, (COUNT(*) + 499) // 500) AS nc FROM embeddings
     ),
     assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
              {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
-      FROM embeddings v JOIN embeddings c ON c.vec_id < (SELECT nc FROM n_cells)
+      FROM emb_nz v JOIN emb_nz c ON c.vec_id < (SELECT nc FROM n_cells)
     ),
     assigned AS (
       SELECT vec_id, centroid_id FROM (

@@ -228,7 +228,14 @@ def main() -> int:
             window_ms=600_000, emit_every_ms=5_000,
             trigger_interval="1 second",
         )
-        q1.awaitTermination()
+        # deadline-bounded like every other phase: a hung availableNow
+        # Job-1 must fail the bench, not hang it (and the Job-2 deadline
+        # below must actually start)
+        if not q1.awaitTermination(900):
+            q1.stop()
+            q2.stop()
+            print(json.dumps({"error": "chain Job-1 exceeded 900s deadline"}))
+            return 1
         chain_done = None
         deadline = time.time() + 900
         chain_batch_rows: dict[int, int] = {}

@@ -362,3 +362,47 @@ def test_connected_components_raises_on_cap_without_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="iteration cap"):
         dedup.connected_components(pairs, iters=3)
+
+
+def test_zero_norm_exclusion_matches_oracle(spark, tmp_path):
+    """Zero-norm vectors (cosine undefined) must be dropped IDENTICALLY
+    by the engine and the DuckDB oracle mirror. Regression for the
+    round-5 advice: the engine filtered ``norm > 0`` but the oracle SQL
+    scored them — DuckDB sorts NaN FIRST under ORDER BY DESC, so a
+    zero-norm fixture row would have hash-diverged the gate."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(8).astype("float32") for _ in range(30)]
+    vecs[3] = np.zeros(8, dtype="float32")   # inside the query id range
+    vecs[20] = np.zeros(8, dtype="float32")  # corpus side
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(30, dtype="int64"),
+            "embedding": [v.tolist() for v in vecs],
+            "label": np.zeros(30, dtype="int32"),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+
+    from flink_tank_spark.plans.llm import EMB_COSINE_TOPK_SQL, emb_cosine_topk
+
+    sp = emb_cosine_topk(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    od = con.execute(EMB_COSINE_TOPK_SQL).fetchdf()
+
+    # the zero-norm ids appear on NEITHER side, in NEITHER role
+    for frame in (sp, od):
+        assert not set(frame["query_id"]) & {3, 20}
+        assert not set(frame["neighbor_id"]) & {3, 20}
+    # full value parity (same comparison the gate applies)
+    sp_s = sp.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    od_s = od.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    assert len(sp_s) == len(od_s)
+    assert (sp_s["neighbor_id"].to_numpy() == od_s["neighbor_id"].to_numpy()).all()
+    assert np.allclose(sp_s["cos_sim"].to_numpy(), od_s["cos_sim"].to_numpy(), atol=0)
