@@ -1,0 +1,164 @@
+"""Near-dup detection quality vs PLANTED ground truth (round 6).
+
+The mutating sfN generator (scripts/make_sfn.py) plants controlled
+near-duplicates — documents at known edit rates, embeddings at known
+target cosines — and records them in ``documents_truth.parquet`` /
+``embeddings_truth.parquet``. This script turns those relations into
+the measured precision/recall evidence the verbatim-replica corpora
+could never produce (every metric there was degenerate by
+construction):
+
+- **Documents / MinHash-LSH** (the registry's ``doc_lsh_near_dups``
+  constants via ``dedup.lsh_near_dup_pairs``): for the planted pairs
+  whose TRUE shingle-Jaccard clears the operator threshold,
+  - candidate recall — did LSH banding surface the pair at all?
+  - detection recall — did it survive the exact rescore ≥ threshold
+    (equals candidate recall by construction, since eligibility is
+    defined by the same exact Jaccard the rescorer computes)?
+  broken down by true-Jaccard band, plus the count of non-planted
+  detections (background pairs genuinely above threshold — correct
+  output, reported for context, not as "false positives").
+- **Embeddings / IVF-blocked cosine** (the registry's
+  ``emb_near_dup_pairs`` path): recall of planted pairs (all of which
+  sit at cosine 0.90–0.985, far above the 0.45 threshold) — misses are
+  pure BLOCKING misses (origin and replica assigned to disjoint probe
+  cells), the honest cost of linear-in-corpus candidate generation.
+
+Usage:
+    python scripts/dedup_quality.py [sf_dir] [cpus]
+Prints one JSON line per section (documents, embeddings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "data/sf1"
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "16")
+    )
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
+    if not os.path.exists(f"{sf_dir}/documents_truth.parquet"):
+        print(json.dumps({"error": f"{sf_dir} has no truth sidecars — "
+                          "rebuild with the mutating make_sfn.py"}))
+        return 1
+
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import dedup, similarity
+    from flink_tank_spark.operators.skew import spread_partitions
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("dedup-quality", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # ---------------- documents: MinHash-LSH vs planted near pairs ----
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    truth = spark.read.parquet(f"{sf_dir}/documents_truth.parquet")
+    planted = (
+        truth.filter(F.col("relation") == "near")
+        .select(
+            F.least("doc_id", "origin_doc_id").alias("id_a"),
+            F.greatest("doc_id", "origin_doc_id").alias("id_b"),
+        )
+    )
+    threshold = 0.8  # the registry constant (dedup.lsh_near_dup_pairs)
+    shingled = dedup.shingle_sets(docs).persist()
+    # true Jaccard of every planted pair — exact, same rescorer the
+    # pipeline uses, so "eligible" is defined in the operator's own units
+    planted_j = dedup.rescore_jaccard(planted, shingled).persist()
+    sigs = dedup.minhash_from_shingled(shingled)
+    cands = dedup.lsh_candidate_pairs(sigs, max_bucket_size=64).persist()
+    detected = dedup.rescore_jaccard(cands, shingled).filter(
+        F.col("jaccard") >= threshold
+    ).persist()
+
+    bands = [(0.80, 0.85), (0.85, 0.90), (0.90, 0.95), (0.95, 1.01)]
+    def _recall(joined, lo, hi):
+        elig = planted_j.filter(
+            (F.col("jaccard") >= lo) & (F.col("jaccard") < hi)
+        )
+        n_elig = elig.count()
+        n_hit = elig.join(joined, ["id_a", "id_b"], "semi").count()
+        return n_elig, n_hit
+
+    cand_pairs = cands.select("id_a", "id_b")
+    det_pairs = detected.select("id_a", "id_b")
+    per_band = {}
+    for lo, hi in bands:
+        n_elig, n_cand_hit = _recall(cand_pairs, lo, hi)
+        _, n_det_hit = _recall(det_pairs, lo, hi)
+        per_band[f"[{lo:.2f},{min(hi, 1.0):.2f})"] = {
+            "planted": n_elig,
+            "candidate_recall": round(n_cand_hit / n_elig, 3) if n_elig else None,
+            "detection_recall": round(n_det_hit / n_elig, 3) if n_elig else None,
+        }
+    n_elig_total = planted_j.filter(F.col("jaccard") >= threshold).count()
+    n_det_planted = (
+        planted_j.filter(F.col("jaccard") >= threshold)
+        .join(det_pairs, ["id_a", "id_b"], "semi")
+        .count()
+    )
+    n_detected = detected.count()
+    n_planted_all = planted_j.count()
+    print(json.dumps({
+        "section": "documents_lsh",
+        "sf": sf_tag,
+        "threshold": threshold,
+        "planted_near_pairs": n_planted_all,
+        "planted_above_threshold": n_elig_total,
+        "detection_recall": round(n_det_planted / n_elig_total, 3)
+        if n_elig_total else None,
+        "detected_total": n_detected,
+        "detected_background": n_detected - n_det_planted,
+        "candidate_pairs_generated": cand_pairs.count(),
+        "per_true_jaccard_band": per_band,
+    }), flush=True)
+    for df in (shingled, planted_j, cands, detected):
+        df.unpersist()
+
+    # ---------------- embeddings: IVF blocking vs planted near pairs --
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    etruth = spark.read.parquet(f"{sf_dir}/embeddings_truth.parquet")
+    eplanted = (
+        etruth.filter(F.col("relation") == "near")
+        .select(
+            F.least("vec_id", "origin_vec_id").alias("id_a"),
+            F.greatest("vec_id", "origin_vec_id").alias("id_b"),
+            "target_cosine",
+        )
+        .persist()
+    )
+    n_cells = max(32, (emb.count() + 499) // 500)  # the registry rule
+    centroids = emb.filter(F.col("vec_id") < n_cells)
+    assigned = similarity.ivf_assign(emb, centroids, probes=2)
+    pairs = similarity.cell_blocked_pairs(assigned, threshold=0.45).persist()
+    n_pairs = pairs.count()
+    n_eplanted = eplanted.count()
+    n_ehit = eplanted.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
+    ).count()
+    print(json.dumps({
+        "section": "embeddings_ivf",
+        "sf": sf_tag,
+        "threshold": 0.45,
+        "probes": 2,
+        "n_cells": int(n_cells),
+        "planted_near_pairs": n_eplanted,
+        "blocking_recall": round(n_ehit / n_eplanted, 3) if n_eplanted else None,
+        "detected_total": n_pairs,
+        "detected_background": n_pairs - n_ehit,
+    }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
