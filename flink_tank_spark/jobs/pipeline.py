@@ -60,9 +60,18 @@ from flink_tank_spark.streaming.jobs import (
 )
 
 
-def idempotent_wire_sink(dirpath: str):
+def idempotent_wire_sink(dirpath: str, fanout: int = 1):
     """foreachBatch writer: land a micro-batch of ``value`` strings as
-    ONE deterministically-named text file ``batch-<id>.txt``.
+    deterministically-named text files — ``batch-<id>.txt`` at the
+    default ``fanout=1``, else ``batch-<id>-<part>.txt`` × ``fanout``.
+
+    ``fanout`` exists because a one-file batch serializes the whole
+    micro-batch write through a single task (profiled: the chained
+    two-job bench spent most of Job-1 in that one writer task). With
+    ``fanout > 1`` the batch is HASH-partitioned on the payload value —
+    a pure function of content, so a replayed batch reproduces the
+    identical file set (round-robin repartition would not) — and each
+    non-empty part lands under a name derived from its partition index.
 
     Replay safety (the foreachBatch idempotency contract from the Spark
     docs, keyed on ``batch_id``): the batch is written distributed to a

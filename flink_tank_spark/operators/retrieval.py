@@ -70,12 +70,68 @@ def _term_score(tf: Column, dl: Column, df: Column, n_docs: Column, avgdl: Colum
     return idf * ((tf * F.lit(k1 + 1.0)) / norm)
 
 
+def corpus_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row (n_docs, avgdl) corpus statistics — the constant side of
+    every BM25 score. Derived straight from the docs table, no explode:
+    split() yields >= 1 token for every non-NULL text, so count/avg over
+    docs equals the postings-derived form."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
+    )
+
+
+def term_statistics(
+    posts: DataFrame,
+    stats: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-term (df, ub_i) over a FULL postings table — the
+    query-independent half of the retrieval index.
+
+    ``df`` is the document frequency the exact scorer consumes; ``ub_i``
+    is the WAND per-term score upper bound as a floor-scaled long. Both
+    are map-side-combinable folds over the postings, independent of any
+    query set — at cluster scale this table is materialized ONCE next to
+    the inverted index and amortized over every retrieval batch, exactly
+    like ``posts`` itself. The impact factors as idf(df) · part(tf, dl)
+    with idf constant per term and floor monotone, so
+    max(floor(idf·part·S + ½)) = floor(idf·max(part)·S + ½) BIT-exactly
+    (same IEEE ops on the maximizing row).
+    """
+    part_col = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        posts.crossJoin(F.broadcast(stats))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max(part_col).alias("_max_part"),
+            F.first("n_docs").alias("_n"),
+        )
+        .select(
+            "term",
+            "df",
+            F.floor(
+                ((F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * F.col("_max_part") * F.lit(SCORE_SCALE)
+                + F.lit(0.5)
+            ).cast("long").alias("ub_i"),
+        )
+    )
+
+
 def _matched_postings(
     docs: DataFrame,
     query_ids,
     id_col: str,
     text_col: str,
     posts: DataFrame | None,
+    term_stats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared retrieval prefix: (stats, qterms, mposts, dfreq).
 
@@ -99,13 +155,12 @@ def _matched_postings(
       per-term window count: a window partitions by term, and a hot
       term's whole posting list (O(n_docs) rows at corpus scale) would
       funnel into one task, where the partial aggregation spreads it
-      across every input partition.
+      across every input partition. When a precomputed ``term_stats``
+      table (:func:`term_statistics`) is supplied, df comes from it
+      instead — same counts (a term's full posting list survives the
+      term-equality prune), zero extra corpus passes.
     """
-    stats = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), davg("dl", "avgdl"))
-    )
+    stats = corpus_stats(docs, text_col)
     qterms = (
         docs.filter(F.col(id_col).isin(list(query_ids)))
         .select(
@@ -117,7 +172,12 @@ def _matched_postings(
     mposts = (posts if posts is not None else term_postings(docs, id_col, text_col)).join(
         F.broadcast(qterms.select("term").distinct()), "term"
     )
-    dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if term_stats is not None:
+        dfreq = term_stats.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).select("term", "df")
+    else:
+        dfreq = mposts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return stats, qterms, mposts, dfreq
 
 
@@ -141,9 +201,23 @@ def _exact_scores(
     ``restrict``: optional (query_id, id_col) pair set to score only;
     ``broadcast_restrict`` for bounded restrict sets turns the
     restriction into a broadcast-hash probe instead of a corpus-sized
-    shuffle."""
+    shuffle. The restriction is applied in TWO phases: a semi-join on
+    the doc ids BEFORE the query-term expansion (the per-term join
+    multiplies each posting by the number of queries containing the
+    term, so filtering docs first keeps the expansion proportional to
+    the restrict set — measured 27 s → the expansion dominated the
+    whole WAND path when the pair filter ran after it), then the exact
+    (query, doc) pair filter after."""
+    mp = mposts
+    if restrict is not None:
+        doc_set = restrict.select(id_col).distinct()
+        mp = mp.join(
+            F.broadcast(doc_set) if broadcast_restrict else doc_set,
+            id_col,
+            "semi",
+        )
     matched = (
-        mposts.join(F.broadcast(dfreq), "term")
+        mp.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qterms), "term")
         .filter(F.col(id_col) != F.col("query_id"))
     )
@@ -180,6 +254,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     posts: DataFrame | None = None,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k corpus docs per query doc by BM25-style lexical score.
 
@@ -191,10 +266,12 @@ def bm25_topk(
     (e.g. the shared persisted stage in plans/llm.py, or at cluster
     scale a materialized inverted-index table) — the standard way to
     amortize the corpus explode across retrieval queries. Built from
-    ``docs`` when absent.
+    ``docs`` when absent. ``term_stats``: optional
+    :func:`term_statistics` table; supplies df without a per-batch
+    corpus pass (the other half of the amortized index).
     """
     stats, qterms, mposts, dfreq = _matched_postings(
-        docs, query_ids, id_col, text_col, posts
+        docs, query_ids, id_col, text_col, posts, term_stats
     )
     scored = _exact_scores(stats, qterms, mposts, dfreq, id_col, k1, b)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
@@ -215,6 +292,8 @@ def bm25_wand_parts(
     text_col: str = "text",
     posts: DataFrame | None = None,
     max_seeds: int = 1024,
+    cache: bool = True,
+    term_stats: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Building blocks of the WAND-pruned BM25 top-k (see
     :func:`bm25_wand_topk`), exposed so tests and the pruning-stats
@@ -226,10 +305,49 @@ def bm25_wand_parts(
     (per-query surviving terms), ``candidates`` ((query, doc) pairs that
     must be exactly rescored), ``topk`` (the final answer — provably
     identical to :func:`bm25_topk`).
+
+    ``cache`` persists the BOUNDED-size intermediates (query terms,
+    corpus stats, per-term df/UB — at most |query terms| + 1 rows).
+    The WAND DAG references each of them from several branches of ONE
+    action, and without a persist Spark re-derives every reference
+    from scratch — each a full postings pass, which took the 200 k-doc
+    bench from 5 effective corpus passes to 9 (wand slower than exact
+    on pure orchestration). Values are unchanged (the gate certifies
+    both settings); the cached state is a few KB per call.
     """
     stats, qterms, mposts, dfreq = _matched_postings(
-        docs, query_ids, id_col, text_col, posts
+        docs, query_ids, id_col, text_col, posts, term_stats
     )
+    if term_stats is not None:
+        # precomputed index half: restrict to the query terms, done —
+        # zero per-batch corpus passes for df/UB
+        df_ub = term_stats.join(
+            F.broadcast(qterms.select("term").distinct()), "term"
+        ).select("term", "df", "ub_i")
+    else:
+        # One combined per-term aggregation replaces separate df count
+        # and UB max — both are map-side-combinable folds over the same
+        # pruned postings, so fusing them halves the full-scan count
+        # (see term_statistics for the bit-exactness argument). df
+        # feeds the exact scorer and must stay identical to
+        # _matched_postings' dfreq — same count, same source.
+        df_ub = term_statistics(mposts, stats, k1=k1, b=b)
+    dfreq = df_ub.select("term", "df")
+    if cache:
+        qterms = qterms.persist()
+        stats = stats.persist()
+        df_ub = df_ub.persist()
+        dfreq = dfreq.persist()
+        # mposts is corpus-sized but feeds FIVE branches (seeds, θ
+        # rescore, df/UB agg, candidate generation, final rescore);
+        # without a persist each branch replays the postings build.
+        # MEMORY_AND_DISK: an evicted block degrades to recompute, never
+        # OOM. At cluster scale this is the materialized inverted-index
+        # table the docstrings name (pass ``posts`` pre-persisted and
+        # this is a cheap broadcast-join view of it).
+        from pyspark import StorageLevel
+
+        mposts = mposts.persist(StorageLevel.MEMORY_AND_DISK)
 
     def rescore(restrict=None, broadcast_restrict=False):
         return _exact_scores(
@@ -250,9 +368,22 @@ def bm25_wand_parts(
     # earlier champion-list formulation paid two full window sorts over
     # every matched posting (measured 12 s engine-side at sf1 vs ~2 s
     # for this shape).
+    # Seed-term choice: the rarest term with df ≥ k+1 — "rarest" for
+    # selectivity (small seed list, high-idf seeds), "≥ k+1" for
+    # VIABILITY: the query doc itself sits on its own terms' posting
+    # lists and is excluded from seeding, so a term needs k+1 postings
+    # to yield the k seed scores θ requires. Without the viability
+    # floor, a long-tail corpus (Zipf vocabulary) hands every query a
+    # singleton term that appears ONLY in the query doc — zero seeds, no
+    # θ, no pruning anywhere (measured: candidates ≈ the whole corpus on
+    # the wand_bench fixture). Any seed subset still yields a valid
+    # lower bound, so the choice affects only pruning POWER, never
+    # correctness; queries with no viable term fall through to the
+    # no-θ path (every term essential — safe).
     w_rare = W.partitionBy("query_id").orderBy("df", "term")
     rare = (
         qterms.join(F.broadcast(dfreq), "term")
+        .filter(F.col("df") >= k + 1)
         .withColumn("_r", F.row_number().over(w_rare))
         .filter(F.col("_r") == 1)
         .select("query_id", "term", "df")
@@ -287,6 +418,13 @@ def bm25_wand_parts(
         .filter(F.col("_rk") == k)
         .select("query_id", F.col("score_i").alias("theta_i"))
     )
+    if cache:
+        # θ (≤ one row per query) is broadcast into the essential-term
+        # filter, which is itself re-referenced by candidates and the
+        # final rescore: without a persist EACH of those downstream
+        # branches replays the whole seed+rescore chain (profiled: the
+        # chain re-ran three times, 2.8-2.9 s per replay at 200 k docs).
+        theta = theta.persist()
     # Per-term upper bound = max posting impact (ONE map-side-combinable
     # aggregation over the per-posting exact impacts; in bag-of-words
     # BM25 every (term, doc) contribution is fully determined by
@@ -297,29 +435,15 @@ def bm25_wand_parts(
     # the top-k. Queries with < k seed docs get no θ row ⇒ every term
     # stays essential (no unsafe pruning).
     #
-    # The UB is the max FLOOR-SCALED impact AS A LONG: the exact scorer
-    # sums floor(s·1e9 + 0.5) integer terms, and floor is monotone, so
+    # The UB is the max FLOOR-SCALED impact AS A LONG (computed in the
+    # fused df_ub aggregation above): the exact scorer sums
+    # floor(s·1e9 + 0.5) integer terms, and floor is monotone, so
     # Σ max-floored-impacts over a doc's terms bounds its summed score
     # exactly. Both the suffix-sum and the ≥ θ comparison stay in
     # integer space (longs, exact up to 2^63) — summing the DIVIDED
     # doubles instead could round a suffix-sum below its true value and
     # unsafely prune a term whose bound ties θ.
-    impact_col = _term_score(
-        F.col("tf"), F.col("dl"), F.col("df"),
-        F.col("n_docs"), F.col("avgdl"), k1, b,
-    )
-    ub = (
-        mposts.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.floor(impact_col * F.lit(SCORE_SCALE) + F.lit(0.5))
-            .cast("long")
-            .alias("_i"),
-        )
-        .groupBy("term")
-        .agg(F.max("_i").alias("ub_i"))
-    )
+    ub = df_ub.select("term", "ub_i")
     w_suffix = (
         W.partitionBy("query_id")
         .orderBy(F.desc("ub_i"), "term")
@@ -332,6 +456,8 @@ def bm25_wand_parts(
         .filter(F.col("theta_i").isNull() | (F.col("ssum_i") >= F.col("theta_i")))
         .select("query_id", "term")
     )
+    if cache:
+        essential = essential.persist()  # ≤ |query terms| rows
     # Candidates: docs on at least one essential term's posting list.
     candidates = (
         mposts.join(F.broadcast(essential), "term")
@@ -339,9 +465,19 @@ def bm25_wand_parts(
         .select("query_id", id_col)
         .distinct()
     )
+    if cache:
+        candidates = candidates.persist()  # the pruned rescore set
     w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    # Broadcast the candidate restrict set: its being SMALL is the whole
+    # point of the prune (bounded by the essential terms' posting mass),
+    # and a non-broadcast restrict forces the matched-posting expansion
+    # through a (query, doc) shuffle — measured 30 s vs 9 s exact at
+    # 128 queries × 200 k docs purely on that shuffle. If candidates
+    # are NOT small, the prune failed and WAND is the wrong operator
+    # for the corpus (use bm25_topk) — that trade, not silent slowness,
+    # is the documented contract.
     topk = (
-        rescore(candidates)
+        rescore(candidates, broadcast_restrict=True)
         .withColumn("rk", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rk") <= k)
         .select("query_id", F.col(id_col).alias("match_id"), "score", "rk")
@@ -366,6 +502,8 @@ def bm25_wand_topk(
     text_col: str = "text",
     posts: DataFrame | None = None,
     max_seeds: int = 1024,
+    cache: bool = True,
+    term_stats: DataFrame | None = None,
 ) -> DataFrame:
     """WAND-style dynamically-pruned BM25 top-k — the 100 TB scale path
     the exact :func:`bm25_topk` names as its successor.
@@ -393,5 +531,5 @@ def bm25_wand_topk(
     """
     return bm25_wand_parts(
         docs, query_ids, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
-        posts=posts, max_seeds=max_seeds,
+        posts=posts, max_seeds=max_seeds, cache=cache, term_stats=term_stats,
     )["topk"]

@@ -1,0 +1,181 @@
+"""Head-to-head: WAND-pruned vs exact BM25 on a SELECTIVE corpus.
+
+The round-5 verdict's open question: ``doc_bm25_wand`` is certified
+lossless (its oracle IS the exact SQL) but never *wins* on the gate
+corpus, whose 31-token uniform vocabulary gives the prune zero term
+selectivity — every term is essential for every query, so WAND pays the
+θ/UB machinery for nothing. This bench builds the corpus WAND exists
+for and measures both operators on it:
+
+- **Zipf vocabulary** (exponent 1.1 over 30 k terms): a realistic text
+  frequency profile — a handful of ultra-common terms own most posting
+  rows, the long tail is rare. Doc lengths ~Poisson(80).
+- **Short search-style queries**: each query doc is one planted
+  selective term (df ≈ 200 ≥ k, so the θ seed stage has enough rows to
+  bound) plus 3 ultra-common terms — the workload WAND was designed
+  for; the common terms' near-corpus-sized posting lists are what the
+  prune skips.
+- Both operators share ONE persisted index (postings + per-term df/UB
+  statistics — the materialized deployment both docstrings name), so
+  the measured difference is purely the per-batch scoring path: the
+  exact operator aggregates EVERY matched posting, WAND rescores only
+  candidates on essential terms.
+
+Timings are warm best-of-2; losslessness is asserted row-for-row on
+every run (the same contract the oracle gate certifies). One JSON line
+on stdout → commit as WAND_BENCH_r{N}.json. Measured result (r6):
+speedup crosses 1.0 around ~100 queries on a 200 k-doc corpus (1.54×
+at 256, 1.8× at 1024); doc-as-query over ~80-term documents stays in
+exact's favor — see WAND_BENCH_r06.json selection_guidance.
+
+Usage:
+    python scripts/wand_bench.py [n_docs] [cpus] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_VOCAB = 30_000
+ZIPF_S = 1.1
+MEAN_LEN = 80
+PLANT_DF = 200
+K = 10
+
+
+def build_corpus(n_docs: int, n_queries: int, seed: int = 0):
+    """Deterministic Zipf corpus as a pandas frame (doc_id, text)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, N_VOCAB + 1, dtype=np.float64)
+    probs = ranks ** -ZIPF_S
+    probs /= probs.sum()
+    lengths = np.maximum(5, rng.poisson(MEAN_LEN, n_docs))
+    flat = rng.choice(N_VOCAB, size=int(lengths.sum()), p=probs)
+    vocab = np.array([f"t{i:05d}" for i in range(N_VOCAB)])
+    texts = []
+    off = 0
+    for ln in lengths:
+        texts.append(" ".join(vocab[flat[off:off + ln]]))
+        off += ln
+    # Query docs are SHORT search-style strings — one selective term
+    # (planted into PLANT_DF corpus docs so θ can seed) plus a few
+    # ultra-common terms. This is the workload WAND was designed for
+    # (Broder'03 frames it for query processing): the common terms'
+    # near-corpus-sized posting lists are exactly what the term prune
+    # skips, while doc-as-query with ~80-term documents is WAND's worst
+    # case (the UB suffix-sum over dozens of terms rarely drops below
+    # θ). Both shapes run through the same operators; this fixture
+    # measures the favorable one, the gate corpus covers the other.
+    for q in range(n_queries):
+        term = f"qrare{q:03d}"
+        common = " ".join(f"t{(1 + (q + j) % 7):05d}" for j in range(3))
+        texts[q] = f"{term} {common}"
+        hosts = rng.choice(
+            np.arange(n_queries, n_docs), size=PLANT_DF - 1, replace=False
+        )
+        for h in hosts:
+            texts[h] = texts[h] + " " + term
+    import pandas as pd
+
+    return pd.DataFrame({"doc_id": np.arange(n_docs, dtype=np.int64),
+                         "text": texts})
+
+
+def main() -> int:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else int(
+        os.environ.get("SPARK_GRAFT_CPUS", "16")
+    )
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
+
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.operators import retrieval
+    from flink_tank_spark.session import get_spark
+
+    spark = get_spark("wand-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pdf = build_corpus(n_docs, n_queries)
+    docs = spark.createDataFrame(pdf).repartition(cpus).persist()
+    docs.count()
+    qids = list(range(n_queries))
+
+    # one shared, persisted INDEX — inverted postings + per-term df/UB
+    # statistics (amortized across operators and query batches, like the
+    # plans/llm.py shared stage) — isolates the per-batch scoring paths
+    posts = retrieval.term_postings(docs).persist()
+    n_posts = posts.count()
+    tstats = retrieval.term_statistics(
+        posts, retrieval.corpus_stats(docs)
+    ).persist()
+    tstats.count()
+
+    def run_exact():
+        return retrieval.bm25_topk(docs, qids, k=K, posts=posts, term_stats=tstats)
+
+    def run_wand():
+        return retrieval.bm25_wand_topk(
+            docs, qids, k=K, posts=posts, term_stats=tstats
+        )
+
+    # losslessness every run (the oracle-gate contract)
+    exact_rows = sorted(map(tuple, run_exact().collect()))
+    wand_rows = sorted(map(tuple, run_wand().collect()))
+    assert exact_rows == wand_rows, "WAND diverged from exact"
+
+    def best_of_2(fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().collect()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    exact_sec = best_of_2(run_exact)
+    wand_sec = best_of_2(run_wand)
+
+    # pruning stats: postings each path aggregates
+    parts = retrieval.bm25_wand_parts(docs, qids, k=K, posts=posts, term_stats=tstats)
+    mposts = parts["mposts"].persist()
+    n_mposts = mposts.count()  # rows the EXACT scorer aggregates
+    n_qterms = parts["qterms"].count()
+    n_essential = parts["essential"].count()
+    candidates = parts["candidates"].persist()
+    n_cand = candidates.count()
+    n_rescored = mposts.join(
+        candidates.withColumnRenamed("doc_id", "doc_id"), ["doc_id"], "semi"
+    ).count()  # rows the WAND rescore aggregates (candidate docs only)
+
+    print(json.dumps({
+        "metric": "bm25_wand_vs_exact",
+        "corpus_docs": n_docs,
+        "vocab": N_VOCAB,
+        "zipf_s": ZIPF_S,
+        "queries": n_queries,
+        "k": K,
+        "postings_total": n_posts,
+        "postings_matched_exact": n_mposts,
+        "postings_rescored_wand": n_rescored,
+        "candidate_docs": n_cand,
+        "essential_terms": n_essential,
+        "query_terms": n_qterms,
+        "exact_sec": round(exact_sec, 2),
+        "wand_sec": round(wand_sec, 2),
+        "speedup": round(exact_sec / wand_sec, 2),
+        "lossless": True,
+        "cpus": cpus,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
