@@ -101,9 +101,14 @@ def idempotent_wire_sink(dirpath: str, fanout: int = 1):
             )
     os.makedirs(dirpath, exist_ok=True)
 
+    from pyspark.sql import functions as F
+
     def write(df: DataFrame, batch_id: int) -> None:
         scratch = os.path.join(dirpath, f"_scratch-{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").text(scratch)
+        shaped = (
+            df.repartition(fanout, F.col("value")) if fanout > 1 else df.coalesce(1)
+        )
+        shaped.write.mode("overwrite").text(scratch)
         if not os.path.isdir(scratch):
             raise RuntimeError(
                 f"executors wrote {scratch!r} but the driver cannot see it: "
@@ -116,11 +121,18 @@ def idempotent_wire_sink(dirpath: str, fanout: int = 1):
             if f.startswith("part-")
             and os.path.getsize(os.path.join(scratch, f)) > 0
         )
-        if parts:  # an empty batch writes a 0-byte part — don't land it
-            os.replace(
-                os.path.join(scratch, parts[0]),
-                os.path.join(dirpath, f"batch-{batch_id:08d}.txt"),
+        # empty batches/partitions write 0-byte parts — don't land them.
+        # Spark names task outputs part-NNNNN-...; NNNNN is the partition
+        # index, which is content-deterministic under hash partitioning,
+        # so a replayed batch reproduces the identical final-name set.
+        for p in parts:
+            idx = int(p.split("-")[1])
+            final = (
+                f"batch-{batch_id:08d}.txt"
+                if fanout == 1
+                else f"batch-{batch_id:08d}-{idx:04d}.txt"
             )
+            os.replace(os.path.join(scratch, p), os.path.join(dirpath, final))
         for f in os.listdir(scratch):
             os.remove(os.path.join(scratch, f))
         os.rmdir(scratch)
@@ -137,14 +149,20 @@ def start_processor_job(
     max_files_per_trigger: int | None = None,
     trigger_interval: str | None = DEFAULT_CHECKPOINT_INTERVAL,
     available_now: bool = False,
+    wire_fanout: int = 1,
 ):
-    """Job 1 over the file wire: one checkpointed dual-sink query."""
+    """Job 1 over the file wire: one checkpointed dual-sink query.
+
+    ``wire_fanout`` > 1 parallelizes the processed-side wire write (see
+    idempotent_wire_sink) — the chain-throughput knob; errors stay
+    single-file (the reference's error topic is low-volume by design).
+    """
     raw = read_jsonl_stream(spark, source_dir, max_files_per_trigger)
     tagged = get_tagged_output_stream(raw, streaming=True)
     return write_dual_stream(
         tagged,
         split_tagged,
-        idempotent_wire_sink(processed_dir),
+        idempotent_wire_sink(processed_dir, fanout=wire_fanout),
         idempotent_wire_sink(errors_dir),
         checkpoint_dir,
         "processor-job",
@@ -162,25 +180,64 @@ def start_aggregation_job(
     emit_every_ms: int = EMIT_EVERY_MS,
     trigger_interval: str | None = None,
     max_files_per_trigger: int | None = None,
+    event_time: bool = False,
+    watermark: str = "1 minute",
 ):
-    """Job 2 over the file wire: parse → heartbeat → metrics file sink.
+    """Job 2 over the file wire: parse → sliding aggregation → metrics
+    file sink.
+
+    Two aggregation modes, selectable per deployment:
+
+    - **heartbeat** (default): the reference-parity PROCESSING-TIME
+      aggregator (streaming/heartbeat.py) — emits every ``emit_every_ms``
+      including zero-count heartbeats, timers aligned like
+      AggregationJob.kt. State is bounded by the window length.
+    - **event_time=True**: the idiomatic Structured Streaming form the
+      reference's own docs name as the alternative (AggregationJob.kt:
+      30-46 discusses event-time windows): watermark + built-in
+      ``window()`` in APPEND mode — each window emits exactly once when
+      the watermark passes it, late events beyond ``watermark`` are
+      dropped, and closed-window state is EVICTED (the property that
+      bounds state at 100 TB). The event time is the ORIGINAL event's
+      epoch-millis timestamp, which Job-1's enrichment spliced into
+      ``enrichedData.original_timestamp`` (operators/enrich.py) — the
+      only place the reference's ProcessedEvent carries it
+      (Events.kt:10-17 has no event-time field).
 
     The metrics sink is Structured Streaming's native text sink —
     manifest-committed per micro-batch, so readers see each metric
     exactly once across restarts of THIS query.
     """
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.operators.aggregate import sliding_metrics_watermarked
+
     os.makedirs(processed_dir, exist_ok=True)  # source dir may not exist yet
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.text(processed_dir)
     parsed = parse_processed_events(raw)
-    metrics = sliding_metrics_heartbeat(
-        parsed, window_ms=window_ms, emit_every_ms=emit_every_ms
-    )
+    if event_time:
+        ev_ts = F.timestamp_millis(
+            F.get_json_object("enrichedData", "$.original_timestamp").cast("long")
+        )
+        metrics = sliding_metrics_watermarked(
+            parsed.withColumn("eventTime", ev_ts),
+            window_size=f"{window_ms} milliseconds",
+            slide=f"{emit_every_ms} milliseconds",
+            watermark=watermark,
+        )
+        out_mode = "append"
+    else:
+        metrics = sliding_metrics_heartbeat(
+            parsed, window_ms=window_ms, emit_every_ms=emit_every_ms
+        )
+        out_mode = "append"
     writer = (
         serialize_metrics(metrics)
         .writeStream.format("text")
+        .outputMode(out_mode)
         .option("path", metrics_dir)
         .option("checkpointLocation", checkpoint_dir)
         .queryName("aggregation-job")
@@ -207,6 +264,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True, help="output root (processed/errors/metrics)")
     ap.add_argument("--checkpoint-dir", required=True)
     ap.add_argument("--trigger", default=DEFAULT_CHECKPOINT_INTERVAL)
+    ap.add_argument(
+        "--event-time",
+        action="store_true",
+        help="Job 2 uses watermarked event-time windows (append mode) "
+        "instead of the processing-time heartbeat",
+    )
+    ap.add_argument("--wire-fanout", type=int, default=1)
     args = ap.parse_args(argv)
 
     spark = get_spark("pipeline")
@@ -217,6 +281,7 @@ def main(argv: list[str] | None = None) -> None:
         f"{args.out}/errors",
         f"{args.checkpoint_dir}/job1",
         trigger_interval=args.trigger,
+        wire_fanout=args.wire_fanout,
     )
     q2 = start_aggregation_job(
         spark,
@@ -224,6 +289,7 @@ def main(argv: list[str] | None = None) -> None:
         f"{args.out}/metrics",
         f"{args.checkpoint_dir}/job2",
         trigger_interval=args.trigger,
+        event_time=args.event_time,
     )
     q1.awaitTermination()
     q2.awaitTermination()

@@ -219,9 +219,17 @@ def main() -> int:
             os.path.join(work, d)
             for d in ("chain-ok", "chain-err", "chain-metrics", "chain-chk1", "chain-chk2")
         )
+        # round-6 chain tuning (the r5 verdict's 7x question): Job-1's
+        # one-file-per-batch wire write serialized every micro-batch
+        # through a single task — wire_fanout parallelizes it with
+        # content-deterministic file names; maxFilesPerTrigger splits
+        # the drain into several micro-batches so Job-2 consumes
+        # CONCURRENTLY instead of waiting for one giant batch.
         t0 = time.perf_counter()
         q1 = start_processor_job(
-            spark, src, proc_c, err_c, chk_c1, available_now=True
+            spark, src, proc_c, err_c, chk_c1, available_now=True,
+            wire_fanout=max(2, cpus // 4),
+            max_files_per_trigger=max(1, cpus // 8),
         )
         q2 = start_aggregation_job(
             spark, proc_c, met_c, chk_c2,

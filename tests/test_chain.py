@@ -235,3 +235,170 @@ def test_idempotent_wire_sink_replay_overwrites_same_file(spark, tmp_path):
     sink(spark.createDataFrame([], "value string"), 5)
     files = sorted(f for f in os.listdir(out) if not f.startswith(("_", ".")))
     assert files == ["batch-00000003.txt", "batch-00000004.txt"]
+
+
+def test_wire_sink_fanout_deterministic_names(spark, tmp_path):
+    """fanout > 1 must land a CONTENT-deterministic file set: replaying
+    the same batch (same rows, same batch_id) reproduces the identical
+    names and the identical per-file contents — the property that keeps
+    the downstream file source (which tracks files by name) exactly-once
+    across Job-1 replays."""
+    from flink_tank_spark.jobs.pipeline import idempotent_wire_sink
+
+    rows = [(f"payload-{i}",) for i in range(500)]
+    df = spark.createDataFrame(rows, ["value"])
+
+    out1 = str(tmp_path / "w1")
+    sink = idempotent_wire_sink(out1, fanout=4)
+    sink(df, 7)
+    names1 = sorted(os.listdir(out1))
+    contents1 = {n: sorted(open(os.path.join(out1, n)).read().splitlines())
+                 for n in names1}
+    # replay the SAME batch into the same dir (the foreachBatch retry
+    # path): names and contents must be unchanged, no extra files
+    sink(df, 7)
+    names2 = sorted(os.listdir(out1))
+    contents2 = {n: sorted(open(os.path.join(out1, n)).read().splitlines())
+                 for n in names2}
+    assert names1 == names2 and contents1 == contents2
+    assert all(n.startswith("batch-00000007-") for n in names1)
+    assert 1 < len(names1) <= 4  # actually fanned out
+    # and a different-layout source producing the same ROWS lands the
+    # same file set (hash partitioning is content-pure, not layout-pure)
+    out2 = str(tmp_path / "w2")
+    sink2 = idempotent_wire_sink(out2, fanout=4)
+    sink2(df.repartition(13), 7)
+    contents3 = {n: sorted(open(os.path.join(out2, n)).read().splitlines())
+                 for n in sorted(os.listdir(out2))}
+    assert contents3 == contents1
+    # every row landed exactly once across the fanout
+    all_rows = sorted(sum((c for c in contents1.values()), []))
+    assert all_rows == sorted(r[0] for r in rows)
+
+
+def test_chain_with_fanout_matches_batch(spark, tmp_path):
+    """The chained pipeline with wire_fanout > 1 and multi-batch
+    pipelining (maxFilesPerTrigger) still ends metrics-equal to the
+    batch topology — the throughput knobs must not change semantics."""
+    src = str(tmp_path / "fin")
+    processed = str(tmp_path / "fproc")
+    errors = str(tmp_path / "ferr")
+    metrics = str(tmp_path / "fmet")
+    chk1 = str(tmp_path / "fchk1")
+    chk2 = str(tmp_path / "fchk2")
+
+    msgs = [_event(k, "click", i) for k in range(5) for i in range(40)]
+    for part in range(4):
+        _write_wire(src, f"in-{part}", msgs[part * 50:(part + 1) * 50])
+
+    q1 = start_processor_job(
+        spark, src, processed, errors, chk1,
+        available_now=True, wire_fanout=3, max_files_per_trigger=1,
+    )
+    q2 = start_aggregation_job(
+        spark, processed, metrics, chk2,
+        window_ms=600_000, emit_every_ms=250,
+        trigger_interval="500 milliseconds",
+    )
+    assert q1.awaitTermination(120)
+    deadline = time.time() + 120
+    want_keys = {f"u{k}" for k in range(5)}
+    while time.time() < deadline:
+        best = _metric_maxima(metrics)
+        if (set(best) == want_keys
+                and all(m["totalEventCount"] == 40 for m in best.values())):
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(30)
+    best = _metric_maxima(metrics)
+    assert set(best) == want_keys
+    assert all(m["totalEventCount"] == 40 for m in best.values()), best
+    # multiple wire files per batch actually landed
+    fan_files = [f for f in os.listdir(processed) if f.count("-") == 2]
+    assert fan_files, sorted(os.listdir(processed))
+
+
+def test_chain_event_time_mode_matches_batch(spark, tmp_path):
+    """--event-time chain parity: Job 2 runs watermarked event-time
+    windows in append mode; every window it emits must carry exactly the
+    batch topology's counts for that (userId, windowStart) — and the
+    wave-1 windows MUST have emitted (the late wave advances the
+    watermark past them, and Spark's no-data batch flushes them)."""
+    src = str(tmp_path / "ein")
+    processed = str(tmp_path / "eproc")
+    errors = str(tmp_path / "eerr")
+    metrics = str(tmp_path / "emet")
+    chk1 = str(tmp_path / "echk1")
+    chk2 = str(tmp_path / "echk2")
+
+    def ev(key, etype, ts_ms):
+        return json.dumps(
+            {"id": f"u{key}", "type": etype, "timestamp": ts_ms, "data": {}}
+        )
+
+    # wave 1: 3 keys x 20 events inside [1s, 21s) event time
+    wave1 = [ev(k, "click", 1_000 + i * 1_000) for k in range(3) for i in range(20)]
+    _write_wire(src, "wave1", wave1)
+
+    q1 = start_processor_job(
+        spark, src, processed, errors, chk1,
+        trigger_interval="500 milliseconds", wire_fanout=2,
+    )
+    q2 = start_aggregation_job(
+        spark, processed, metrics, chk2,
+        window_ms=60_000, emit_every_ms=30_000,
+        trigger_interval="500 milliseconds",
+        event_time=True, watermark="10 seconds",
+    )
+    # wait until wave1 is on the processed wire, then send the
+    # watermark-advancing late wave (event time +30 min)
+    deadline = time.time() + 60
+    while time.time() < deadline and len(_read_wire(processed)) < len(wave1):
+        time.sleep(0.5)
+    assert len(_read_wire(processed)) == len(wave1)
+    _write_wire(src, "wave2", [ev(9, "view", 30 * 60_000)])
+
+    # wave-1 windows all end by 81s; watermark reaches 30min-10s >> 81s
+    want_rows = None
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        got = [json.loads(x) for x in _read_wire(metrics)]
+        w1 = [m for m in got if m["userId"] != "u9"]
+        # 20 events over [1s,21s) in 60s/30s sliding windows: the
+        # covering windows start at -30s and 0s -> 2 windows per key
+        if len(w1) >= 6:
+            want_rows = got
+            break
+        time.sleep(0.5)
+    q1.stop()
+    q2.stop()
+    q1.awaitTermination(30)
+    q2.awaitTermination(30)
+    assert want_rows is not None, "wave-1 event-time windows never emitted"
+
+    # batch truth on the SAME processed wire content
+    raw = spark.read.text(processed)
+    from flink_tank_spark.operators.aggregate import sliding_metrics
+    from flink_tank_spark.streaming.jobs import parse_processed_events
+
+    pe = parse_processed_events(raw).withColumn(
+        "eventTime",
+        F.timestamp_millis(
+            F.get_json_object("enrichedData", "$.original_timestamp").cast("long")
+        ),
+    )
+    batch = {
+        (r["userId"], r["windowStart"]): r
+        for r in sliding_metrics(
+            pe, window_size="60000 milliseconds", slide="30000 milliseconds"
+        ).collect()
+    }
+    emitted = [m for m in want_rows if m["userId"] != "u9"]
+    assert len(emitted) == 6  # 3 keys x 2 windows, each exactly once
+    for m in emitted:
+        b = batch[(m["userId"], m["windowStart"])]
+        assert m["totalEventCount"] == b["totalEventCount"], (m, b)
+        # the wire line nests eventTypeCounts as a JSON object; the
+        # batch row carries it as a string
+        assert m["eventTypeCounts"] == json.loads(b["eventTypeCounts"])
