@@ -48,6 +48,12 @@ bench-sf1: sf1
 plan-audit: sf1
 	python scripts/plan_scale_audit.py /root/testdata/sf0.1 data/sf1
 
+# boot a session with the 100 TB cluster knobs (conf/spark-defaults-
+# 100tb.conf) at sf0.1: oracle-exact gate subset + join-mix parity vs
+# the default session (no Cartesian/NestedLoop may appear)
+conf-check:
+	python scripts/conf_100tb_check.py /root/testdata/sf0.1 16
+
 # end-to-end ingest capacity: wire JSON -> parse/route -> exactly-once
 # partitioned parquet lake (same topology the recovery tests kill/restart)
 bench-streaming:
