@@ -176,3 +176,67 @@ def histogram_quantiles(
             for q in qs
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch → heavy-hitter frequency estimates
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4       # independent hash rows
+CMS_WIDTH = 256     # counters per row (one md5 hex byte)
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+) -> DataFrame:
+    """Count-Min sketch counter table: (row, col, cnt) — d×w cells.
+
+    The frequency analogue of the HLL register table (Cormode &
+    Muthukrishnan 2005): one narrow projection + one map-side-combinable
+    groupBy SUM reduces any number of rows to ≤ d·w counters, and
+    sketches MERGE by summing cell-wise — daily sketch tables answer
+    all-time frequency questions by union + re-sum.
+
+    Determinism (oracle-checkable): row j's hash of a key is hex byte j
+    of md5(key) — identical bytes in Spark, DuckDB, and Python. d=4,
+    w=256 gives the standard guarantee shape: estimate ≥ true count
+    always, and P[overestimate > 2N/w] ≤ (1/2)^d per query.
+    """
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int").alias("col"),
+        )
+        for j in range(d)
+    ])
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str, d: int = CMS_DEPTH
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate is
+    the MIN over the key's d cells. ``counters`` (≤ d·w rows) is
+    broadcast; the output carries (key_col, cms_est)."""
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    probes = keys.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("row"),
+                F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int").alias("col"),
+            )
+            for j in range(d)
+        ])).alias("c"),
+    ).select(key_col, "c.row", "c.col")
+    return (
+        probes.join(F.broadcast(counters), ["row", "col"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

@@ -222,14 +222,17 @@ def main() -> int:
         # round-6 chain tuning (the r5 verdict's 7x question): Job-1's
         # one-file-per-batch wire write serialized every micro-batch
         # through a single task — wire_fanout parallelizes it with
-        # content-deterministic file names; maxFilesPerTrigger splits
-        # the drain into several micro-batches so Job-2 consumes
-        # CONCURRENTLY instead of waiting for one giant batch.
+        # content-deterministic file names. Measured knob grid at sf1:
+        # fanout 8 / single availableNow batch = 90.5k ev/s; fanout 16
+        # ≈ same (87.7k); splitting the drain into micro-batches so
+        # Job-2 overlaps LOSES (fanout 8 / 16-file triggers = 69.7k,
+        # 4-file = 29.3k): each extra Job-1 micro-batch pays a stateful
+        # state-store load/commit + plan startup that outweighs the
+        # overlap, so the backlogged drain runs as ONE batch.
         t0 = time.perf_counter()
         q1 = start_processor_job(
             spark, src, proc_c, err_c, chk_c1, available_now=True,
             wire_fanout=max(2, cpus // 4),
-            max_files_per_trigger=max(1, cpus // 8),
         )
         q2 = start_aggregation_job(
             spark, proc_c, met_c, chk_c2,
