@@ -339,6 +339,72 @@ DOC_BM25_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# doc_idf_rarity — idf-weighted rarity score per document (curation signal)
+# --------------------------------------------------------------------------
+
+def doc_idf_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical rarity: mean (over token INSTANCES) of the
+    rational BM25 idf ``(N - df + 0.5) / (df + 0.5)`` — the standard
+    curation signal separating boilerplate-heavy documents (low score,
+    every token common) from terminology-dense ones. One postings pass
+    + one broadcast of the per-term df table; the per-doc sum runs in
+    floor-scaled integers so the score is bit-identical under any
+    partitioning (same recipe as the BM25 scorer,
+    operators/retrieval.py)."""
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    posts = _word_postings(spark, sf_dir)
+    stats = retrieval.corpus_stats(docs)
+    dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    scored = (
+        posts.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "dl",
+            (F.col("tf")
+             * F.floor(idf * F.lit(1e9) + F.lit(0.5)).cast("long")).alias("_i"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(F.sum("_i").alias("_ssum"))
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("n_tokens"),
+            ((F.col("_ssum").cast("double") / F.lit(1e9))
+             / F.col("dl").cast("double")).alias("idf_rarity"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_IDF_RARITY_SQL = dedent("""
+    WITH posts AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf FROM posts GROUP BY 1, 2, 3
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT t.doc_id, t.dl,
+             t.tf * CAST(FLOOR(((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                               * 1000000000.0 + 0.5) AS BIGINT) AS i
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+           (CAST(SUM(i) AS DOUBLE) / 1000000000.0) / CAST(dl AS DOUBLE) AS idf_rarity
+    FROM scored GROUP BY doc_id, dl ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_simhash — 64-bit SimHash signatures
 # --------------------------------------------------------------------------
 
@@ -1009,6 +1075,76 @@ EMB_COSINE_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# emb_matryoshka_topk — truncated-dimension retrieval quality audit
+# --------------------------------------------------------------------------
+
+def emb_matryoshka_topk(
+    spark: SparkSession, sf_dir: str, dims: int = 16, k: int = 5
+) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: run the exact cosine
+    top-k on only the FIRST ``dims`` of each embedding (the cheap
+    coarse-search representation modern embedding models are trained to
+    support) and report, per query, how much of the full-dimension top-k
+    it recovers. At 100 TB the truncated pass reads a quarter of the
+    vector bytes and its dot products are 4× cheaper — this query makes
+    the quality side of that trade measurable inside the engine.
+    Truncated vectors get the same zero-norm exclusion as full ones (a
+    nonzero vector CAN have an all-zero prefix)."""
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    trunc = emb.select("vec_id", F.slice("embedding", 1, dims).alias("embedding"))
+    t_top = similarity.cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), k=k
+    ).select(F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid"))
+    full = _exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        full.join(
+            t_top,
+            (F.col("query_id") == F.col("t_qid"))
+            & (F.col("neighbor_id") == F.col("t_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.count("t_nid").alias("n_overlap"),
+        )
+        .withColumn("overlap_at_5", F.col("n_overlap") / F.lit(5.0))
+        .orderBy("query_id")
+    )
+
+
+EMB_MATRYOSHKA_TOPK_SQL = dedent(f"""
+    WITH tr AS (
+      SELECT vec_id, embedding[1:16] AS embedding FROM embeddings
+    ),
+    tr_nz AS (SELECT * FROM tr WHERE {_SQL_NZ_PRED}),
+    t_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+      FROM tr_nz q JOIN tr_nz c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    t_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM t_scored) WHERE rk <= 5
+    ),
+    full_top AS ({EMB_COSINE_TOPK_SQL})
+    SELECT f.query_id,
+           COUNT(*) AS n_full,
+           COUNT(t.neighbor_id) AS n_overlap,
+           COUNT(t.neighbor_id) / 5.0 AS overlap_at_5
+    FROM full_top f
+    LEFT JOIN t_top t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+""")
+
+
+# --------------------------------------------------------------------------
 # emb_ivf_topk — IVF-style ANN: search only the query's centroid cell
 # --------------------------------------------------------------------------
 
@@ -1536,6 +1672,12 @@ MM_FRAME_STATS_SQL = dedent("""
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
+    QuerySpec("doc_idf_rarity", doc_idf_rarity, DOC_IDF_RARITY_SQL,
+              "idf-weighted per-doc rarity score (curation quality signal)",
+              ("llm", "text")),
+    QuerySpec("emb_matryoshka_topk", emb_matryoshka_topk, EMB_MATRYOSHKA_TOPK_SQL,
+              "truncated-dim (16/64) cosine top-k overlap vs full-dim exact",
+              ("llm", "embedding")),
     QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
               "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),
     QuerySpec("doc_lsh_near_dups", doc_lsh_near_dups, DOC_LSH_NEAR_DUPS_SQL,

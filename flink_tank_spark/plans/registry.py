@@ -47,7 +47,9 @@ class QuerySpec:
 # old. Round-6 additions (never certified) go at the very head.
 FRONT_OF_LINE = (
     # new in round 6 — no driver cert yet
-    # (appended by the round-6 query additions below this comment)
+    "ev_cms_heavy_hitters",
+    "doc_idf_rarity",
+    "emb_matryoshka_topk",
     # newest cert is round 4
     "agg_cube_status_priority",
     "agg_rollup_region_nation",

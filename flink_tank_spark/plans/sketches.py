@@ -211,7 +211,69 @@ EV_VALUE_QUANTILES_MERGED_SQL = dedent(f"""
 """)
 
 
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters: frequency estimates for the top users — the
+# third sketch family (HLL = distinct, histogram = quantiles, CMS =
+# frequency), same two scale properties (bounded shuffle, merge-by-sum).
+# ---------------------------------------------------------------------------
+
+def ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str, top: int = 20) -> DataFrame:
+    """Count-Min sketch frequency estimates for the top-20 exact
+    heaviest users: the sketch's one-sided guarantee (estimate ≥ truth,
+    bounded overcount) becomes a checkable column. Top-k is
+    TakeOrderedAndProject (orderBy+limit — distributed), never a global
+    window; the 4×256 counter table is broadcast for point queries."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("user_key"))
+    counters = sketch.cms_counters(keyed, "user_key")
+    exact = keyed.groupBy("user_key").agg(F.count(F.lit(1)).alias("n_exact"))
+    topk = exact.orderBy(F.desc("n_exact"), "user_key").limit(top)
+    est = sketch.cms_estimate(counters, topk.select("user_key"), "user_key")
+    return (
+        topk.join(est, "user_key")
+        .select(
+            "user_key",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.desc("n_exact"), "user_key")
+    )
+
+
+EV_CMS_HEAVY_HITTERS_SQL = dedent("""
+    WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS user_key FROM events),
+    rows4 AS (SELECT unnest(range(4)) AS row),
+    cells AS (
+      SELECT r.row AS row,
+             ('0x' || substr(md5(k.user_key), 2 * r.row + 1, 2))::INTEGER AS col
+      FROM keyed k CROSS JOIN rows4 r
+    ),
+    counters AS (SELECT row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (SELECT user_key, COUNT(*) AS n_exact FROM keyed GROUP BY user_key),
+    topk AS (SELECT user_key, n_exact FROM exact
+             ORDER BY n_exact DESC, user_key LIMIT 20),
+    probes AS (
+      SELECT t.user_key, r.row AS row,
+             ('0x' || substr(md5(t.user_key), 2 * r.row + 1, 2))::INTEGER AS col
+      FROM topk t CROSS JOIN rows4 r
+    ),
+    est AS (
+      SELECT p.user_key, MIN(c.cnt) AS cms_est
+      FROM probes p JOIN counters c ON c.row = p.row AND c.col = p.col
+      GROUP BY p.user_key
+    )
+    SELECT t.user_key, t.n_exact, e.cms_est, e.cms_est - t.n_exact AS overcount
+    FROM topk t JOIN est e ON e.user_key = t.user_key
+    ORDER BY t.n_exact DESC, t.user_key
+""")
+
+
 QUERIES = [
+    QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
+              EV_CMS_HEAVY_HITTERS_SQL,
+              "Count-Min sketch frequency estimates vs exact for the top-20 users",
+              ("sketch", "events")),
     QuerySpec("ev_hll_user_days", ev_hll_user_days, EV_HLL_USER_DAYS_SQL,
               "HLL-sketched distinct user-days per event type vs exact",
               ("sketch", "events"), bench=True),

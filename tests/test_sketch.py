@@ -132,3 +132,57 @@ def test_histogram_is_bounded(spark):
         [("g", round(0.01 * (i % 100), 2)) for i in range(10_000)], ["g", "value"]
     )
     assert sketch.fp_histogram(df, "value", ["g"]).count() == 100
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """Count-Min's one-sided guarantee: estimate >= exact for EVERY key
+    (collisions only add), and the counter table is bounded at d x w
+    cells no matter the input size."""
+    from flink_tank_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    counters = sketch.cms_counters(ev, "k")
+    assert counters.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sketch.cms_estimate(counters, exact.select("k"), "k")
+    joined = exact.join(est, "k").collect()
+    assert len(joined) == exact.count()
+    assert all(r.cms_est >= r.n_exact for r in joined)
+
+
+def test_cms_merge_by_sum_equals_direct(spark, sf_dir):
+    """Sketch-merge property: per-day counter tables summed cell-wise
+    give BIT-identical estimates to one direct pass — the property that
+    lets daily sketches answer all-time frequency questions."""
+    from flink_tank_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("k")
+    )
+    direct = sketch.cms_counters(ev, "k")
+    daily = (
+        ev.select(
+            "day",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.col("k").cast("binary")), 2 * j + 1, 2
+                            ), 16, 10,
+                        ).cast("int").alias("col"),
+                    )
+                    for j in range(sketch.CMS_DEPTH)
+                ])
+            ).alias("c"),
+        )
+        .groupBy("day", "c.row", "c.col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    merged = daily.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
