@@ -192,6 +192,52 @@ DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
 # doc_dedup_groups — connected components over the near-dup pair graph
 # --------------------------------------------------------------------------
 
+def _cc_min_label_sql(rounds: int = 24) -> tuple[str, str]:
+    """Oracle-side connected components as UNROLLED min-label
+    propagation over a CTE named ``edges`` (both directions): round i+1
+    takes each node's min over its own label and its neighbors' —
+    O(edges) work per round, ``rounds`` rounds total.
+
+    Replaces the original ``WITH RECURSIVE reach(src, dst)`` transitive
+    closure, which enumerates every (node, reachable-node) PAIR — on the
+    round-6 mutated sf1 corpus (real similarity chains instead of
+    degenerate duplicate clusters) that closure took 3963 s of the
+    4659 s gate for emb_semantic_dedup alone; the unrolled propagation
+    answers in milliseconds with identical labels.
+
+    Returns (ctes, guard): ctes define ``cc{rounds}`` = (node, lbl);
+    ``guard`` is a scalar subquery counting labels that still changed in
+    the last round — callers UNION a sentinel row when it is nonzero, so
+    a diameter larger than ``rounds`` fails the gate LOUDLY (row/hash
+    mismatch) instead of silently splitting components. The engine side
+    (operators/dedup.connected_components) has the same fail-loud cap.
+    """
+    # MATERIALIZED is load-bearing: DuckDB 1.0 INLINES plain CTEs, and
+    # each round references the previous one twice — 2^rounds expansion
+    # (observed as fd exhaustion re-opening the parquet per inlined copy)
+    parts = [
+        "edges_m AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "cc0 AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS lbl "
+        "FROM edges_m GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(dedent(f"""\
+        cc{i} AS MATERIALIZED (
+          SELECT l.node, LEAST(l.lbl, MIN(n.lbl)) AS lbl
+          FROM cc{i - 1} l JOIN edges_m e ON e.src = l.node
+          JOIN cc{i - 1} n ON n.node = e.dst
+          GROUP BY l.node, l.lbl
+        )"""))
+    guard = (
+        f"(SELECT COUNT(*) FROM cc{rounds} a JOIN cc{rounds - 1} b "
+        f"ON a.node = b.node AND a.lbl <> b.lbl)"
+    )
+    return ",\n    ".join(parts), guard
+
+
+_CC_CTES, _CC_GUARD = _cc_min_label_sql()
+_CC_FINAL = "cc24"
+
 def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate GROUP resolution: near-dup pairs chain (A~B, B~C ⇒ one
     group of three), so the unit of dedup is the connected component.
@@ -202,20 +248,17 @@ def doc_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_DEDUP_GROUPS_SQL = dedent(f"""
-    WITH RECURSIVE {LSH_PAIRS_CTES},
+    WITH {LSH_PAIRS_CTES},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM near_dups
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM near_dups
     ),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
-    FROM reach
-    GROUP BY src
+    {_CC_CTES}
+    SELECT node AS doc_id, lbl AS canon_id FROM {_CC_FINAL}
+    UNION ALL
+    -- unconverged propagation (diameter > rounds) fails the gate loudly
+    SELECT -1, -1 WHERE {_CC_GUARD} > 0
     ORDER BY doc_id
 """)
 
@@ -729,27 +772,22 @@ def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_DEDUP_CORPUS_SQL = dedent(f"""
-    WITH RECURSIVE {LSH_PAIRS_CTES},
+    WITH {LSH_PAIRS_CTES},
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM near_dups
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM near_dups
     ),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    canon AS (
-      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canon_id
-      FROM reach GROUP BY src
-    ),
+    {_CC_CTES},
+    canon AS (SELECT node AS doc_id, lbl AS canon_id FROM {_CC_FINAL}),
     dropped AS (SELECT doc_id FROM canon WHERE canon_id < doc_id)
     SELECT source, COUNT(*) AS n_docs,
            COUNT(*) - COUNT(d.doc_id) AS n_kept,
            COUNT(d.doc_id) AS n_dropped
     FROM documents LEFT JOIN dropped d USING (doc_id)
     GROUP BY source
+    UNION ALL
+    SELECT '__unconverged__', -1, -1, -1 WHERE {_CC_GUARD} > 0
     ORDER BY source
 """)
 
@@ -1509,26 +1547,21 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_SEMANTIC_DEDUP_SQL = dedent(f"""
-    WITH RECURSIVE {EMB_NEAR_DUP_CTES},
+    WITH {EMB_NEAR_DUP_CTES},
     nd AS (SELECT id_a, id_b FROM scored WHERE cos_sim >= 0.45),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM nd
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM nd
     ),
-    reach(src, dst) AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    ),
-    canon AS (
-      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS canon_id
-      FROM reach GROUP BY src
-    )
+    {_CC_CTES},
+    canon AS (SELECT node AS vec_id, lbl AS canon_id FROM {_CC_FINAL})
     SELECT COUNT(*) AS n_in_groups,
            COUNT(DISTINCT canon_id) AS n_groups,
            COUNT(CASE WHEN vec_id <> canon_id THEN 1 END) AS n_dropped
     FROM canon
+    UNION ALL
+    SELECT -1, -1, -1 WHERE {_CC_GUARD} > 0
 """)
 
 
