@@ -201,29 +201,29 @@ def _exact_scores(
     ``restrict``: optional (query_id, id_col) pair set to score only;
     ``broadcast_restrict`` for bounded restrict sets turns the
     restriction into a broadcast-hash probe instead of a corpus-sized
-    shuffle. The restriction is applied in TWO phases: a semi-join on
-    the doc ids BEFORE the query-term expansion (the per-term join
-    multiplies each posting by the number of queries containing the
-    term, so filtering docs first keeps the expansion proportional to
-    the restrict set — measured 27 s → the expansion dominated the
-    whole WAND path when the pair filter ran after it), then the exact
-    (query, doc) pair filter after."""
-    mp = mposts
-    if restrict is not None:
-        doc_set = restrict.select(id_col).distinct()
-        mp = mp.join(
-            F.broadcast(doc_set) if broadcast_restrict else doc_set,
-            id_col,
-            "semi",
-        )
-    matched = (
-        mp.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
-        .filter(F.col(id_col) != F.col("query_id"))
-    )
+    shuffle. JOIN ORDER is the whole game for restricted scoring: the
+    restrict PAIRS join first (each candidate doc's postings gain the
+    ~1 query that claimed them), then the (query_id, term) membership
+    join against qterms. Joining qterms on term alone first multiplies
+    every posting by the number of queries containing the term — at
+    1024 batched queries whose common terms appear in ~40% of them,
+    that is a several-hundred-million-row expansion the pair filter
+    then throws away (measured: 38 s for the final WAND rescore with
+    pair-filter-last vs the whole-path seconds with pairs-first)."""
     if restrict is not None:
         r = F.broadcast(restrict) if broadcast_restrict else restrict
-        matched = matched.join(r, ["query_id", id_col])
+        matched = (
+            mposts.join(r, id_col)
+            .join(F.broadcast(qterms), ["query_id", "term"])
+            .join(F.broadcast(dfreq), "term")
+            .filter(F.col(id_col) != F.col("query_id"))
+        )
+    else:
+        matched = (
+            mposts.join(F.broadcast(dfreq), "term")
+            .join(F.broadcast(qterms), "term")
+            .filter(F.col(id_col) != F.col("query_id"))
+        )
     matched = matched.crossJoin(F.broadcast(stats))
     score_t = _term_score(
         F.col("tf"), F.col("dl"), F.col("df"),
