@@ -23,10 +23,11 @@ for and measures both operators on it:
 
 Timings are warm best-of-2; losslessness is asserted row-for-row on
 every run (the same contract the oracle gate certifies). One JSON line
-on stdout → commit as WAND_BENCH_r{N}.json. Measured result (r6):
-speedup crosses 1.0 around ~100 queries on a 200 k-doc corpus (1.54×
-at 256, 1.8× at 1024); doc-as-query over ~80-term documents stays in
-exact's favor — see WAND_BENCH_r06.json selection_guidance.
+on stdout → commit as WAND_BENCH_r{N}.json. Measured result (r6,
+after the pairs-first restricted rescore): 1.72×/5.26×/16.3× at
+64/256/1024 short queries, 2.24× at 32 doc-as-query; only tiny
+batches (≲16-32 queries) stay exact-favored — see
+WAND_BENCH_r06.json selection_guidance.
 
 Usage:
     python scripts/wand_bench.py [n_docs] [cpus] [n_queries]
