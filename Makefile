@@ -34,10 +34,10 @@ data/sf5/lineitem.parquet:
 
 sf5: data/sf5/lineitem.parquet
 
-# full 83-query oracle gate at sf1. Slow: Spark totals a few minutes,
-# but several DuckDB oracle mirrors are 10-100x slower than the engine
-# at this SF (quadratic-ish SQL rescoring the blocked operators avoid)
-# — expect ~1h wall. The gate itself stays hash-exact.
+# full 87-query oracle gate at sf1: ~12 min wall since the round-6
+# min-label-propagation oracle rewrite (was ~1h — the recursive-closure
+# CC mirrors dominated); several DuckDB mirrors remain 10-100x slower
+# than the engine at this SF. The gate itself stays hash-exact.
 verify-sf1: sf1
 	python scripts/verify_gate.py data/sf1 24
 
