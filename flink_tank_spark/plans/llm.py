@@ -327,6 +327,25 @@ def _word_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: per-term (df, ub_i) — the OTHER half of the
+    materialized retrieval index (retrieval.term_statistics), built once
+    per session over the shared postings and reused by every BM25
+    variant, so per-query-batch work never includes a df/UB corpus
+    pass."""
+    from flink_tank_spark.operators import retrieval
+
+    return shared.stage(
+        spark,
+        "doc_word_term_stats",
+        sf_dir,
+        lambda: retrieval.term_statistics(
+            _word_postings(spark, sf_dir),
+            retrieval.corpus_stats(load_table(spark, sf_dir, "documents")),
+        ),
+    )
+
+
 def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     """Doc-as-query lexical retrieval: for each of 5 query docs, the
     top-10 corpus docs by BM25-style score over word postings — the
@@ -337,7 +356,8 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.bm25_topk(
-        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir)
+        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
+        term_stats=_word_term_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
@@ -466,7 +486,8 @@ def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.bm25_wand_topk(
-        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir)
+        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
+        term_stats=_word_term_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
