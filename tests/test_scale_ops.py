@@ -208,3 +208,22 @@ def test_cell_blocked_pairs_drops_zero_norm_vectors(spark):
     ids = {i for r in pairs for i in (r.id_a, r.id_b)}
     assert 2 not in ids
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_bm25_term_stats_path_is_value_identical(spark, oracle_sf_dir):
+    """The precomputed term_statistics index path must give row-identical
+    results to the inline df/UB computation for BOTH operators — the
+    amortized-index deployment cannot change values."""
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    posts = retrieval.term_postings(docs)
+    tstats = retrieval.term_statistics(posts, retrieval.corpus_stats(docs))
+    qids = range(5)
+    for fn in (retrieval.bm25_topk, retrieval.bm25_wand_topk):
+        inline = sorted(map(tuple, fn(docs, qids, k=10, posts=posts).collect()))
+        indexed = sorted(map(tuple, fn(
+            docs, qids, k=10, posts=posts, term_stats=tstats
+        ).collect()))
+        assert inline == indexed, fn.__name__
