@@ -76,3 +76,87 @@ def test_late_data_dropped_and_windows_finalized(spark, tmp_path):
     assert json.loads(w1200[0]["eventTypeCounts"]) == {"a": 1, "b": 1}
     w1205 = [r for r in rows if r["windowStart"].startswith("2024-06-01T12:05")]
     assert len(w1205) == 1 and w1205[0]["totalEventCount"] == 1
+
+
+def test_streaming_session_windows_finalize_and_match_batch(spark, tmp_path):
+    """Streaming twin of ev_sessionize: session_window + watermark in
+    append mode. A session emits exactly once, after the watermark
+    passes its close (start + gap beyond the last event); the emitted
+    sessions must carry exactly the batch session_window aggregation's
+    counts on the same rows. The reference has no session concept at
+    all — this pins the extension's streaming form."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess-src")
+    out = str(tmp_path / "sess-out")
+    ckpt = str(tmp_path / "sess-ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    def run_batchfile(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for user, ts in rows:
+                f.write(json.dumps({"user_id": user, "et": ts}) + "\n")
+        raw = (
+            spark.readStream.schema("user_id string, et string")
+            .json(src)
+            .withColumn("ts", F.to_timestamp("et"))
+            .withWatermark("ts", "10 seconds")
+        )
+        sessions = (
+            raw.groupBy(F.session_window("ts", "30 seconds").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").cast("string").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            sessions.writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # wave 1: user a has 3 events 10 s apart (one session), user b has 2
+    wave1 = [("a", "2024-01-01T00:00:00"), ("a", "2024-01-01T00:00:10"),
+             ("a", "2024-01-01T00:00:20"), ("b", "2024-01-01T00:00:05"),
+             ("b", "2024-01-01T00:00:15")]
+    run_batchfile("w1.jsonl", wave1)
+    # wave 2: a much-later event pushes the watermark far past wave 1's
+    # session closes -> those sessions finalize and emit
+    wave2 = [("c", "2024-01-01T00:40:00")]
+    run_batchfile("w2.jsonl", wave2)
+
+    rows = []
+    for p in glob.glob(os.path.join(out, "*.json")):
+        with open(p) as f:
+            rows += [json.loads(line) for line in f if line.strip()]
+    emitted = {(r["user_id"], r["session_start"]): r["n_events"] for r in rows}
+
+    # batch truth on the SAME input rows
+    pdf = spark.createDataFrame(
+        [(u, t) for u, t in wave1 + wave2], ["user_id", "et"]
+    ).withColumn("ts", F.to_timestamp("et"))
+    batch = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in (
+            pdf.groupBy(F.session_window("ts", "30 seconds").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+            .collect()
+        )
+    }
+    # every emitted session equals the batch answer, and wave-1's two
+    # sessions did emit (c's session may still be open -> not required)
+    for key, n in emitted.items():
+        assert batch[key] == n, (key, n, batch)
+    assert ("a", "2024-01-01 00:00:00") in emitted
+    assert ("b", "2024-01-01 00:00:05") in emitted
+    assert emitted[("a", "2024-01-01 00:00:00")] == 3
+    assert emitted[("b", "2024-01-01 00:00:05")] == 2
