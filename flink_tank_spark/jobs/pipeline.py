@@ -75,12 +75,17 @@ def idempotent_wire_sink(dirpath: str, fanout: int = 1):
 
     Replay safety (the foreachBatch idempotency contract from the Spark
     docs, keyed on ``batch_id``): the batch is written distributed to a
-    scratch dir, then its single part file is renamed over the final
-    name — a same-filesystem atomic replace. A replayed batch reproduces
-    the same row set (its input files and rolled-back state are the
-    same), so downstream file sources — which track files by NAME —
-    never double-read, and a batch that died before the rename left
-    nothing visible.
+    scratch dir, then each part file is renamed over its final name — a
+    same-filesystem atomic replace PER FILE. Atomicity is per-file, not
+    per-batch: at ``fanout=1`` a batch that died before its single
+    rename left nothing visible; at ``fanout > 1`` a crash mid-loop can
+    expose a PARTIAL batch to the downstream file source. Exactly-once
+    still holds: names and contents are pure functions of batch content
+    (hash partitioning on value), a replayed batch reproduces the same
+    row set (its input files and rolled-back state are the same) and so
+    re-lands byte-identical files, completing the set — and downstream
+    file sources, which track files by NAME, never double-read the
+    already-landed ones.
 
     DEPLOYMENT CONSTRAINT: the rename runs DRIVER-side with ``os``
     calls, so the path must be a POSIX filesystem visible to both the
@@ -222,8 +227,12 @@ def start_aggregation_job(
         ev_ts = F.timestamp_millis(
             F.get_json_object("enrichedData", "$.original_timestamp").cast("long")
         )
+        # explicit malformed-row policy (mirrors the parse path's
+        # corrupt-record filter): a NULL eventTime would land in a null
+        # window group that never crosses the watermark in append mode —
+        # silently never emitted, state never evicted. Drop it up front.
         metrics = sliding_metrics_watermarked(
-            parsed.withColumn("eventTime", ev_ts),
+            parsed.withColumn("eventTime", ev_ts).filter(ev_ts.isNotNull()),
             window_size=f"{window_ms} milliseconds",
             slide=f"{emit_every_ms} milliseconds",
             watermark=watermark,

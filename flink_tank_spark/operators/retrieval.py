@@ -100,6 +100,12 @@ def term_statistics(
     with idf constant per term and floor monotone, so
     max(floor(idf·part·S + ½)) = floor(idf·max(part)·S + ½) BIT-exactly
     (same IEEE ops on the maximizing row).
+
+    ``ub_i`` is k1/b-DEPENDENT: the (k1, b) used to build it are stamped
+    into the ``ub_i`` column's schema metadata, and
+    :func:`bm25_wand_parts` refuses a table whose stamp mismatches its
+    own k1/b — a stale bound would silently prune wrong (``df`` alone is
+    parameter-free and safe for the exact scorer either way).
     """
     part_col = (F.col("tf") * F.lit(k1 + 1.0)) / (
         F.col("tf")
@@ -120,9 +126,40 @@ def term_statistics(
                 ((F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
                 * F.col("_max_part") * F.lit(SCORE_SCALE)
                 + F.lit(0.5)
-            ).cast("long").alias("ub_i"),
+            ).cast("long").alias("ub_i", metadata={"k1": k1, "b": b}),
         )
     )
+
+
+def _check_term_stats_params(term_stats: DataFrame, k1: float, b: float) -> None:
+    """Driver-side (zero-job) guard: a term_statistics table built with
+    different k1/b than the query-time call carries stale ub_i upper
+    bounds — unsafe pruning with no error. The params ride as schema
+    metadata on ub_i; absence (a hand-built table) passes with the
+    documented same-params contract."""
+    meta = dict(term_stats.schema["ub_i"].metadata or {})
+    if not meta:
+        return
+    if meta.get("k1") != k1 or meta.get("b") != b:
+        raise ValueError(
+            f"term_stats was built with k1={meta.get('k1')}, b={meta.get('b')} "
+            f"but the query uses k1={k1}, b={b}: ub_i upper bounds would be "
+            "stale and pruning unsafe — rebuild term_statistics with the "
+            "query's parameters"
+        )
+
+
+def release_wand_parts(parts: dict[str, DataFrame]) -> None:
+    """Unpersist every DataFrame :func:`bm25_wand_parts` cached
+    (``parts['persisted']``) — call after the consuming action in
+    long-lived sessions (per-batch loops, benches) so WAND intermediates
+    don't accumulate in executor storage. Blocking=False: lazy eviction,
+    never stalls the caller."""
+    for df in parts.get("persisted", []):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
 
 
 def _matched_postings(
@@ -304,7 +341,9 @@ def bm25_wand_parts(
     (per-query lower bound on the true k-th score), ``essential``
     (per-query surviving terms), ``candidates`` ((query, doc) pairs that
     must be exactly rescored), ``topk`` (the final answer — provably
-    identical to :func:`bm25_topk`).
+    identical to :func:`bm25_topk`), ``persisted`` (every frame this
+    call cached — hand to :func:`release_wand_parts` after the action
+    in per-batch loops so cached blocks don't accumulate).
 
     ``cache`` persists the BOUNDED-size intermediates (query terms,
     corpus stats, per-term df/UB — at most |query terms| + 1 rows).
@@ -320,7 +359,9 @@ def bm25_wand_parts(
     )
     if term_stats is not None:
         # precomputed index half: restrict to the query terms, done —
-        # zero per-batch corpus passes for df/UB
+        # zero per-batch corpus passes for df/UB. Params guard first:
+        # ub_i built under different k1/b would prune unsafely.
+        _check_term_stats_params(term_stats, k1, b)
         df_ub = term_stats.join(
             F.broadcast(qterms.select("term").distinct()), "term"
         ).select("term", "df", "ub_i")
@@ -333,11 +374,13 @@ def bm25_wand_parts(
         # _matched_postings' dfreq — same count, same source.
         df_ub = term_statistics(mposts, stats, k1=k1, b=b)
     dfreq = df_ub.select("term", "df")
+    persisted: list[DataFrame] = []
     if cache:
         qterms = qterms.persist()
         stats = stats.persist()
         df_ub = df_ub.persist()
         dfreq = dfreq.persist()
+        persisted += [qterms, stats, df_ub, dfreq]
         # mposts is corpus-sized but feeds FIVE branches (seeds, θ
         # rescore, df/UB agg, candidate generation, final rescore);
         # without a persist each branch replays the postings build.
@@ -348,6 +391,7 @@ def bm25_wand_parts(
         from pyspark import StorageLevel
 
         mposts = mposts.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(mposts)
 
     def rescore(restrict=None, broadcast_restrict=False):
         return _exact_scores(
@@ -425,6 +469,7 @@ def bm25_wand_parts(
         # branches replays the whole seed+rescore chain (profiled: the
         # chain re-ran three times, 2.8-2.9 s per replay at 200 k docs).
         theta = theta.persist()
+        persisted.append(theta)
     # Per-term upper bound = max posting impact (ONE map-side-combinable
     # aggregation over the per-posting exact impacts; in bag-of-words
     # BM25 every (term, doc) contribution is fully determined by
@@ -458,6 +503,7 @@ def bm25_wand_parts(
     )
     if cache:
         essential = essential.persist()  # ≤ |query terms| rows
+        persisted.append(essential)
     # Candidates: docs on at least one essential term's posting list.
     candidates = (
         mposts.join(F.broadcast(essential), "term")
@@ -467,6 +513,7 @@ def bm25_wand_parts(
     )
     if cache:
         candidates = candidates.persist()  # the pruned rescore set
+        persisted.append(candidates)
     w_rank = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     # Broadcast the candidate restrict set: its being SMALL is the whole
     # point of the prune (bounded by the essential terms' posting mass),
@@ -489,6 +536,7 @@ def bm25_wand_parts(
         "essential": essential,
         "candidates": candidates,
         "topk": topk,
+        "persisted": persisted,
     }
 
 

@@ -205,12 +205,16 @@ def _cc_min_label_sql(rounds: int = 24) -> tuple[str, str]:
     4659 s gate for emb_semantic_dedup alone; the unrolled propagation
     answers in milliseconds with identical labels.
 
-    Returns (ctes, guard): ctes define ``cc{rounds}`` = (node, lbl);
-    ``guard`` is a scalar subquery counting labels that still changed in
-    the last round — callers UNION a sentinel row when it is nonzero, so
-    a diameter larger than ``rounds`` fails the gate LOUDLY (row/hash
-    mismatch) instead of silently splitting components. The engine side
-    (operators/dedup.connected_components) has the same fail-loud cap.
+    Returns (ctes, guard): ctes define ``cc{rounds}`` = (node, lbl) plus
+    ONE extra probe round ``cc{rounds + 1}``; ``guard`` is a scalar
+    subquery counting labels the probe round still changed — callers
+    UNION a sentinel row when it is nonzero, so a diameter larger than
+    ``rounds`` fails the gate LOUDLY (row/hash mismatch) instead of
+    silently splitting components. The probe round exists so the FULL
+    ``rounds`` budget is usable: guarding on cc{rounds} vs cc{rounds-1}
+    would flag a graph whose labels legitimately settle in the final
+    round. The engine side (operators/dedup.connected_components) has
+    the same fail-loud cap.
     """
     # MATERIALIZED is load-bearing: DuckDB 1.0 INLINES plain CTEs, and
     # each round references the previous one twice — 2^rounds expansion
@@ -220,7 +224,7 @@ def _cc_min_label_sql(rounds: int = 24) -> tuple[str, str]:
         "cc0 AS MATERIALIZED (SELECT src AS node, LEAST(src, MIN(dst)) AS lbl "
         "FROM edges_m GROUP BY src)",
     ]
-    for i in range(1, rounds + 1):
+    for i in range(1, rounds + 2):
         parts.append(dedent(f"""\
         cc{i} AS MATERIALIZED (
           SELECT l.node, LEAST(l.lbl, MIN(n.lbl)) AS lbl
@@ -229,7 +233,7 @@ def _cc_min_label_sql(rounds: int = 24) -> tuple[str, str]:
           GROUP BY l.node, l.lbl
         )"""))
     guard = (
-        f"(SELECT COUNT(*) FROM cc{rounds} a JOIN cc{rounds - 1} b "
+        f"(SELECT COUNT(*) FROM cc{rounds + 1} a JOIN cc{rounds} b "
         f"ON a.node = b.node AND a.lbl <> b.lbl)"
     )
     return ",\n    ".join(parts), guard

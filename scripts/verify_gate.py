@@ -76,6 +76,13 @@ def main() -> int:
     n_entry = len(mod.entry(spark).collect())
     print(f"entry rows: {n_entry}")
     queries, oracles = mod.queries(), mod.oracle_sql()
+    only = os.environ.get("SPARK_GRAFT_GATE_ONLY")
+    if only:  # comma-separated subset, e.g. for post-edit spot checks
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(queries)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_GATE_ONLY unknown: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in keep}
     bad = 0
     t0 = time.perf_counter()
     for name in queries:  # registry order, like the driver

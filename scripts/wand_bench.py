@@ -121,23 +121,32 @@ def main() -> int:
     tstats.count()
 
     def run_exact():
-        return retrieval.bm25_topk(docs, qids, k=K, posts=posts, term_stats=tstats)
+        return retrieval.bm25_topk(
+            docs, qids, k=K, posts=posts, term_stats=tstats
+        ).collect()
 
     def run_wand():
-        return retrieval.bm25_wand_topk(
+        # per-batch invocation releases its cached intermediates after
+        # the action (retrieval.release_wand_parts) so best-of-N loops
+        # don't accumulate executor storage
+        parts = retrieval.bm25_wand_parts(
             docs, qids, k=K, posts=posts, term_stats=tstats
         )
+        try:
+            return parts["topk"].collect()
+        finally:
+            retrieval.release_wand_parts(parts)
 
     # losslessness every run (the oracle-gate contract)
-    exact_rows = sorted(map(tuple, run_exact().collect()))
-    wand_rows = sorted(map(tuple, run_wand().collect()))
+    exact_rows = sorted(map(tuple, run_exact()))
+    wand_rows = sorted(map(tuple, run_wand()))
     assert exact_rows == wand_rows, "WAND diverged from exact"
 
     def best_of_2(fn):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            fn().collect()
+            fn()
             best = min(best, time.perf_counter() - t0)
         return best
 

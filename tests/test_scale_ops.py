@@ -227,3 +227,41 @@ def test_bm25_term_stats_path_is_value_identical(spark, oracle_sf_dir):
             docs, qids, k=10, posts=posts, term_stats=tstats
         ).collect()))
         assert inline == indexed, fn.__name__
+
+
+def test_bm25_term_stats_k1_b_mismatch_raises(spark, oracle_sf_dir):
+    """ub_i is k1/b-dependent: an index built under different parameters
+    than the query must be REJECTED (stale upper bounds would prune
+    silently wrong). The params ride as schema metadata; a metadata-less
+    table (hand-built) passes under the documented contract."""
+    import pytest
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, oracle_sf_dir, "documents")
+    posts = retrieval.term_postings(docs)
+    tstats = retrieval.term_statistics(
+        posts, retrieval.corpus_stats(docs), k1=2.0, b=0.5
+    )
+    with pytest.raises(ValueError, match="k1"):
+        retrieval.bm25_wand_parts(
+            docs, [0], k=3, posts=posts, term_stats=tstats
+        )
+    # same params: accepted
+    ok = retrieval.bm25_wand_parts(
+        docs, [0], k=3, k1=2.0, b=0.5, posts=posts, term_stats=tstats
+    )
+    assert ok["topk"].count() > 0
+    # the unpersist handle releases every cached frame
+    assert ok["persisted"]
+    retrieval.release_wand_parts(ok)
+    assert all(not df.is_cached for df in ok["persisted"])
+    # stripped metadata (e.g. a rebuilt/hand-authored table): accepted
+    bare = tstats.select(
+        "term", "df", F.col("ub_i").cast("long").alias("ub_i")
+    )
+    assert not (bare.schema["ub_i"].metadata or {})
+    assert retrieval.bm25_wand_parts(
+        docs, [0], k=3, posts=posts, term_stats=bare
+    )["topk"].count() > 0
