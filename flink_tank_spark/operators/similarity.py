@@ -150,6 +150,80 @@ def cosine_topk(
     )
 
 
+def two_stage_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    coarse_dims: int = 16,
+    coarse_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: Matryoshka-truncated coarse search, exact full-dim
+    rerank — the production pattern the truncation audit
+    (plans/llm.emb_matryoshka_topk) exists to justify.
+
+    Stage 1 scores the corpus on only the FIRST ``coarse_dims``
+    components (the cheap prefix representation Matryoshka-trained
+    embedding models provide) and keeps ``coarse_k`` candidates per
+    query; stage 2 reranks ONLY those candidates with the exact
+    fixed-point full-dimension cosine and returns the top ``k``.
+
+    Scale shape: stage 1 is one corpus scan reading coarse_dims/dim of
+    the vector bytes with coarse_dims/dim-cost dot products (at a
+    columnar store the prefix can be a separate narrow column — then the
+    full vectors are only fetched for candidates); stage 2 touches
+    |queries| × coarse_k rows — the candidate set is BROADCAST back
+    against the corpus, so the full-dim pass is a broadcast-hash probe
+    on one corpus scan, no shuffle of the corpus side.
+
+    Quality contract: recall@k vs the exact full-dim top-k is governed
+    by coarse_k (the audit measures the coarse pass's overlap; raising
+    coarse_k buys recall linearly in rerank cost). Zero-norm handling:
+    the coarse stage excludes vectors whose PREFIX norm is zero (cosine
+    undefined there — same rule as the audit); every coarse survivor has
+    full norm ≥ prefix norm > 0, so the rerank can never hit a zero
+    divide (ANSI-safe by construction).
+    """
+    from pyspark.sql.window import Window as W
+
+    trunc = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.slice(F.col(vec_col), 1, coarse_dims).alias(vec_col)
+    )
+    cand = (
+        cosine_topk(trunc(corpus), trunc(queries), k=coarse_k,
+                    id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_vectorized(F.col("qv"), F.col("cv"))
+             / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rescored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -185,55 +185,89 @@ def histogram_quantiles(
 CMS_DEPTH = 4       # independent hash rows
 CMS_WIDTH = 256     # counters per row (one md5 hex byte)
 
+# width → hex chars per row hash; widths are powers of 16 so a row's
+# column is exactly nhex md5 hex chars — no modulo bias, and the
+# default (256, 2 chars) stays bit-compatible with the SQL oracles.
+_CMS_NHEX = {16: 1, 256: 2, 4096: 3, 65536: 4}
+
+
+def _cms_cells(key_col: str, d: int, w: int):
+    """The d (row, col) probe cells of a key: col j = md5 hex chars
+    [j·nhex, (j+1)·nhex) — disjoint slices ⇒ independent-enough rows,
+    identical bytes in Spark, DuckDB, and Python. One definition shared
+    by build (:func:`cms_counters`) and query (:func:`cms_estimate`) so
+    the probe can never drift from the sketch."""
+    if w not in _CMS_NHEX:
+        raise ValueError(f"cms width must be one of {sorted(_CMS_NHEX)}, got {w}")
+    nhex = _CMS_NHEX[w]
+    if d * nhex > 32:
+        raise ValueError(
+            f"d={d} rows x {nhex} hex chars exceeds md5's 32 hex chars"
+        )
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("row"),
+            F.conv(
+                F.substring(h, nhex * j + 1, nhex), 16, 10
+            ).cast("int").alias("col"),
+        )
+        for j in range(d)
+    ])
+
 
 def cms_counters(
-    df: DataFrame, key_col: str, d: int = CMS_DEPTH, w: int = CMS_WIDTH
+    df: DataFrame,
+    key_col: str,
+    d: int = CMS_DEPTH,
+    w: int = CMS_WIDTH,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Count-Min sketch counter table: (row, col, cnt) — d×w cells.
+    """Count-Min sketch counter table: (group..., row, col, cnt) —
+    ≤ d×w cells per group (no ``group_cols``: one global sketch).
 
     The frequency analogue of the HLL register table (Cormode &
     Muthukrishnan 2005): one narrow projection + one map-side-combinable
     groupBy SUM reduces any number of rows to ≤ d·w counters, and
-    sketches MERGE by summing cell-wise — daily sketch tables answer
-    all-time frequency questions by union + re-sum.
+    sketches MERGE by summing cell-wise (:func:`cms_merge`) — daily
+    sketch tables answer all-time frequency questions by union + re-sum.
 
     Determinism (oracle-checkable): row j's hash of a key is hex byte j
     of md5(key) — identical bytes in Spark, DuckDB, and Python. d=4,
     w=256 gives the standard guarantee shape: estimate ≥ true count
     always, and P[overestimate > 2N/w] ≤ (1/2)^d per query.
     """
-    h = F.md5(F.col(key_col).cast("string").cast("binary"))
-    cells = F.array(*[
-        F.struct(
-            F.lit(j).alias("row"),
-            F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int").alias("col"),
-        )
-        for j in range(d)
-    ])
+    cells = _cms_cells(key_col, d, w)
+    g = list(group_cols or [])
     return (
-        df.select(F.explode(cells).alias("c"))
-        .select("c.row", "c.col")
-        .groupBy("row", "col")
+        df.select(*g, F.explode(cells).alias("c"))
+        .select(*g, "c.row", "c.col")
+        .groupBy(*g, "row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
+def cms_merge(counters: DataFrame) -> DataFrame:
+    """Merge per-group sketches into one: cell-wise SUM over the group
+    columns. Counting is additive, so the merged table is BIT-IDENTICAL
+    to a direct one-pass :func:`cms_counters` build over the union of
+    the groups' rows (pinned in tests/test_sketch.py) — the
+    re-aggregation property that lets daily sketch tables answer
+    all-time frequency questions without rescanning history."""
+    return counters.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
 def cms_estimate(
-    counters: DataFrame, keys: DataFrame, key_col: str, d: int = CMS_DEPTH
+    counters: DataFrame, keys: DataFrame, key_col: str,
+    d: int = CMS_DEPTH, w: int = CMS_WIDTH,
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: the estimate is
     the MIN over the key's d cells. ``counters`` (≤ d·w rows) is
-    broadcast; the output carries (key_col, cms_est)."""
-    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    broadcast; the output carries (key_col, cms_est). ``d``/``w`` must
+    match the :func:`cms_counters` build (same probe-cell derivation —
+    one shared definition, :func:`_cms_cells`)."""
     probes = keys.select(
-        key_col,
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(j).alias("row"),
-                F.conv(F.substring(h, 2 * j + 1, 2), 16, 10).cast("int").alias("col"),
-            )
-            for j in range(d)
-        ])).alias("c"),
+        key_col, F.explode(_cms_cells(key_col, d, w)).alias("c")
     ).select(key_col, "c.row", "c.col")
     return (
         probes.join(F.broadcast(counters), ["row", "col"])

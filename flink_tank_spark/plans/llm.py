@@ -1208,6 +1208,64 @@ EMB_MATRYOSHKA_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# emb_two_stage_topk — Matryoshka coarse search + exact full-dim rerank
+# --------------------------------------------------------------------------
+
+def emb_two_stage_topk(
+    spark: SparkSession, sf_dir: str, dims: int = 16, coarse_k: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage ANN (operators/similarity.two_stage_topk): truncated
+    16-dim coarse top-50 candidate generation, exact full-dim fixed-
+    point rerank to top-5 — the production operator the
+    emb_matryoshka_topk audit motivates. The oracle mirrors BOTH stages
+    (truncated scoring with prefix-zero-norm exclusion, candidate
+    rerank), so the gate certifies the staging itself, not just the
+    final scores; recall vs single-stage exact is measured separately in
+    scripts/ivf_recall_curve.py."""
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    return similarity.two_stage_topk(
+        emb, emb.filter(F.col("vec_id") < 10),
+        k=k, coarse_dims=dims, coarse_k=coarse_k,
+    ).orderBy("query_id", "rk")
+
+
+EMB_TWO_STAGE_TOPK_SQL = dedent(f"""
+    WITH tr AS (
+      SELECT vec_id, embedding[1:16] AS embedding FROM embeddings
+    ),
+    tr_nz AS (SELECT * FROM tr WHERE {_SQL_NZ_PRED}),
+    coarse AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS csim
+      FROM tr_nz q JOIN tr_nz c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY csim DESC, neighbor_id) AS crk
+        FROM coarse) WHERE crk <= 50
+    ),
+    rescored AS (
+      SELECT d.query_id, d.neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+      FROM cand d
+      JOIN embeddings q ON q.vec_id = d.query_id
+      JOIN embeddings c ON c.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+      FROM rescored)
+    WHERE rk <= 5
+    ORDER BY query_id, rk
+""")
+
+
+# --------------------------------------------------------------------------
 # emb_ivf_topk — IVF-style ANN: search only the query's centroid cell
 # --------------------------------------------------------------------------
 
@@ -1735,6 +1793,9 @@ QUERIES = [
               ("llm", "text")),
     QuerySpec("emb_matryoshka_topk", emb_matryoshka_topk, EMB_MATRYOSHKA_TOPK_SQL,
               "truncated-dim (16/64) cosine top-k overlap vs full-dim exact",
+              ("llm", "embedding")),
+    QuerySpec("emb_two_stage_topk", emb_two_stage_topk, EMB_TWO_STAGE_TOPK_SQL,
+              "two-stage ANN: 16-dim Matryoshka coarse top-50 + exact full-dim rerank",
               ("llm", "embedding")),
     QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
               "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),

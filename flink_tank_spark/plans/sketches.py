@@ -241,6 +241,74 @@ def ev_cms_heavy_hitters(spark: SparkSession, sf_dir: str, top: int = 20) -> Dat
     )
 
 
+def ev_cms_merge_days(spark: SparkSession, sf_dir: str, top: int = 20) -> DataFrame:
+    """CMS sketched per DAY, then merged cell-wise across days
+    (operators/sketch.cms_merge) before point-querying the top-20 exact
+    heaviest users — the daily-sketch-table deployment. Counting is
+    additive, so the merged estimates are bit-identical to the direct
+    one-pass build (ev_cms_heavy_hitters); the oracle mirrors the
+    daily-then-merge staging, so the gate certifies the merge path
+    itself. ``n_days`` reports how many daily sketches merged."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("user_key"),
+    )
+    daily = sketch.cms_counters(keyed, "user_key", group_cols=["day"])
+    merged = sketch.cms_merge(daily)
+    n_days = keyed.select(F.countDistinct("day").alias("n_days"))
+    exact = keyed.groupBy("user_key").agg(F.count(F.lit(1)).alias("n_exact"))
+    topk = exact.orderBy(F.desc("n_exact"), "user_key").limit(top)
+    est = sketch.cms_estimate(merged, topk.select("user_key"), "user_key")
+    return (
+        topk.join(est, "user_key")
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "user_key",
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+            "n_days",
+        )
+        .orderBy(F.desc("n_exact"), "user_key")
+    )
+
+
+EV_CMS_MERGE_DAYS_SQL = dedent("""
+    WITH keyed AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(user_id AS VARCHAR) AS user_key
+      FROM events
+    ),
+    rows4 AS (SELECT unnest(range(4)) AS row),
+    cells AS (
+      SELECT k.day, r.row AS row,
+             ('0x' || substr(md5(k.user_key), 2 * r.row + 1, 2))::INTEGER AS col
+      FROM keyed k CROSS JOIN rows4 r
+    ),
+    daily AS (SELECT day, row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3),
+    merged AS (SELECT row, col, SUM(cnt) AS cnt FROM daily GROUP BY 1, 2),
+    nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM keyed),
+    exact AS (SELECT user_key, COUNT(*) AS n_exact FROM keyed GROUP BY user_key),
+    topk AS (SELECT user_key, n_exact FROM exact
+             ORDER BY n_exact DESC, user_key LIMIT 20),
+    probes AS (
+      SELECT t.user_key, r.row AS row,
+             ('0x' || substr(md5(t.user_key), 2 * r.row + 1, 2))::INTEGER AS col
+      FROM topk t CROSS JOIN rows4 r
+    ),
+    est AS (
+      SELECT p.user_key, MIN(c.cnt) AS cms_est
+      FROM probes p JOIN merged c ON c.row = p.row AND c.col = p.col
+      GROUP BY p.user_key
+    )
+    SELECT t.user_key, t.n_exact, e.cms_est,
+           e.cms_est - t.n_exact AS overcount, nd.n_days
+    FROM topk t JOIN est e ON e.user_key = t.user_key CROSS JOIN nd
+    ORDER BY t.n_exact DESC, t.user_key
+""")
+
+
 EV_CMS_HEAVY_HITTERS_SQL = dedent("""
     WITH keyed AS (SELECT CAST(user_id AS VARCHAR) AS user_key FROM events),
     rows4 AS (SELECT unnest(range(4)) AS row),
@@ -273,6 +341,9 @@ QUERIES = [
     QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
               EV_CMS_HEAVY_HITTERS_SQL,
               "Count-Min sketch frequency estimates vs exact for the top-20 users",
+              ("sketch", "events")),
+    QuerySpec("ev_cms_merge_days", ev_cms_merge_days, EV_CMS_MERGE_DAYS_SQL,
+              "daily CMS sketches merged cell-wise across days (re-aggregation)",
               ("sketch", "events")),
     QuerySpec("ev_hll_user_days", ev_hll_user_days, EV_HLL_USER_DAYS_SQL,
               "HLL-sketched distinct user-days per event type vs exact",

@@ -130,6 +130,61 @@ def main() -> int:
                 }
             )
         )
+
+    # two-stage Matryoshka rerank (similarity.two_stage_topk): the
+    # coarse_k knob plays the role probes does for IVF — candidates
+    # full-dim-rescored per query vs recall of the final top-5. The
+    # coarse pass scans the whole corpus but at 16/dim of the dot cost
+    # and vector bytes; rerank cost is exactly coarse_k per query.
+    for coarse_k in (20, 50, 100):
+        t0 = time.perf_counter()
+        two = (
+            similarity.two_stage_topk(
+                emb, queries, k=5, coarse_dims=16, coarse_k=coarse_k
+            )
+            .select(
+                F.col("query_id").alias("a_qid"),
+                F.col("neighbor_id").alias("a_nid"),
+            )
+            .persist()
+        )
+        two.count()
+        per_q = (
+            exact.join(
+                two,
+                (F.col("query_id") == F.col("a_qid"))
+                & (F.col("neighbor_id") == F.col("a_nid")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact_q"),
+                F.count("a_nid").alias("n_hits_q"),
+            )
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        two.unpersist()
+        hits = sum(r["n_hits_q"] for r in per_q)
+        macro = (
+            sum(r["n_hits_q"] / r["n_exact_q"] for r in per_q) / len(per_q)
+            if per_q
+            else None
+        )
+        print(
+            json.dumps(
+                {
+                    "two_stage_coarse_k": coarse_k,
+                    "coarse_dims": 16,
+                    "recall_at_5_macro": round(macro, 3) if macro is not None else None,
+                    "recall_at_5_micro": round(hits / n_exact, 3) if n_exact else None,
+                    "candidates_rescored": coarse_k * 10,
+                    "corpus_vectors": n_vec,
+                    "wall_sec": round(wall, 2),
+                    "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                }
+            )
+        )
     return 0
 
 

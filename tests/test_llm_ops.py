@@ -111,6 +111,35 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     assert agree >= 3  # partial recall is expected; zero would be a bug
 
 
+def test_two_stage_topk_exhaustive_coarse_equals_exact(spark, sf_dir):
+    """With coarse_k >= corpus size every vector survives the coarse
+    stage, so the two-stage result must be BIT-identical to single-stage
+    exact cosine top-k (same fixed-point scorer, same tie-breaks) —
+    pinning that staging alone never changes values. At a small
+    coarse_k the result stays a subset-rerank: full-dim scores of its
+    rows must equal the exact scores for those pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    n = emb.count()
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    exhaustive = similarity.two_stage_topk(
+        emb, queries, k=5, coarse_dims=16, coarse_k=n
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, exhaustive.collect())
+    )
+    narrow = similarity.two_stage_topk(
+        emb, queries, k=5, coarse_dims=16, coarse_k=10
+    ).collect()
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in similarity.cosine_topk(emb, queries, k=n).collect()
+    }
+    assert narrow
+    for r in narrow:
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
 def test_jaccard_df_prune_rescores_exactly(spark):
     """df-pruned candidate generation must (a) drop pairs connected only
     through hot shingles and (b) return EXACT jaccard for survivors."""

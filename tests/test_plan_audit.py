@@ -47,6 +47,7 @@ SCALAR_BROADCAST_OK = {
     "doc_bm25_wand",  # same 1-row stats, crossed into impacts + rescore
     "doc_idf_rarity",  # same 1-row n_docs stats frame
     "ev_funnel_conversion",  # four 1-row funnel-step counts cross-joined
+    "ev_cms_merge_days",  # 1-row n_days count crossed into the output
     "win_balance_quartiles",
     "win_exact_percentiles",
 }

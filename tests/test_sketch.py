@@ -154,35 +154,72 @@ def test_cms_estimate_never_undercounts(spark, sf_dir):
 
 def test_cms_merge_by_sum_equals_direct(spark, sf_dir):
     """Sketch-merge property: per-day counter tables summed cell-wise
-    give BIT-identical estimates to one direct pass — the property that
-    lets daily sketches answer all-time frequency questions."""
+    (cms_counters(group_cols=['day']) + cms_merge) give BIT-identical
+    counters to one direct pass — the property that lets daily sketches
+    answer all-time frequency questions."""
     from flink_tank_spark.io.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"), F.col("user_id").cast("string").alias("k")
     )
     direct = sketch.cms_counters(ev, "k")
-    daily = (
-        ev.select(
-            "day",
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(j).alias("row"),
-                        F.conv(
-                            F.substring(
-                                F.md5(F.col("k").cast("binary")), 2 * j + 1, 2
-                            ), 16, 10,
-                        ).cast("int").alias("col"),
-                    )
-                    for j in range(sketch.CMS_DEPTH)
-                ])
-            ).alias("c"),
-        )
-        .groupBy("day", "c.row", "c.col")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sketch.cms_merge(
+        sketch.cms_counters(ev, "k", group_cols=["day"])
     )
-    merged = daily.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+def test_cms_error_bound_sweep(spark, oracle_sf_dir):
+    """The CMS accuracy envelope as a checked property across
+    width/depth settings, directly and under merge-by-sum of daily
+    sketches: for EVERY key, estimate >= exact (one-sided, structural)
+    and overcount <= e*N/w (the Cormode-Muthukrishnan eps = e/width
+    bound; probabilistic per random key, but deterministic — hence
+    pinnable — on this fixed corpus + md5). Merged-daily estimates must
+    equal direct estimates BIT-exactly at every setting (counting is
+    additive)."""
+    import math
+
+    from flink_tank_spark.io.tables import load_table
+
+    ev = load_table(spark, oracle_sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    n_total = ev.count()
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    for d, w in [(2, 16), (4, 256), (8, 256), (4, 4096), (2, 65536)]:
+        direct = sketch.cms_counters(ev, "k", d=d, w=w)
+        assert direct.count() <= d * w
+        est = sketch.cms_estimate(direct, exact.select("k"), "k", d=d, w=w)
+        rows = exact.join(est, "k").collect()
+        assert len(rows) == exact.count(), (d, w)
+        bound = math.e * n_total / w
+        for r in rows:
+            assert r.cms_est >= r.n_exact, (d, w, r)
+            assert r.cms_est - r.n_exact <= bound, (d, w, r, bound)
+        merged = sketch.cms_merge(
+            sketch.cms_counters(ev, "k", d=d, w=w, group_cols=["day"])
+        )
+        m_est = {
+            r.k: r.cms_est
+            for r in sketch.cms_estimate(
+                merged, exact.select("k"), "k", d=d, w=w
+            ).collect()
+        }
+        assert m_est == {r.k: r.cms_est for r in rows}, (d, w)
+
+
+def test_cms_rejects_invalid_shapes(spark):
+    """Width must be a power of 16 (a whole number of md5 hex chars per
+    row) and d rows of nhex chars must fit md5's 32 — both misuses fail
+    loudly instead of silently mis-hashing."""
+    import pytest
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="width"):
+        sketch.cms_counters(df, "k", w=100)
+    with pytest.raises(ValueError, match="32"):
+        sketch.cms_counters(df, "k", d=20, w=4096)
