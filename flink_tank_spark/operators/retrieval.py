@@ -107,27 +107,166 @@ def term_statistics(
     own k1/b — a stale bound would silently prune wrong (``df`` alone is
     parameter-free and safe for the exact scorer either way).
     """
-    part_col = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
-    )
     return (
         posts.crossJoin(F.broadcast(stats))
         .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.max(part_col).alias("_max_part"),
+            F.max(_part_expr(k1, b)).alias("_max_part"),
             F.first("n_docs").alias("_n"),
         )
-        .select(
-            "term",
-            "df",
-            F.floor(
-                ((F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-                * F.col("_max_part") * F.lit(SCORE_SCALE)
-                + F.lit(0.5)
-            ).cast("long").alias("ub_i", metadata={"k1": k1, "b": b}),
+        .select("term", "df", _ub_col(k1, b))
+    )
+
+
+def _part_expr(k1: float, b: float) -> Column:
+    """The tf/dl-dependent half of a posting's BM25 impact — mirrored
+    VERBATIM (parenthesization included) everywhere a bound or score is
+    derived from it, so every consumer is bit-identical."""
+    return (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / F.col("avgdl")))
+    )
+
+
+def _ub_col(k1: float, b: float) -> Column:
+    """ub_i from (_n, df, _max_part) columns — the floor-scaled long
+    upper bound, k1/b stamped as schema metadata (see
+    :func:`_check_term_stats_params`)."""
+    return F.floor(
+        ((F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+        * F.col("_max_part") * F.lit(SCORE_SCALE)
+        + F.lit(0.5)
+    ).cast("long").alias("ub_i", metadata={"k1": k1, "b": b})
+
+
+def _frontier(by_dl: DataFrame) -> DataFrame:
+    """(term, frontier) from a (term, dl, tf[, cnt]) table holding the
+    per-(term, dl) MAX tf: keep a (dl, tf) point iff no smaller-or-equal
+    dl carries a >= tf — the Pareto frontier under (tf up, dl down).
+
+    Safe window: after the (term, dl) max-reduction a term has at most
+    |distinct doc lengths| rows (bounded — NOT its posting-list length),
+    so the per-term sort can't funnel a hot term's corpus-sized postings
+    into one task. The frontier is collected sorted for deterministic
+    output."""
+    w = (
+        W.partitionBy("term")
+        .orderBy("dl")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        by_dl.withColumn("_pm", F.max("tf").over(w))
+        .filter(F.col("_pm").isNull() | (F.col("tf") > F.col("_pm")))
+        .groupBy("term")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dl", "tf"))
+            ).alias("frontier")
         )
+    )
+
+
+def term_state(posts: DataFrame) -> DataFrame:
+    """MERGEABLE per-term index state: (term, df, frontier) — the
+    sufficient statistics from which :func:`term_statistics` can be
+    finalized EXACTLY under any append history.
+
+    Why not merge (df, ub_i) directly: ub_i bakes in corpus-global
+    quantities — idf(df, n_docs) and the dl/avgdl normalization — that
+    CHANGE when documents are appended, so stored upper bounds go stale
+    (and which posting attains the per-term max part can flip as avgdl
+    moves). What IS append-stable: ``df`` (counts add) and the Pareto
+    frontier of (tf, dl) posting points — part(tf, dl; avgdl) is
+    strictly increasing in tf and decreasing in dl for any avgdl, so the
+    maximizing posting always lies on the frontier, whatever avgdl
+    becomes. State per term: one long + a frontier bounded by the
+    number of distinct doc lengths (tiny in practice).
+
+    Merge = :func:`merge_term_states` (df sum, frontier union +
+    re-frontier); finalize = :func:`term_statistics_from_state`, proven
+    bit-identical to a from-scratch build in tests/test_scale_ops.py.
+    """
+    by_dl = posts.groupBy("term", "dl").agg(
+        F.max("tf").alias("tf"), F.count(F.lit(1)).alias("cnt")
+    )
+    dfreq = by_dl.groupBy("term").agg(F.sum("cnt").alias("df"))
+    return dfreq.join(_frontier(by_dl), "term")
+
+
+def merge_term_states(states: DataFrame) -> DataFrame:
+    """Fold a union of :func:`term_state` outputs (e.g. one per ingest
+    batch) into one: df merges by SUM; frontiers merge by union +
+    re-frontier. Associative and commutative, so any merge tree over
+    any append history yields the same state."""
+    exploded = states.select(
+        "term", "df", F.explode("frontier").alias("p")
+    ).select("term", "df", F.col("p.dl").alias("dl"), F.col("p.tf").alias("tf"))
+    dfreq = (
+        states.groupBy("term").agg(F.sum("df").alias("df"))
+    )
+    by_dl = exploded.groupBy("term", "dl").agg(F.max("tf").alias("tf"))
+    return dfreq.join(_frontier(by_dl), "term")
+
+
+def term_statistics_from_state(
+    state: DataFrame,
+    stats: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Finalize (term, df, ub_i) from the mergeable :func:`term_state` —
+    bit-identical to :func:`term_statistics` over the full postings
+    (same IEEE part/ub expressions; the frontier contains the
+    arg-max posting for ANY avgdl, see :func:`term_state`). ``stats``
+    is the CURRENT corpus stats row (from :func:`corpus_stats` or
+    :func:`finalize_corpus_stats`)."""
+    return (
+        state.select("term", "df", F.explode("frontier").alias("p"))
+        .select(
+            "term", "df",
+            F.col("p.dl").alias("dl"), F.col("p.tf").alias("tf"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .groupBy("term")
+        .agg(
+            F.first("df").alias("df"),
+            F.max(_part_expr(k1, b)).alias("_max_part"),
+            F.first("n_docs").alias("_n"),
+        )
+        .select("term", "df", _ub_col(k1, b))
+    )
+
+
+def stats_state(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """MERGEABLE corpus-stats state: 1-row (n_docs, dl_ssum) — doc count
+    and the exact fixed-point-scaled doc-length sum (both add under
+    append). :func:`finalize_corpus_stats` reproduces
+    :func:`corpus_stats` bit-exactly: integer partial sums commute."""
+    from flink_tank_spark.functions.numeric import _scaled
+
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.size(F.split(F.col(text_col), " ")).alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_scaled(F.col("dl"))).alias("dl_ssum"),
+        )
+    )
+
+
+def finalize_corpus_stats(states: DataFrame) -> DataFrame:
+    """Fold 1-row :func:`stats_state` frames (unioned) into the (n_docs,
+    avgdl) row :func:`corpus_stats` produces — same division, same
+    operand values, bit-identical avgdl."""
+    from flink_tank_spark.functions.numeric import SCALE
+
+    return states.agg(
+        F.sum("n_docs").alias("n_docs"),
+        (
+            F.sum("dl_ssum").cast("double") / F.lit(SCALE)
+            / F.sum("n_docs")
+        ).alias("avgdl"),
     )
 
 
@@ -169,6 +308,7 @@ def _matched_postings(
     text_col: str,
     posts: DataFrame | None,
     term_stats: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared retrieval prefix: (stats, qterms, mposts, dfreq).
 
@@ -197,7 +337,8 @@ def _matched_postings(
       instead — same counts (a term's full posting list survives the
       term-equality prune), zero extra corpus passes.
     """
-    stats = corpus_stats(docs, text_col)
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
     qterms = (
         docs.filter(F.col(id_col).isin(list(query_ids)))
         .select(
@@ -292,6 +433,7 @@ def bm25_topk(
     text_col: str = "text",
     posts: DataFrame | None = None,
     term_stats: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k corpus docs per query doc by BM25-style lexical score.
 
@@ -308,7 +450,7 @@ def bm25_topk(
     corpus pass (the other half of the amortized index).
     """
     stats, qterms, mposts, dfreq = _matched_postings(
-        docs, query_ids, id_col, text_col, posts, term_stats
+        docs, query_ids, id_col, text_col, posts, term_stats, stats
     )
     scored = _exact_scores(stats, qterms, mposts, dfreq, id_col, k1, b)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
@@ -331,6 +473,7 @@ def bm25_wand_parts(
     max_seeds: int = 1024,
     cache: bool = True,
     term_stats: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Building blocks of the WAND-pruned BM25 top-k (see
     :func:`bm25_wand_topk`), exposed so tests and the pruning-stats
@@ -355,7 +498,7 @@ def bm25_wand_parts(
     both settings); the cached state is a few KB per call.
     """
     stats, qterms, mposts, dfreq = _matched_postings(
-        docs, query_ids, id_col, text_col, posts, term_stats
+        docs, query_ids, id_col, text_col, posts, term_stats, stats
     )
     if term_stats is not None:
         # precomputed index half: restrict to the query terms, done —
@@ -552,6 +695,7 @@ def bm25_wand_topk(
     max_seeds: int = 1024,
     cache: bool = True,
     term_stats: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """WAND-style dynamically-pruned BM25 top-k — the 100 TB scale path
     the exact :func:`bm25_topk` names as its successor.
@@ -580,4 +724,5 @@ def bm25_wand_topk(
     return bm25_wand_parts(
         docs, query_ids, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
         posts=posts, max_seeds=max_seeds, cache=cache, term_stats=term_stats,
+        stats=stats,
     )["topk"]

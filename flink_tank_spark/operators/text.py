@@ -88,10 +88,20 @@ def minhash_signature(shingles: Column, n_perms: int = 4) -> list[Column]:
     )
 
 
-def minhash_from_hashes(hashed: Column, n_perms: int = 4) -> list[Column]:
-    """Signature columns from an already-computed md5-array column."""
+def minhash_from_hashes(
+    hashed: Column, n_perms: int = 4, offset: int = 0
+) -> list[Column]:
+    """Signature columns from an already-computed md5-array column: one
+    digest yields up to four independent 8-hex-char lanes. ``offset``
+    names the output columns ``mh_{offset}..`` so a second (salted)
+    digest can extend the signature past 4 permutations
+    (operators/dedup.minhash_from_shingled)."""
+    if n_perms > 4:
+        raise ValueError("one md5 digest yields at most 4 8-hex-char lanes")
     return [
-        F.array_min(F.transform(hashed, lambda h: F.substring(h, 8 * p + 1, 8))).alias(f"mh_{p}")
+        F.array_min(
+            F.transform(hashed, lambda h: F.substring(h, 8 * p + 1, 8))
+        ).alias(f"mh_{p + offset}")
         for p in range(n_perms)
     ]
 

@@ -81,6 +81,14 @@ MINHASH_SQL_COLS = ",\n           ".join(
     for p in range(4)
 )
 
+# Permutations 4–7: a second SALTED digest (md5 of '~' + shingle) sliced
+# the same way — mirrors dedup.minhash_from_shingled(n_perms=8), the
+# 4-band LSH config the near-dup pipeline runs on since round 7.
+MINHASH8_EXTRA_SQL_COLS = ",\n           ".join(
+    f"list_min(list_transform(shingles, s -> substr(md5('~' || s), {8 * p + 1}, 8))) AS mh_{p + 4}"
+    for p in range(4)
+)
+
 DOC_MINHASH_SQL = dedent(f"""
     WITH {SHINGLES_CTE}
     SELECT doc_id,
@@ -148,13 +156,16 @@ LSH_PAIRS_CTES = dedent(f"""\
     {SHINGLES_CTE},
     sigs AS (
       SELECT doc_id, shingles,
-             {MINHASH_SQL_COLS}
+             {MINHASH_SQL_COLS},
+           {MINHASH8_EXTRA_SQL_COLS}
       FROM shingled
     ),
     buckets AS (
       SELECT doc_id, shingles,
              unnest(['0:' || md5(mh_0 || '|' || mh_1),
-                     '1:' || md5(mh_2 || '|' || mh_3)]) AS bucket
+                     '1:' || md5(mh_2 || '|' || mh_3),
+                     '2:' || md5(mh_4 || '|' || mh_5),
+                     '3:' || md5(mh_6 || '|' || mh_7)]) AS bucket
       FROM sigs
     ),
     -- bucket-size cap (degenerate-bucket guardrail; mirrors

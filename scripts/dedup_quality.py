@@ -75,7 +75,9 @@ def main() -> int:
     # true Jaccard of every planted pair — exact, same rescorer the
     # pipeline uses, so "eligible" is defined in the operator's own units
     planted_j = dedup.rescore_jaccard(planted, shingled).persist()
-    sigs = dedup.minhash_from_shingled(shingled)
+    # the registry's 4-band config (lsh_near_dup_pairs defaults): 8
+    # perms x 2 rows — P(candidate | J=0.8) = 1-(1-0.64)^4 = 0.983
+    sigs = dedup.minhash_from_shingled(shingled, n_perms=8)
     cands = dedup.lsh_candidate_pairs(sigs, max_bucket_size=64).persist()
     detected = dedup.rescore_jaccard(cands, shingled).filter(
         F.col("jaccard") >= threshold
