@@ -171,3 +171,84 @@ def test_heartbeat_state_plateaus_at_key_cardinality(spark, tmp_path):
         assert last == 0, f"state never drained: {last} rows remain"
     finally:
         q.stop()
+
+
+def test_heartbeat_rocksdb_state_survives_restart(spark, tmp_path):
+    """The heartbeat aggregator under the RocksDB state-store provider
+    (the off-heap/spillable configuration a state-scale deployment
+    runs): state plateaus at key cardinality, survives a stop/restart
+    from the checkpoint (RocksDB snapshots + changelog live under the
+    checkpoint dir), counts new keys on top of recovered state, and
+    drains to zero when input stops."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def feed(batch: str, keys: range) -> None:
+        tmp = os.path.join(src, f".{batch}.tmp")
+        with open(tmp, "w") as f:
+            for k in keys:
+                f.write(f'{{"originalId":"u{k}","eventType":"e"}}\n')
+        os.rename(tmp, os.path.join(src, f"{batch}.jsonl"))
+
+    def start():
+        raw = spark.readStream.schema(
+            "originalId string, eventType string"
+        ).json(src)
+        # 45 s window: long enough that run-1 state is still live
+        # across the stop/restart (the heartbeat is processing-time
+        # based, so a short window would age out during the restart gap)
+        metrics = sliding_metrics_heartbeat(
+            raw, window_ms=45_000, emit_every_ms=500
+        )
+        return (
+            metrics.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+
+    def wait_state(q, target, timeout=60):
+        deadline = time.time() + timeout
+        last = None
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("stateOperators"):
+                last = p["stateOperators"][0]["numRowsTotal"]
+                if last == target:
+                    return last
+            time.sleep(0.25)
+        return last
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        feed("b0", range(20))
+        q = start()
+        try:
+            assert wait_state(q, 20) == 20
+        finally:
+            q.stop()  # abrupt: no drain, state lives only in RocksDB
+            q.awaitTermination(30)
+        # restart from the same checkpoint; recovered state + new keys.
+        # Keep one old key hot so recovery is observable even if the
+        # first batch replays.
+        feed("b1", range(20, 25))
+        q = start()
+        try:
+            assert wait_state(q, 25) == 25
+            # stop feeding: windows (45 s) empty, heartbeat removes
+            # per-key state instead of ticking forever
+            assert wait_state(q, 0, timeout=120) == 0
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
