@@ -376,7 +376,12 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
-DOC_BM25_TOPK_SQL = dedent(f"""
+def _bm25_exact_sql(n_queries: int = 5, k: int = 10) -> str:
+    """The UNPRUNED exact BM25 SQL, parameterized over the query-doc
+    count — the shared oracle of doc_bm25_topk, doc_bm25_wand, and the
+    batched doc_bm25_wand_batch64 (pruned operators are certified
+    LOSSLESS against it)."""
+    return dedent(f"""
     WITH posts AS (
       SELECT doc_id, len(string_split(text, ' ')) AS dl,
              unnest(string_split(text, ' ')) AS term
@@ -390,7 +395,7 @@ DOC_BM25_TOPK_SQL = dedent(f"""
       SELECT COUNT(*) AS n_docs, {sql_davg('dl')} AS avgdl
       FROM (SELECT DISTINCT doc_id, dl FROM tf)
     ),
-    qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
+    qterms AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < {n_queries}),
     matched AS (
       SELECT q.query_id, t.doc_id, t.tf, t.dl, d.df, s.n_docs, s.avgdl
       FROM tf t
@@ -411,9 +416,12 @@ DOC_BM25_TOPK_SQL = dedent(f"""
            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id) AS INTEGER) AS rk
     FROM scored
-    QUALIFY rk <= 10
+    QUALIFY rk <= {k}
     ORDER BY query_id, rk
 """)
+
+
+DOC_BM25_TOPK_SQL = _bm25_exact_sql(5, 10)
 
 
 # --------------------------------------------------------------------------
@@ -502,6 +510,25 @@ def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.bm25_wand_topk(
         docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
+        term_stats=_word_term_stats(spark, sf_dir),
+    ).orderBy("query_id", "rk")
+
+
+def doc_bm25_wand_batch64(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """WAND in its INTENDED regime: a 64-query batch. The committed
+    crossover analysis (WAND_BENCH_r06.json) shows pruning loses below
+    ~16–32 concurrent queries (doc_bm25_wand's 5-query row — θ seeding
+    overhead dominates) and wins above: 1.72×/5.26×/16.3× at
+    64/256/1024 queries. This row makes the bench self-documenting on
+    that selection guidance. Oracle: the unpruned exact SQL at 64
+    queries — losslessness certified at batch scale too."""
+    from flink_tank_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_wand_topk(
+        docs, query_ids=range(64), k=k, posts=_word_postings(spark, sf_dir),
         term_stats=_word_term_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
@@ -1844,6 +1871,11 @@ QUERIES = [
     QuerySpec("doc_bm25_wand", doc_bm25_wand, DOC_BM25_TOPK_SQL,
               "WAND-pruned BM25 top-10 (champion lists + essential-term prune, "
               "exact-oracle certified lossless)",
+              ("llm", "retrieval"), bench=True),
+    QuerySpec("doc_bm25_wand_batch64", doc_bm25_wand_batch64,
+              _bm25_exact_sql(64, 10),
+              "WAND at batch-64 queries — the winning regime per the "
+              "committed crossover analysis; exact-oracle lossless",
               ("llm", "retrieval"), bench=True),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),

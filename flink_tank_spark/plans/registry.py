@@ -49,6 +49,7 @@ FRONT_OF_LINE = (
     # new in round 7 — no driver cert yet
     "emb_two_stage_topk",
     "ev_cms_merge_days",
+    "doc_bm25_wand_batch64",
     # newest cert is round 5
     "agg_grouping_sets",
     "doc_bm25_topk",
