@@ -131,16 +131,24 @@ def main() -> int:
             )
         )
 
-    # two-stage Matryoshka rerank (similarity.two_stage_topk): the
-    # coarse_k knob plays the role probes does for IVF — candidates
-    # full-dim-rescored per query vs recall of the final top-5. The
-    # coarse pass scans the whole corpus but at 16/dim of the dot cost
-    # and vector bytes; rerank cost is exactly coarse_k per query.
-    for coarse_k in (20, 50, 100):
+    # two-stage Matryoshka rerank (similarity.two_stage_topk): coarse_k
+    # and coarse_dims are the knobs — candidates full-dim-rescored per
+    # query vs recall of the final top-5. The coarse pass scans the
+    # whole corpus at coarse_dims/dim of the dot cost and vector bytes;
+    # rerank cost is exactly coarse_k per query. NOTE on the absolute
+    # numbers: these synthetic embeddings are ISOTROPIC (no Matryoshka
+    # training concentrates signal in the prefix), so a d-dim prefix
+    # correlates with the full cosine like a random projection
+    # (~sqrt(d/64)) — the measured recall is the operator's WORST case;
+    # the dims sweep shows exactly how much signal the prefix must carry
+    # for a target recall.
+    for coarse_dims, coarse_k in (
+        (16, 50), (16, 200), (32, 50), (32, 200),
+    ):
         t0 = time.perf_counter()
         two = (
             similarity.two_stage_topk(
-                emb, queries, k=5, coarse_dims=16, coarse_k=coarse_k
+                emb, queries, k=5, coarse_dims=coarse_dims, coarse_k=coarse_k
             )
             .select(
                 F.col("query_id").alias("a_qid"),
@@ -175,7 +183,7 @@ def main() -> int:
             json.dumps(
                 {
                     "two_stage_coarse_k": coarse_k,
-                    "coarse_dims": 16,
+                    "coarse_dims": coarse_dims,
                     "recall_at_5_macro": round(macro, 3) if macro is not None else None,
                     "recall_at_5_micro": round(hits / n_exact, 3) if n_exact else None,
                     "candidates_rescored": coarse_k * 10,
