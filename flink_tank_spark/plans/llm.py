@@ -517,13 +517,16 @@ def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 def doc_bm25_wand_batch64(
     spark: SparkSession, sf_dir: str, k: int = 10
 ) -> DataFrame:
-    """WAND in its INTENDED regime: a 64-query batch. The committed
-    crossover analysis (WAND_BENCH_r06.json) shows pruning loses below
-    ~16–32 concurrent queries (doc_bm25_wand's 5-query row — θ seeding
-    overhead dominates) and wins above: 1.72×/5.26×/16.3× at
-    64/256/1024 queries. This row makes the bench self-documenting on
-    that selection guidance. Oracle: the unpruned exact SQL at 64
-    queries — losslessness certified at batch scale too."""
+    """WAND at a batched query load: 64 concurrent query docs. The
+    committed crossover analysis (WAND_BENCH_r07.json — re-measured
+    without the plan-cache reuse that flattered r6's numbers) puts the
+    per-fresh-batch crossover at ~128 short queries on a 200 k-doc
+    corpus (2.13×/6.72× at 256/1024; the fixed θ/UB orchestration cost
+    amortizes against batch size, and the advantage grows with corpus
+    size since exact aggregates every matched posting). This row makes
+    the bench self-documenting on that selection guidance. Oracle: the
+    unpruned exact SQL at 64 queries — losslessness certified at batch
+    scale too."""
     from flink_tank_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")

@@ -21,13 +21,16 @@ for and measures both operators on it:
   exact operator aggregates EVERY matched posting, WAND rescores only
   candidates on essential terms.
 
-Timings are warm best-of-2; losslessness is asserted row-for-row on
-every run (the same contract the oracle gate certifies). One JSON line
-on stdout → commit as WAND_BENCH_r{N}.json. Measured result (r6,
-after the pairs-first restricted rescore): 1.72×/5.26×/16.3× at
-64/256/1024 short queries, 2.24× at 32 doc-as-query; only tiny
-batches (≲16-32 queries) stay exact-favored — see
-WAND_BENCH_r06.json selection_guidance.
+Timings are warm best-of-2 with the WAND intermediates RELEASED after
+every run (round 7): without the release, Spark's CacheManager
+substitutes a repeated run's persisted θ/candidate frames by
+analyzed-plan equality, so best-of-2 timed cache hits — r6's committed
+speedups were flattered by exactly that. Honest per-fresh-batch result
+(r7): crossover ~128 short queries at 200 k docs — 0.54×/0.81×/2.13×/
+6.72× at 8/64/256/1024; see WAND_BENCH_r07.json selection_guidance.
+Losslessness is asserted row-for-row on every run (the same contract
+the oracle gate certifies). One JSON line on stdout → commit as
+WAND_BENCH_r{N}.json.
 
 Usage:
     python scripts/wand_bench.py [n_docs] [cpus] [n_queries]

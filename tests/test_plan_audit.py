@@ -45,6 +45,7 @@ SCALAR_BROADCAST_OK = {
     "doc_top_terms",
     "doc_bm25_topk",  # 1-row (n_docs, avgdl) corpus stats
     "doc_bm25_wand",  # same 1-row stats, crossed into impacts + rescore
+    "doc_bm25_wand_batch64",  # same 1-row stats at the batched load
     "doc_idf_rarity",  # same 1-row n_docs stats frame
     "ev_funnel_conversion",  # four 1-row funnel-step counts cross-joined
     "ev_cms_merge_days",  # 1-row n_days count crossed into the output
