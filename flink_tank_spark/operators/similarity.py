@@ -411,3 +411,77 @@ def cell_blocked_pairs(
         .applyInPandas(per_cell, schema=out_schema)
         .distinct()
     )
+
+
+def cell_probe_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    probe_col: str = "is_probe",
+) -> DataFrame:
+    """Rectangular variant of :func:`cell_blocked_pairs` for the
+    streaming-incremental case: only pairs with at least one PROBE-side
+    member are wanted (a micro-batch probing the accumulated corpus), so
+    the per-cell matmul is probe-rows × all-rows instead of the full
+    square — an index vector crosses Arrow once per batch that probes
+    its cell, never once per candidate pair, and none of the
+    index × index work is recomputed.
+
+    Input rows carry ``probe_col`` (boolean); output and bit-exactness
+    contract are identical to :func:`cell_blocked_pairs` (same
+    fixed-point dot, same zero-norm drop, pairs normalized id_a < id_b,
+    multi-probe duplicates removed by the final distinct), so when every
+    row is a probe this equals ``cell_blocked_pairs(assigned, ...)``
+    exactly — pinned in tests/test_streaming_emb_neardup.py.
+
+    Memory contract: one cell per task, O(cell_population × dim) for the
+    group plus a bounded (chunk, m, dim) intermediate — same as the
+    square variant, with the chunk loop running over probe rows only.
+    """
+    out_schema = "id_a long, id_b long, cos_sim double"
+    _empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                           "id_b": pd.Series(dtype="int64"),
+                           "cos_sim": pd.Series(dtype="float64")})
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["vnorm"] > 0.0]  # zero-norm ⇒ NaN cosine
+        m = len(pdf)
+        probe = pdf[probe_col].to_numpy().astype(bool)
+        if m < 2 or not probe.any():
+            return _empty
+        ids = pdf[id_col].to_numpy()
+        v = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+        nrm = pdf["vnorm"].to_numpy()
+        p_idx = np.nonzero(probe)[0]
+        frames = []
+        step = max(1, int(8_000_000 / (m * v.shape[1])))
+        for i0 in range(0, len(p_idx), step):
+            sel = p_idx[i0 : i0 + step]
+            chunk = v[sel]
+            dots = (
+                np.floor(chunk[:, None, :] * v[None, :, :] * SCALE + 0.5).sum(axis=2)
+                / SCALE
+            )
+            cos = dots / (nrm[sel, None] * nrm[None, :])
+            ia = ids[sel, None]
+            ib = ids[None, :]
+            # a probe×probe pair surfaces from both sides with identical
+            # values; the normalized form collapses in the distinct
+            keep = (ia != ib) & (cos >= threshold)
+            r, c = np.nonzero(keep)
+            if len(r):
+                a = ia[r, 0]
+                b = ids[c]
+                frames.append(
+                    pd.DataFrame(
+                        {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                         "cos_sim": cos[r, c]}
+                    )
+                )
+        return pd.concat(frames) if frames else _empty
+
+    return (
+        assigned.groupBy("centroid_id")
+        .applyInPandas(per_cell, schema=out_schema)
+        .distinct()
+    )
