@@ -213,3 +213,30 @@ def start_emb_near_dup_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold the accumulated vector-assignment partitions into ONE
+    merged partition (``ingest_batch=-1``), re-clustered on
+    ``centroid_id`` so the per-batch cell probe reads co-located files —
+    pure small-file hygiene, same contract as streaming/neardup.compact
+    (stream STOPPED; temp-dir write before originals are removed).
+    Centroids are a single write-once partition and are left alone."""
+    import shutil
+
+    base = os.path.join(index_dir, VECTORS_SUBDIR)
+    parts = [
+        e for e in (os.listdir(base) if os.path.isdir(base) else [])
+        if e.startswith("ingest_batch=")
+    ]
+    if not parts:
+        raise ValueError(f"no index partitions under {base!r}")
+    df = (
+        spark.read.option("basePath", base).parquet(base)
+        .drop("ingest_batch").repartition(F.col("centroid_id"))
+    )
+    tmp = os.path.join(base, "_compact_tmp")
+    df.write.mode("overwrite").parquet(tmp)
+    for e in parts:
+        shutil.rmtree(os.path.join(base, e))
+    os.rename(tmp, os.path.join(base, "ingest_batch=-1"))

@@ -211,3 +211,35 @@ def start_near_dup_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold the accumulated per-micro-batch index partitions into ONE
+    merged partition (``ingest_batch=-1`` — below any real batch id, so
+    in-flight replay filters keep working) and drop the originals.
+    Unlike retrieval_index.compact this is pure small-file hygiene (the
+    rows are append-only facts, no state algebra); the bucket table is
+    re-clustered on ``bucket`` so the per-batch probe join reads
+    co-located files. Run only while the stream is STOPPED (same replay
+    double-count argument as retrieval_index.compact). Crash safety:
+    the merged output is fully written to a temp dir before any
+    original partition is removed."""
+    import shutil
+
+    for subdir, key in ((SHINGLES_SUBDIR, "doc_id"), (BUCKETS_SUBDIR, "bucket")):
+        base = os.path.join(index_dir, subdir)
+        parts = [
+            e for e in (os.listdir(base) if os.path.isdir(base) else [])
+            if e.startswith("ingest_batch=")
+        ]
+        if not parts:
+            raise ValueError(f"no index partitions under {base!r}")
+        df = (
+            spark.read.option("basePath", base).parquet(base)
+            .drop("ingest_batch").repartition(F.col(key))
+        )
+        tmp = os.path.join(base, "_compact_tmp")
+        df.write.mode("overwrite").parquet(tmp)
+        for e in parts:
+            shutil.rmtree(os.path.join(base, e))
+        os.rename(tmp, os.path.join(base, "ingest_batch=-1"))

@@ -184,3 +184,29 @@ def test_seeded_centroids_replay_and_precision(spark, tmp_path):
     # overwhelming margin at 4 cells / 2 probes)
     planted = {(i, 100 + i) for i in range(5)}
     assert planted <= got
+
+
+def test_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
+    """compact() folds the vector partitions into ingest_batch=-1;
+    subsequent batches see the same accumulated index and produce the
+    same verdicts as the uncompacted run."""
+    vectors = _vectors(spark, sf_dir)
+    cent = _centroids(spark, sf_dir)
+    expected = _batch_pairs(vectors, cent)
+    rows = sorted((r.asDict() for r in vectors.collect()),
+                  key=lambda r: r["vec_id"])
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = emb_neardup.incremental_emb_near_dup_sink(
+        index_dir, pairs_dir, centroids=cent, threshold=THRESHOLD, probes=2
+    )
+    for i, chunk in enumerate(thirds[:2]):
+        sink(spark.createDataFrame(chunk, schema=vectors.schema), i)
+    emb_neardup.compact(spark, index_dir)
+    vec_base = os.path.join(index_dir, emb_neardup.VECTORS_SUBDIR)
+    assert sorted(
+        e for e in os.listdir(vec_base) if e.startswith("ingest_batch=")
+    ) == ["ingest_batch=-1"]
+    sink(spark.createDataFrame(thirds[2], schema=vectors.schema), 2)
+    assert _collected_pairs(spark, pairs_dir) == expected

@@ -161,3 +161,27 @@ def test_cross_batch_pair_detected_once(spark, tmp_path):
     # batch rebuild agreement on the union
     full = spark.createDataFrame([a, b, c])
     assert got == _batch_pairs(full)
+
+
+def test_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
+    """compact() folds the shingle/bucket partitions into
+    ingest_batch=-1; subsequent batches see the same accumulated index
+    and the final verdicts still equal the batch rebuild."""
+    docs = _docs(spark, sf_dir)
+    expected = _batch_pairs(docs)
+    rows = sorted((r.asDict() for r in docs.collect()),
+                  key=lambda r: r["doc_id"])
+    thirds = [rows[0::3], rows[1::3], rows[2::3]]
+
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = neardup.incremental_near_dup_sink(index_dir, pairs_dir)
+    for i, chunk in enumerate(thirds[:2]):
+        sink(spark.createDataFrame(chunk), i)
+    neardup.compact(spark, index_dir)
+    for sub in (neardup.SHINGLES_SUBDIR, neardup.BUCKETS_SUBDIR):
+        base = os.path.join(index_dir, sub)
+        assert sorted(
+            e for e in os.listdir(base) if e.startswith("ingest_batch=")
+        ) == ["ingest_batch=-1"]
+    sink(spark.createDataFrame(thirds[2]), 2)
+    assert _collected_pairs(spark, pairs_dir) == expected
