@@ -62,6 +62,11 @@ bench-streaming:
 bench-streaming-sf1: sf1
 	python scripts/bench_streaming.py data/sf1 2>/dev/null | tail -1
 
+# per-batch incremental cost of the streaming LLM stages (text + emb
+# near-dup sinks over N micro-batches, incl. a post-compaction batch)
+bench-streaming-neardup: sf1
+	python scripts/streaming_neardup_bench.py data/sf1 16 8 2>/dev/null | tail -1
+
 # multi-probe IVF recall/cost curve (probes 1/2/4 vs exact top-5).
 # sf0.1 is the meaningful corpus: sfN replicas put a query's exact
 # duplicates in its own cell, pinning recall at 1.0
