@@ -36,6 +36,39 @@ LANG_PROFILES: dict[str, list[str]] = {
 # RE2/DuckDB) so token counts are oracle-checkable.
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# PII patterns for scrubbing, restricted to a dialect-portable subset:
+# character classes, bounded repetition, and \b word boundaries only —
+# no lookarounds (RE2 lacks them), no unicode classes — so a Spark
+# (Java regex) scrub and a DuckDB (RE2) oracle produce byte-identical
+# redactions. Real deployments extend this table; each added pattern
+# stays oracle-checkable iff it keeps to this subset.
+PII_EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_REGEX = r"\b\d{3}-\d{4}\b"
+PII_PATTERNS: list[tuple[str, str]] = [
+    (PII_EMAIL_REGEX, "<EMAIL>"),
+    (PII_PHONE_REGEX, "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row match counts for each PII pattern (audit columns)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_REGEX), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_REGEX), F.lit(0))),
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact every PII pattern, emails before phones (a replacement
+    token must never create a new match for a later pattern — the
+    tokens are letter-only, so ordering is safe by construction).
+    Pure nested ``regexp_replace``: JVM-side, codegen-friendly,
+    no Python in the path."""
+    out = text
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
 
 def words(text: Column) -> Column:
     return F.split(text, " ")

@@ -889,6 +889,179 @@ DOC_SAMPLE_STRATIFIED_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# Data governance: deterministic train/val/test splits, split leakage,
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Deterministic split assignment: first md5 hex byte of the doc id,
+# compared lexicographically — 'cc' = 204/256 ≈ 79.7% train, 'e6' adds
+# 26/256 ≈ 10.2% val, remainder test. Content-derived like
+# doc_sample_stratified (reproducible across engines/runs/partitionings;
+# a doc's split NEVER changes as the corpus grows, so incremental
+# ingestion can assign at arrival with no global state).
+_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "cc", "e6"
+
+
+def _split_col(doc_id: F.Column) -> F.Column:
+    bucket = F.substring(F.md5(doc_id.cast("string").cast("binary")), 1, 2)
+    return (
+        F.when(bucket < _SPLIT_TRAIN_HI, F.lit("train"))
+        .when(bucket < _SPLIT_VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_case_sql(doc_id_expr: str) -> str:
+    b = f"substr(md5(CAST({doc_id_expr} AS VARCHAR)), 1, 2)"
+    return (
+        f"CASE WHEN {b} < '{_SPLIT_TRAIN_HI}' THEN 'train' "
+        f"WHEN {b} < '{_SPLIT_VAL_HI}' THEN 'val' ELSE 'test' END"
+    )
+
+
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(split, lang) corpus accounting for the deterministic
+    train/val/test assignment. One map-side-combinable groupBy over a
+    pure projection — no shuffle beyond the 15-group aggregate, scales
+    as a single corpus scan at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            _split_col(F.col("doc_id")).alias("split"), "lang", "doc_id", "n_chars"
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOC_SPLIT_ASSIGN_SQL = dedent(f"""
+    SELECT {_split_case_sql('doc_id')} AS split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, lang
+""")
+
+
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup pairs (the shared
+    LSH-blocked, exact-Jaccard-verified stage) whose endpoints landed in
+    DIFFERENT splits — each such pair leaks training signal into
+    evaluation. Split is a pure projection of the doc id (no join with
+    the corpus), so this adds zero shuffle on top of pair detection."""
+    verified = _lsh_verified_pairs(spark, sf_dir)
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            _split_col(F.col("id_a")).alias("split_a"),
+            _split_col(F.col("id_b")).alias("split_b"),
+            "n_common",
+            "jaccard",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+DOC_SPLIT_LEAKAGE_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES}
+    SELECT id_a, id_b,
+           {_split_case_sql('id_a')} AS split_a,
+           {_split_case_sql('id_b')} AS split_b,
+           n_common, jaccard
+    FROM near_dups
+    WHERE {_split_case_sql('id_a')} <> {_split_case_sql('id_b')}
+    ORDER BY id_a, id_b
+""")
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with a verifiable round-trip: the synthetic corpus
+    contains no PII (0 digits / 0 '@'), so the query SPLICES a
+    deterministic email+phone block derived from the doc id into each
+    text (same expression on the oracle side), scrubs it with the
+    portable-dialect patterns (operators/text.py PII_PATTERNS), and
+    emits per-doc audit columns — match counts, the scrubbed-text md5,
+    and a residual-match count whose expected value is 0 (the "did the
+    scrubber actually get everything" column an auditor greps first).
+    Pure codegen regexp chain, no Python; spread_partitions because the
+    corpus can arrive as one byte-small CPU-dense split."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), did.cast("string"), F.lit("@mail.example.com"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" cc backup."), did.cast("string"),
+                        F.lit("-ops@example.org"))).otherwise(F.lit("")),
+        F.lit(" or call 555-"), F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" / 800-"),
+                        F.lpad((did % 1000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    counts = text.pii_counts(with_pii)
+    scrubbed = text.pii_scrub(with_pii)
+    residual = sum(text.pii_counts(scrubbed).values())
+    return (
+        docs.select(
+            "doc_id",
+            counts["n_emails"].alias("n_emails"),
+            counts["n_phones"].alias("n_phones"),
+            F.md5(scrubbed.cast("binary")).alias("scrub_hash"),
+            F.length(scrubbed).alias("scrub_len"),
+            residual.alias("residual_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Oracle mirror: identical splice expression, patterns, and replacement
+# order; DuckDB regexp_replace needs the explicit 'g' flag to match
+# Spark's replace-all default.
+_PII_WITH_SQL = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' cc backup.' || CAST(doc_id AS VARCHAR)"
+    " || '-ops@example.org' ELSE '' END"
+    " || ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' / 800-' ||"
+    " lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+_PII_SCRUB_SQL = (
+    "regexp_replace(regexp_replace(w, '{email}', '<EMAIL>', 'g'),"
+    " '{phone}', '<PHONE>', 'g')"
+).format(email=text.PII_EMAIL_REGEX, phone=text.PII_PHONE_REGEX)
+
+DOC_PII_SCRUB_SQL = dedent(f"""
+    WITH spliced AS (
+      SELECT doc_id, {_PII_WITH_SQL} AS w FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id, w, {_PII_SCRUB_SQL} AS s FROM spliced
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(w, '{text.PII_EMAIL_REGEX}')) AS n_emails,
+           len(regexp_extract_all(w, '{text.PII_PHONE_REGEX}')) AS n_phones,
+           md5(s) AS scrub_hash,
+           length(s) AS scrub_len,
+           len(regexp_extract_all(s, '{text.PII_EMAIL_REGEX}'))
+             + len(regexp_extract_all(s, '{text.PII_PHONE_REGEX}'))
+             AS residual_matches
+    FROM scrubbed
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_ngram_freq — corpus-level n-gram frequency (vocab/tokenizer stats)
 # --------------------------------------------------------------------------
 
@@ -1849,6 +2022,15 @@ QUERIES = [
     QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
               "deterministic hash-based stratified sampling (20% en / 50% rest)",
               ("llm", "curation")),
+    QuerySpec("doc_split_assign", doc_split_assign, DOC_SPLIT_ASSIGN_SQL,
+              "deterministic md5 train/val/test split — per-(split, lang) accounting",
+              ("llm", "governance")),
+    QuerySpec("doc_split_leakage", doc_split_leakage, DOC_SPLIT_LEAKAGE_SQL,
+              "near-dup pairs straddling splits (train/test contamination audit)",
+              ("llm", "governance", "dedup")),
+    QuerySpec("doc_pii_scrub", doc_pii_scrub, DOC_PII_SCRUB_SQL,
+              "PII redaction round-trip: splice -> scrub -> zero-residual audit",
+              ("llm", "governance")),
     QuerySpec("doc_repetition", doc_repetition, DOC_REPETITION_SQL,
               "Gopher-style duplicate word/2-gram/3-gram fractions per doc",
               ("llm", "text")),

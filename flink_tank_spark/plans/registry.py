@@ -47,6 +47,9 @@ class QuerySpec:
 # old. Round-7 additions (never certified) go at the very head.
 FRONT_OF_LINE = (
     # new in round 7 — no driver cert yet
+    "doc_split_assign",
+    "doc_split_leakage",
+    "doc_pii_scrub",
     "emb_two_stage_topk",
     "ev_cms_merge_days",
     "doc_bm25_wand_batch64",
