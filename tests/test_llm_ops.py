@@ -435,3 +435,58 @@ def test_zero_norm_exclusion_matches_oracle(spark, tmp_path):
     assert len(sp_s) == len(od_s)
     assert (sp_s["neighbor_id"].to_numpy() == od_s["neighbor_id"].to_numpy()).all()
     assert np.allclose(sp_s["cos_sim"].to_numpy(), od_s["cos_sim"].to_numpy(), atol=0)
+
+
+def test_pii_scrub_redacts_everything_and_ordering_is_safe(spark):
+    """The scrubbed text must contain zero residual pattern matches,
+    and email-before-phone replacement order must hold (an email whose
+    local part contains digits-dash-digits must NOT leave a phone-shaped
+    hole that then double-redacts)."""
+    from flink_tank_spark.operators import text as T
+
+    rows = [
+        (1, "plain text no pii at all"),
+        (2, "reach me at a.b-c_d%e@sub.domain.example.io today"),
+        (3, "call 555-1234 or 800-0001."),
+        (4, "mixed user123-456@ex.org and 123-4567 end"),
+        (5, "boundary x555-1234 5551-234 555-12345"),  # no \b matches
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = df.select(
+        "id",
+        T.pii_scrub(F.col("t")).alias("s"),
+        *[v.alias(k) for k, v in T.pii_counts(F.col("t")).items()],
+    ).orderBy("id").collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].s == rows[0][1] and by_id[1].n_emails == 0
+    assert by_id[2].s == "reach me at <EMAIL> today"
+    assert by_id[3].s == "call <PHONE> or <PHONE>."
+    # email local part '123-456' is swallowed by the email pass; the
+    # standalone 123-4567 is a phone
+    assert by_id[4].s == "mixed <EMAIL> and <PHONE> end"
+    assert (by_id[4].n_emails, by_id[4].n_phones) == (1, 1)
+    # \b guards: digit runs glued to letters/extra digits don't match
+    assert by_id[5].s == rows[4][1] and by_id[5].n_phones == 0
+    # residual audit: re-counting on scrubbed text finds nothing
+    resid = df.select(
+        sum(T.pii_counts(T.pii_scrub(F.col("t"))).values()).alias("r")
+    ).agg(F.sum("r").alias("total")).collect()[0].total
+    assert resid == 0
+
+
+def test_split_assign_is_stable_and_partitions_the_corpus(spark, sf_dir):
+    """Every doc gets exactly one split; assignment is a pure function
+    of doc_id (re-running on a shuffled frame gives identical rows);
+    observed shares land near the 204/26/26-of-256 design."""
+    from flink_tank_spark.plans.llm import _split_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = docs.select("doc_id", _split_col(F.col("doc_id")).alias("s"))
+    b = docs.repartition(7).select("doc_id", _split_col(F.col("doc_id")).alias("s"))
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    shares = {r.s: r.n for r in a.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    n = sum(shares.values())
+    assert set(shares) == {"train", "val", "test"}
+    assert 0.70 <= shares["train"] / n <= 0.90
+    assert 0.04 <= shares["val"] / n <= 0.17
+    assert 0.04 <= shares["test"] / n <= 0.17
