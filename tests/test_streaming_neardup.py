@@ -185,3 +185,41 @@ def test_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
         ) == ["ingest_batch=-1"]
     sink(spark.createDataFrame(thirds[2]), 2)
     assert _collected_pairs(spark, pairs_dir) == expected
+
+
+def test_streamed_split_leakage_equals_batch_audit(spark, sf_dir, tmp_path):
+    """Governance-over-streaming closure: running the split-leakage
+    audit (plans/llm.doc_split_leakage semantics — split is a pure
+    projection of the doc id) over pairs emitted by the STREAMING sink
+    equals the batch audit over the same corpus. Because assignment is
+    content-derived and never changes as the corpus grows, the audit
+    needs no re-computation on ingest: each newly emitted pair can be
+    classified the moment it appears."""
+    from flink_tank_spark.plans.llm import _split_col, doc_split_leakage
+
+    docs = _docs(spark, sf_dir)
+    rows = [r.asDict() for r in docs.collect()]
+    src = str(tmp_path / "in")
+    pairs_dir = str(tmp_path / "pairs")
+    for i in range(3):
+        _write_jsonl(src, f"b{i}.jsonl", rows[i::3])
+    q = neardup.start_near_dup_job(
+        spark, src, str(tmp_path / "idx"), pairs_dir, str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+    streamed_leaks = {
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in streamed.select(
+            "id_a", "id_b",
+            _split_col(F.col("id_a")).alias("split_a"),
+            _split_col(F.col("id_b")).alias("split_b"),
+        ).filter(F.col("split_a") != F.col("split_b")).collect()
+    }
+    batch_leaks = {
+        (r.id_a, r.id_b, r.split_a, r.split_b)
+        for r in doc_split_leakage(spark, sf_dir).collect()
+    }
+    assert streamed_leaks == batch_leaks
+    assert batch_leaks, "no cross-split near-dup at this sf; vacuous"
