@@ -33,6 +33,12 @@ from verify_gate import _hash  # driver-gate canonicalization  # noqa: E402
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     bench_only = "--bench" in sys.argv
+    # --only=a,b,c: restrict to named queries (incremental certification
+    # of round-new queries at big SF without re-running the registry)
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
     cpus = int(args[1]) if len(args) > 1 else 8
     shuffle = int(args[2]) if len(args) > 2 else cpus
@@ -57,6 +63,11 @@ def main() -> int:
 
     specs = all_queries()
     names = [n for n, s in specs.items() if s.bench] if bench_only else list(specs)
+    if only:
+        unknown = [n for n in only if n not in specs]
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {unknown}")
+        names = only
     for name in sorted(names):
         pdf = specs[name].spark(spark, sf_dir).toPandas()
         print(f"{name}\t{len(pdf)}\t{_hash(pdf)}", flush=True)
