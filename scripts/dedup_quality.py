@@ -124,6 +124,32 @@ def main() -> int:
         "candidate_pairs_generated": cand_pairs.count(),
         "per_true_jaccard_band": per_band,
     }), flush=True)
+    # ---------------- governance: split-leakage audit vs planted truth
+    # doc_split_leakage = detected pairs whose endpoints straddle the
+    # deterministic md5 train/val/test split. Ground truth: planted
+    # above-threshold pairs that straddle splits. Leakage recall equals
+    # detection recall restricted to cross-split pairs — measured here
+    # directly so the audit's catch rate is pinned, not inferred.
+    from flink_tank_spark.plans.llm import _split_col
+
+    def _cross(df):
+        return df.filter(
+            _split_col(F.col("id_a")) != _split_col(F.col("id_b"))
+        ).select("id_a", "id_b")
+
+    planted_cross = _cross(planted_j.filter(F.col("jaccard") >= threshold))
+    n_pc = planted_cross.count()
+    n_pc_hit = planted_cross.join(det_pairs, ["id_a", "id_b"], "semi").count()
+    n_det_cross = _cross(detected).count()
+    print(json.dumps({
+        "section": "governance_leakage",
+        "sf": sf_tag,
+        "planted_cross_split_pairs": n_pc,
+        "leakage_recall": round(n_pc_hit / n_pc, 3) if n_pc else None,
+        "audit_reported_pairs": n_det_cross,
+        "audit_reported_background": n_det_cross - n_pc_hit,
+    }), flush=True)
+
     for df in (shingled, planted_j, cands, detected):
         df.unpersist()
 
