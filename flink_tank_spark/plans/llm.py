@@ -2059,8 +2059,9 @@ QUERIES = [
               ("llm", "retrieval"), bench=True),
     QuerySpec("doc_bm25_wand_batch64", doc_bm25_wand_batch64,
               _bm25_exact_sql(64, 10),
-              "WAND at batch-64 queries — the winning regime per the "
-              "committed crossover analysis; exact-oracle lossless",
+              "WAND at batch-64 queries — crossover-guidance row (honest "
+              "per-fresh-batch crossover ~128, WAND_BENCH_r07.json); "
+              "exact-oracle lossless",
               ("llm", "retrieval"), bench=True),
     QuerySpec("doc_simhash", doc_simhash, DOC_SIMHASH_SQL,
               "64-bit SimHash signatures", ("llm", "dedup")),
