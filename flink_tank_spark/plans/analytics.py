@@ -13,6 +13,7 @@ from textwrap import dedent
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.plans.registry import QuerySpec
@@ -126,6 +127,78 @@ EV_RETENTION_SQL = dedent("""
 """)
 
 
+def ev_cep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style pattern match (the Flink-library shape beyond the
+    reference's core surface): per user, `signup` followed — in relaxed
+    contiguity — by the FIRST subsequent `purchase` WITHIN 1 hour, with
+    the NEGATION condition that no `error` occurs strictly between the
+    two. Emits one row per matching signup (skip-to-next-match on the
+    purchase side: a purchase may close several overlapping signups,
+    Flink CEP's relaxed semantics).
+
+    Shape: one pass, two conditional suffix-min window columns over
+    (user, time) order — next purchase ts, next error ts — then a pure
+    filter. The window partition key is user_id (high-cardinality), so
+    this is NOT the low-cardinality window funnel the module docstring
+    bans: per-user partitions stay small and the pass scan-bounds at
+    100 TB. Ties at identical ts are broken by event_id in the ORDER,
+    and the negation compares raw timestamps (an error at exactly the
+    purchase ts rejects the match) — both rules identical on the oracle
+    side, so the result is merge-order invariant.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = lambda typ: F.min(  # noqa: E731 — two symmetric suffix mins
+        F.when(F.col("event_type") == typ, F.col("ts"))
+    ).over(w)
+    ordered = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        nxt("purchase").alias("next_p_ts"),
+        nxt("error").alias("next_e_ts"),
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "signup")
+            & F.col("next_p_ts").isNotNull()
+            & (F.col("next_p_ts") <= F.col("ts") + F.expr("interval 1 hour"))
+            & (F.col("next_e_ts").isNull() | (F.col("next_e_ts") > F.col("next_p_ts")))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+            F.col("next_p_ts").alias("purchase_ts"),
+        )
+        .orderBy("user_id", "signup_event_id")
+    )
+
+
+EV_CEP_MATCH_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_ts,
+             MIN(CASE WHEN event_type = 'error' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_e_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS signup_event_id, ts AS signup_ts,
+           next_p_ts AS purchase_ts
+    FROM ordered
+    WHERE event_type = 'signup'
+      AND next_p_ts IS NOT NULL AND next_p_ts <= ts + INTERVAL 1 HOUR
+      AND (next_e_ts IS NULL OR next_e_ts > next_p_ts)
+    ORDER BY user_id, signup_event_id
+""")
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -133,4 +206,8 @@ QUERIES = [
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
               "first-seen cohorts x day-offset retention counts (0..7)",
               ("analytics", "events")),
+    QuerySpec("ev_cep_match", ev_cep_match, EV_CEP_MATCH_SQL,
+              "CEP pattern: signup → first purchase ≤1h, no error between "
+              "(negation + within, Flink-CEP shape)",
+              ("analytics", "events", "cep")),
 ]

@@ -47,6 +47,7 @@ class QuerySpec:
 # old. Round-7 additions (never certified) go at the very head.
 FRONT_OF_LINE = (
     # new in round 7 — no driver cert yet
+    "ev_cep_match",
     "doc_split_assign",
     "doc_split_leakage",
     "doc_pii_scrub",

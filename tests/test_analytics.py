@@ -1,0 +1,48 @@
+"""Product-analytics plan semantics on constructed fixtures.
+
+The parity suite certifies these queries against DuckDB on the
+synthetic corpus; the fixtures here pin the SEMANTIC edges the corpus
+may not exercise (CEP negation/within/tie rules, overlap behavior).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from flink_tank_spark.plans.analytics import ev_cep_match
+
+
+def _write_events(spark, path, rows):
+    # (event_id, ts, user_id, event_type) padded to the events schema
+    t0 = dt.datetime(2024, 1, 1)
+    full = [
+        (eid, t0 + dt.timedelta(minutes=m), uid, et, 1.0, "{}")
+        for eid, m, uid, et in rows
+    ]
+    spark.createDataFrame(
+        full, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_cep_match_negation_within_tie_and_overlap(spark, tmp_path):
+    rows = [
+        # user 1: clean match 10 min after signup
+        (10, 0, 1, "signup"), (11, 10, 1, "purchase"),
+        # user 2: error strictly between -> negation rejects
+        (20, 0, 2, "signup"), (21, 5, 2, "error"), (22, 10, 2, "purchase"),
+        # user 3: purchase outside the 1 h window -> within rejects
+        (30, 0, 3, "signup"), (31, 120, 3, "purchase"),
+        # user 4: error at EXACTLY the purchase ts -> tie rule rejects
+        (40, 0, 4, "signup"), (41, 10, 4, "error"), (42, 10, 4, "purchase"),
+        # user 5: two open signups closed by one purchase -> both match
+        (50, 0, 5, "signup"), (51, 1, 5, "signup"), (52, 30, 5, "purchase"),
+        # user 6: purchase BEFORE the signup only -> no match
+        (60, 0, 6, "purchase"), (61, 1, 6, "signup"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = {
+        (r.user_id, r.signup_event_id)
+        for r in ev_cep_match(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 10), (5, 50), (5, 51)}
