@@ -1,0 +1,156 @@
+"""Streaming CEP pattern matching — the stateful twin of the batch
+``ev_cep_match`` plan (plans/analytics.py).
+
+Pattern (Flink-CEP shape — the library a Flink user reaches for beyond
+the reference's core surface, relaxed contiguity + within + negation):
+per user, a ``signup`` matches the FIRST subsequent ``purchase`` within
+1 hour, provided no ``error`` occurs between the two (an error at
+exactly the purchase timestamp rejects — the batch plan's tie rule,
+where the negation compares raw timestamps).
+
+State machine per user (``applyInPandasWithState``, the direct analogue
+of Flink CEP's NFA state in a ``KeyedProcessFunction``):
+
+- ``opens``   — signups awaiting their first subsequent purchase.
+- ``pending`` — tentatively matched (signup, purchase) pairs held back
+  ONE event: an error at exactly the purchase ts may still arrive later
+  in (ts, event_id) order, so a match is emitted only once a strictly
+  later-ts event for the key proves no such error exists.
+
+Per event, in (ts, event_id) order:
+
+1. emit pending matches whose purchase ts < event ts (now safe);
+2. ``error``   → clear opens (negation kills every open partial match)
+   and cancel pending matches at exactly this ts (tie rule);
+   ``purchase`` → resolve ALL opens: within-window ones become pending,
+   the rest are dead (their FIRST subsequent purchase was out of
+   window — a later purchase can never be "first");
+   ``signup``  → open a new partial match; other types are skipped
+   (relaxed contiguity);
+3. evict opens whose window can no longer be met (open ts + 1 h <
+   event ts) — bounds state to one hour of signups per key no matter
+   how long the stream runs.
+
+Ordering contract: per key, events must arrive in event-time order
+across micro-batches (the in-order Kafka-partition contract the
+sequence operator also relies on; within a batch the processor sorts).
+Tail matches on a quiet key flush on the key's next event — streams
+that need bounded finalization append a per-key mover event past the
+window, exactly like the session-window append-mode finalize
+(tests/test_watermark.py).
+
+Scale: state is O(events in the last hour per key) ids+timestamps,
+sharded by user across executors; one Arrow crossing per (key, batch).
+Equality with the batch plan on identical corpora is pinned by
+tests/test_streaming_cep.py, including a kill/restart split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WINDOW_US = 3_600_000_000  # 1 hour, microseconds
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("open_ids", ArrayType(LongType())),
+        StructField("open_ts", ArrayType(LongType())),
+        StructField("pend_sids", ArrayType(LongType())),
+        StructField("pend_sts", ArrayType(LongType())),
+        StructField("pend_pts", ArrayType(LongType())),
+    ]
+)
+
+MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("signup_event_id", LongType()),
+        StructField("signup_ts", TimestampType()),
+        StructField("purchase_ts", TimestampType()),
+    ]
+)
+
+
+def _match_key(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id = key[0]
+    if state.exists:
+        open_ids, open_ts, pend_sids, pend_sts, pend_pts = (
+            list(c) for c in state.get
+        )
+    else:
+        open_ids, open_ts, pend_sids, pend_sts, pend_pts = [], [], [], [], []
+    opens = list(zip(open_ids, open_ts))
+    pend = list(zip(pend_sids, pend_sts, pend_pts))
+    out: list[tuple[int, int, int, int]] = []  # (user, sid, sts, pts)
+
+    # concat the batch's chunks BEFORE sorting — the Arrow iterator may
+    # split a group across chunks whose rows interleave in time
+    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for eid, t, etype in zip(pdf["event_id"], ts_us, pdf["event_type"]):
+            t = int(t)
+            if pend:
+                ripe = [p for p in pend if p[2] < t]
+                if ripe:
+                    out.extend((user_id, *p) for p in ripe)
+                    pend = [p for p in pend if p[2] >= t]
+            if etype == "error":
+                opens = []
+                pend = [p for p in pend if p[2] != t]
+            elif etype == "purchase":
+                pend.extend(
+                    (sid, sts, t) for sid, sts in opens if t <= sts + WINDOW_US
+                )
+                opens = []
+            elif etype == "signup":
+                opens.append((int(eid), t))
+            if opens:
+                opens = [s for s in opens if s[1] + WINDOW_US >= t]
+
+    state.update(
+        (
+            [s[0] for s in opens],
+            [s[1] for s in opens],
+            [p[0] for p in pend],
+            [p[1] for p in pend],
+            [p[2] for p in pend],
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "signup_event_id": [r[1] for r in out],
+                "signup_ts": pd.to_datetime([r[2] for r in out], unit="us"),
+                "purchase_ts": pd.to_datetime([r[3] for r in out], unit="us"),
+            }
+        )
+
+
+def cep_match_stream(events: DataFrame) -> DataFrame:
+    """Attach the CEP matcher to a STREAMING events DataFrame carrying
+    (user_id long, event_id long, ts timestamp, event_type string)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _match_key,
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

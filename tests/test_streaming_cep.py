@@ -1,0 +1,150 @@
+"""Streaming CEP (streaming/cep.py): streamed matches must equal the
+batch ev_cep_match plan on the same corpus, across micro-batch splits
+and a checkpoint restart, with tail matches flushed by per-key mover
+events (the session-window finalize contract)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.plans.analytics import ev_cep_match
+from flink_tank_spark.streaming import cep
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _write_wave(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_wave(spark, src, out, ckpt):
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts string, event_type string"
+        )
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        cep.cep_match_stream(stream)
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+
+def _collect_matches(spark, out):
+    files = glob.glob(os.path.join(out, "*.json"))
+    got = set()
+    for fp in files:
+        with open(fp) as f:
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    got.add((r["user_id"], r["signup_event_id"]))
+    return got
+
+
+def _event_rows(spark):
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("ts", "event_id")
+    )
+    return [
+        {
+            "user_id": r.user_id,
+            "event_id": r.event_id,
+            "ts": r.ts.isoformat(),
+            "event_type": r.event_type,
+        }
+        for r in ev.collect()
+    ]
+
+
+def _movers(rows):
+    """One per-key finalize event past every window (ts max + 2 h)."""
+    last = max(pd.Timestamp(r["ts"]) for r in rows)
+    flush_ts = (last + pd.Timedelta(hours=2)).isoformat()
+    users = sorted({r["user_id"] for r in rows})
+    return [
+        {"user_id": u, "event_id": 10_000_000 + u, "ts": flush_ts,
+         "event_type": "view"}
+        for u in users
+    ]
+
+
+def _batch_expected(spark):
+    return {
+        (r.user_id, r.signup_event_id)
+        for r in ev_cep_match(spark, SF_DIR).collect()
+    }
+
+
+def test_streamed_cep_equals_batch(spark, tmp_path):
+    rows = _event_rows(spark)
+    expected = _batch_expected(spark)
+    assert expected, "corpus has no CEP matches; parity test is vacuous"
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    # time-ordered thirds (the per-key in-order contract), then movers
+    third = len(rows) // 3
+    _write_wave(src, "w0.jsonl", rows[:third])
+    _write_wave(src, "w1.jsonl", rows[third : 2 * third])
+    _write_wave(src, "w2.jsonl", rows[2 * third :])
+    _write_wave(src, "w3.jsonl", _movers(rows))
+    _run_wave(spark, src, out, ckpt)
+    assert _collect_matches(spark, out) == expected
+
+
+def test_streamed_cep_restart_carries_partial_matches(spark, tmp_path):
+    """Same corpus, but each wave is a SEPARATE restarted run resuming
+    the checkpoint — open partial matches and held-back pendings must
+    survive in state across restarts."""
+    rows = _event_rows(spark)
+    expected = _batch_expected(spark)
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    half = len(rows) // 2
+    for i, wave in enumerate([rows[:half], rows[half:], _movers(rows)]):
+        _write_wave(src, f"w{i}.jsonl", wave)
+        _run_wave(spark, src, out, ckpt)  # fresh query each time
+    assert _collect_matches(spark, out) == expected
+
+
+def test_cep_tie_rule_across_batch_boundary(spark, tmp_path):
+    """The held-back pending exists exactly for this case: a purchase
+    closes a signup at the end of one micro-batch, and an error at the
+    SAME timestamp arrives in the NEXT batch — the match must NOT be
+    emitted. A control user with no such error must match."""
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    t = "2024-01-01T00:"
+    _write_wave(src, "w0.jsonl", [
+        {"user_id": 1, "event_id": 10, "ts": t + "00:00", "event_type": "signup"},
+        {"user_id": 1, "event_id": 11, "ts": t + "10:00", "event_type": "purchase"},
+        {"user_id": 2, "event_id": 20, "ts": t + "00:00", "event_type": "signup"},
+        {"user_id": 2, "event_id": 21, "ts": t + "10:00", "event_type": "purchase"},
+    ])
+    _run_wave(spark, src, out, ckpt)
+    # same-ts error for user 1 only, then movers for both
+    _write_wave(src, "w1.jsonl", [
+        {"user_id": 1, "event_id": 12, "ts": t + "10:00", "event_type": "error"},
+        {"user_id": 1, "event_id": 13, "ts": t + "30:00", "event_type": "view"},
+        {"user_id": 2, "event_id": 22, "ts": t + "30:00", "event_type": "view"},
+    ])
+    _run_wave(spark, src, out, ckpt)
+    assert _collect_matches(spark, out) == {(2, 20)}
