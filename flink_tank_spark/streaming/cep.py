@@ -82,73 +82,92 @@ MATCH_SCHEMA = StructType(
 )
 
 
-def _match_key(
-    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    user_id = key[0]
-    if state.exists:
-        open_ids, open_ts, pend_sids, pend_sts, pend_pts = (
-            list(c) for c in state.get
-        )
-    else:
-        open_ids, open_ts, pend_sids, pend_sts, pend_pts = [], [], [], [], []
-    opens = list(zip(open_ids, open_ts))
-    pend = list(zip(pend_sids, pend_sts, pend_pts))
-    out: list[tuple[int, int, int, int]] = []  # (user, sid, sts, pts)
+def make_matcher(
+    start: str = "signup",
+    end: str = "purchase",
+    negation: str = "error",
+    within_us: int = WINDOW_US,
+):
+    """Build the per-key matcher for an arbitrary (start, end, negation,
+    within) pattern instance — the defaults ARE the batch
+    ``ev_cep_match`` pattern, and the equality tests run against those;
+    other instances reuse the same state machine unchanged."""
 
-    # concat the batch's chunks BEFORE sorting — the Arrow iterator may
-    # split a group across chunks whose rows interleave in time
-    chunks = [pdf for pdf in pdf_iter if not pdf.empty]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts", "event_id"], kind="stable"
-        )
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        for eid, t, etype in zip(pdf["event_id"], ts_us, pdf["event_type"]):
-            t = int(t)
-            if pend:
-                ripe = [p for p in pend if p[2] < t]
-                if ripe:
-                    out.extend((user_id, *p) for p in ripe)
-                    pend = [p for p in pend if p[2] >= t]
-            if etype == "error":
-                opens = []
-                pend = [p for p in pend if p[2] != t]
-            elif etype == "purchase":
-                pend.extend(
-                    (sid, sts, t) for sid, sts in opens if t <= sts + WINDOW_US
-                )
-                opens = []
-            elif etype == "signup":
-                opens.append((int(eid), t))
-            if opens:
-                opens = [s for s in opens if s[1] + WINDOW_US >= t]
+    def _match_key(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        if state.exists:
+            open_ids, open_ts, pend_sids, pend_sts, pend_pts = (
+                list(c) for c in state.get
+            )
+        else:
+            open_ids, open_ts, pend_sids, pend_sts, pend_pts = [], [], [], [], []
+        opens = list(zip(open_ids, open_ts))
+        pend = list(zip(pend_sids, pend_sts, pend_pts))
+        out: list[tuple[int, int, int, int]] = []  # (user, sid, sts, pts)
 
-    state.update(
-        (
-            [s[0] for s in opens],
-            [s[1] for s in opens],
-            [p[0] for p in pend],
-            [p[1] for p in pend],
-            [p[2] for p in pend],
+        # concat the batch's chunks BEFORE sorting — the Arrow iterator may
+        # split a group across chunks whose rows interleave in time
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="stable"
+            )
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for eid, t, etype in zip(pdf["event_id"], ts_us, pdf["event_type"]):
+                t = int(t)
+                if pend:
+                    ripe = [p for p in pend if p[2] < t]
+                    if ripe:
+                        out.extend((user_id, *p) for p in ripe)
+                        pend = [p for p in pend if p[2] >= t]
+                if etype == negation:
+                    opens = []
+                    pend = [p for p in pend if p[2] != t]
+                elif etype == end:
+                    pend.extend(
+                        (sid, sts, t) for sid, sts in opens if t <= sts + within_us
+                    )
+                    opens = []
+                elif etype == start:
+                    opens.append((int(eid), t))
+                if opens:
+                    opens = [s for s in opens if s[1] + within_us >= t]
+
+        state.update(
+            (
+                [s[0] for s in opens],
+                [s[1] for s in opens],
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+            )
         )
-    )
-    if out:
-        yield pd.DataFrame(
-            {
-                "user_id": [r[0] for r in out],
-                "signup_event_id": [r[1] for r in out],
-                "signup_ts": pd.to_datetime([r[2] for r in out], unit="us"),
-                "purchase_ts": pd.to_datetime([r[3] for r in out], unit="us"),
-            }
-        )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "signup_event_id": [r[1] for r in out],
+                    "signup_ts": pd.to_datetime([r[2] for r in out], unit="us"),
+                    "purchase_ts": pd.to_datetime([r[3] for r in out], unit="us"),
+                }
+            )
+
+    return _match_key
 
 
-def cep_match_stream(events: DataFrame) -> DataFrame:
+def cep_match_stream(
+    events: DataFrame,
+    start: str = "signup",
+    end: str = "purchase",
+    negation: str = "error",
+    within_us: int = WINDOW_US,
+) -> DataFrame:
     """Attach the CEP matcher to a STREAMING events DataFrame carrying
     (user_id long, event_id long, ts timestamp, event_type string)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _match_key,
+        make_matcher(start, end, negation, within_us),
         outputStructType=MATCH_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -148,3 +148,46 @@ def test_cep_tie_rule_across_batch_boundary(spark, tmp_path):
     ])
     _run_wave(spark, src, out, ckpt)
     assert _collect_matches(spark, out) == {(2, 20)}
+
+
+def test_cep_custom_pattern_instance(spark, tmp_path):
+    """make_matcher binds arbitrary (start, end, negation, within):
+    view -> click within 5 min, purchase negation."""
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    t = "2024-01-01T00:"
+    _write_wave(src, "w0.jsonl", [
+        {"user_id": 1, "event_id": 10, "ts": t + "00:00", "event_type": "view"},
+        {"user_id": 1, "event_id": 11, "ts": t + "02:00", "event_type": "click"},
+        {"user_id": 2, "event_id": 20, "ts": t + "00:00", "event_type": "view"},
+        {"user_id": 2, "event_id": 21, "ts": t + "01:00", "event_type": "purchase"},
+        {"user_id": 2, "event_id": 22, "ts": t + "02:00", "event_type": "click"},
+        {"user_id": 3, "event_id": 30, "ts": t + "00:00", "event_type": "view"},
+        {"user_id": 3, "event_id": 31, "ts": t + "10:00", "event_type": "click"},
+        {"user_id": 1, "event_id": 40, "ts": t + "30:00", "event_type": "signup"},
+        {"user_id": 2, "event_id": 41, "ts": t + "30:00", "event_type": "signup"},
+        {"user_id": 3, "event_id": 42, "ts": t + "30:00", "event_type": "signup"},
+    ])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts string, event_type string"
+        )
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        cep.cep_match_stream(
+            stream, start="view", end="click", negation="purchase",
+            within_us=300_000_000,
+        )
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # user 1: clean view->click in 2 min; user 2: purchase negation;
+    # user 3: click outside 5 min window
+    assert _collect_matches(spark, out) == {(1, 10)}
