@@ -67,6 +67,10 @@ bench-streaming-sf1: sf1
 bench-streaming-neardup: sf1
 	python scripts/streaming_neardup_bench.py data/sf1 16 8 2>/dev/null | tail -1
 
+# streaming CEP matcher drain at sf1 — throughput + exact batch parity
+bench-cep: sf1
+	python scripts/bench_cep.py data/sf1 16 2>/dev/null | tail -1
+
 # multi-probe IVF recall/cost curve (probes 1/2/4 vs exact top-5).
 # sf0.1 is the meaningful corpus: sfN replicas put a query's exact
 # duplicates in its own cell, pinning recall at 1.0
