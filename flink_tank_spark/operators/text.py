@@ -50,6 +50,24 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+# Deterministic train/val/test split thresholds: first md5 hex byte of
+# the doc id, compared lexicographically — 'cc' = 204/256 ≈ 79.7% train,
+# 'e6' adds 26/256 ≈ 10.2% val, remainder test. Content-derived, so a
+# doc's split NEVER changes as the corpus grows — streaming ingest can
+# assign at arrival with no global state.
+SPLIT_TRAIN_HI, SPLIT_VAL_HI = "cc", "e6"
+
+
+def split_col(doc_id: Column) -> Column:
+    """Deterministic train/val/test assignment from the doc id alone."""
+    bucket = F.substring(F.md5(doc_id.cast("string").cast("binary")), 1, 2)
+    return (
+        F.when(bucket < SPLIT_TRAIN_HI, F.lit("train"))
+        .when(bucket < SPLIT_VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def pii_counts(text: Column) -> dict[str, Column]:
     """Per-row match counts for each PII pattern (audit columns)."""
     return {

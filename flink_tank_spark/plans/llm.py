@@ -893,29 +893,17 @@ DOC_SAMPLE_STRATIFIED_SQL = dedent("""
 # PII scrubbing
 # --------------------------------------------------------------------------
 
-# Deterministic split assignment: first md5 hex byte of the doc id,
-# compared lexicographically — 'cc' = 204/256 ≈ 79.7% train, 'e6' adds
-# 26/256 ≈ 10.2% val, remainder test. Content-derived like
-# doc_sample_stratified (reproducible across engines/runs/partitionings;
-# a doc's split NEVER changes as the corpus grows, so incremental
-# ingestion can assign at arrival with no global state).
-_SPLIT_TRAIN_HI, _SPLIT_VAL_HI = "cc", "e6"
-
-
-def _split_col(doc_id: F.Column) -> F.Column:
-    bucket = F.substring(F.md5(doc_id.cast("string").cast("binary")), 1, 2)
-    return (
-        F.when(bucket < _SPLIT_TRAIN_HI, F.lit("train"))
-        .when(bucket < _SPLIT_VAL_HI, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+# Deterministic split assignment (engine side lives in
+# operators/text.split_col — shared with the streaming governed-ingest
+# stage; the oracle mirror below must track its thresholds).
+_split_col = text.split_col
 
 
 def _split_case_sql(doc_id_expr: str) -> str:
     b = f"substr(md5(CAST({doc_id_expr} AS VARCHAR)), 1, 2)"
     return (
-        f"CASE WHEN {b} < '{_SPLIT_TRAIN_HI}' THEN 'train' "
-        f"WHEN {b} < '{_SPLIT_VAL_HI}' THEN 'val' ELSE 'test' END"
+        f"CASE WHEN {b} < '{text.SPLIT_TRAIN_HI}' THEN 'train' "
+        f"WHEN {b} < '{text.SPLIT_VAL_HI}' THEN 'val' ELSE 'test' END"
     )
 
 
