@@ -39,59 +39,61 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-7
-# rotation: the 37 queries whose newest driver cert is round 5
-# (CORRECTNESS_r06.json certified exactly the other 50), computed as
-#   sorted(set(r05) - set(r06)) over the CORRECTNESS_r*.json keys,
-# so after this round every query's newest driver cert stays ≤2 rounds
-# old. Round-7 additions (never certified) go at the very head.
+# run FIRST (order is otherwise meaningless to the gate). Round-8
+# rotation: head = round-8 additions (never certified), then
+# ev_cms_merge_days (r7's only red — oracle dtype fix must re-certify),
+# then sorted(set(r06) - set(r07)) over the CORRECTNESS_r*.json keys
+# (the 44 queries whose newest driver cert is round 6), so after this
+# round every query's newest driver cert stays ≤2 rounds old.
 FRONT_OF_LINE = (
-    # new in round 7 — no driver cert yet
-    "ev_cep_match",
-    "doc_split_assign",
-    "doc_split_leakage",
-    "doc_pii_scrub",
-    "emb_two_stage_topk",
+    # red in round 7 (HUGEINT oracle dtype, fixed in sketches.py) —
+    # must re-certify
     "ev_cms_merge_days",
-    "doc_bm25_wand_batch64",
-    # newest cert is round 5
-    "agg_grouping_sets",
-    "doc_bm25_topk",
-    "doc_bm25_wand",
-    "doc_contamination",
-    "doc_dedup_corpus",
-    "doc_dedup_groups",
-    "doc_ngram_freq",
-    "doc_pack_chunks",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_token_stats",
-    "doc_top_terms",
-    "emb_ivf_kmeans_topk",
-    "emb_ivf_recall",
-    "emb_quantize_int8",
-    "emb_semantic_dedup",
-    "ev_funnel_conversion",
-    "ev_gap_fill",
-    "ev_hll_merge_days",
-    "ev_hll_user_days",
-    "ev_pivot_type_counts",
-    "ev_retention_cohorts",
-    "ev_value_quantiles",
-    "ev_value_quantiles_merged",
-    "mm_frame_stats",
-    "mm_resize",
-    "mm_wav_roundtrip",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q20_excess_shipments",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
-    "win_running_total",
-    "win_top_orders_per_cust",
+    # newest cert is round 6
+    "agg_cube_status_priority",
+    "agg_rollup_region_nation",
+    "doc_dedup_stats",
+    "doc_fingerprint",
+    "doc_idf_rarity",
+    "doc_jaccard_topk",
+    "doc_lang_id",
+    "doc_lsh_near_dups",
+    "doc_minhash",
+    "doc_quality",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_matryoshka_topk",
+    "emb_near_dup_pairs",
+    "ev_asof_login",
+    "ev_cms_heavy_hitters",
+    "ev_enrich",
+    "ev_error_routing",
+    "ev_interval_clicks",
+    "ev_json_extract",
+    "ev_parse_route",
+    "ev_salted_counts",
+    "ev_sequence",
+    "ev_sessionize",
+    "ev_sliding_peak",
+    "ev_tumbling_hourly",
+    "ev_type_counts",
+    "mm_decode",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "set_churned_customers",
+    "set_loyal_customers",
+    "win_balance_quartiles",
+    "win_exact_percentiles",
+    "win_moving_avg",
+    "win_order_gaps",
+    "win_price_position",
 )
 
 

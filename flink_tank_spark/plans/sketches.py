@@ -287,7 +287,8 @@ EV_CMS_MERGE_DAYS_SQL = dedent("""
       FROM keyed k CROSS JOIN rows4 r
     ),
     daily AS (SELECT day, row, col, COUNT(*) AS cnt FROM cells GROUP BY 1, 2, 3),
-    merged AS (SELECT row, col, SUM(cnt) AS cnt FROM daily GROUP BY 1, 2),
+    merged AS (SELECT row, col, CAST(SUM(cnt) AS BIGINT) AS cnt
+               FROM daily GROUP BY 1, 2),
     nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM keyed),
     exact AS (SELECT user_key, COUNT(*) AS n_exact FROM keyed GROUP BY user_key),
     topk AS (SELECT user_key, n_exact FROM exact

@@ -37,9 +37,29 @@ def _hash(pdf: pd.DataFrame) -> str:
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pdf[c].dtype == object:
+            # Spark DateType arrives as object-of-datetime.date while
+            # DuckDB DATE arrives as datetime64 — the driver treats them
+            # as equal (ev_retention_cohorts was driver-green), so
+            # canonicalize dates before taking the dtype signature.
+            nonnull = pdf[c].dropna()
+            if len(nonnull) and all(
+                type(v).__name__ == "date" for v in nonnull.head(100)
+            ):
+                pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
     pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    # The driver's value-hash is dtype-sensitive: DuckDB SUM(BIGINT) →
+    # HUGEINT → pandas float64 rendered "86.0" passes a pure %.17g CSV
+    # hash against Spark's long "86" but fails the driver (r7's only
+    # red, ev_cms_merge_days). Fold a width-insensitive dtype *kind*
+    # signature (int vs float vs object vs datetime) into the hash so
+    # this gate is at least as strict as the driver on numeric typing.
+    kinds = ",".join(
+        f"{c}:{'i' if pdf[c].dtype.kind == 'u' else pdf[c].dtype.kind}"
+        for c in pdf.columns
+    )
     return hashlib.md5(
-        pdf.to_csv(index=False, float_format="%.17g").encode()
+        (kinds + "\n" + pdf.to_csv(index=False, float_format="%.17g")).encode()
     ).hexdigest()[:10]
 
 
