@@ -1414,17 +1414,20 @@ EMB_MATRYOSHKA_TOPK_SQL = dedent(f"""
 # --------------------------------------------------------------------------
 
 def emb_two_stage_topk(
-    spark: SparkSession, sf_dir: str, dims: int = 16, coarse_k: int = 50,
+    spark: SparkSession, sf_dir: str, dims: int = 32, coarse_k: int = 200,
     k: int = 5,
 ) -> DataFrame:
     """Two-stage ANN (operators/similarity.two_stage_topk): truncated
-    16-dim coarse top-50 candidate generation, exact full-dim fixed-
+    32-dim coarse top-200 candidate generation, exact full-dim fixed-
     point rerank to top-5 — the production operator the
-    emb_matryoshka_topk audit motivates. The oracle mirrors BOTH stages
-    (truncated scoring with prefix-zero-norm exclusion, candidate
-    rerank), so the gate certifies the staging itself, not just the
-    final scores; recall vs single-stage exact is measured separately in
-    scripts/ivf_recall_curve.py."""
+    emb_matryoshka_topk audit motivates. Registered at the measured
+    KNEE of its recall/cost curve (recall@5 0.86 at 32-dim/C=200 vs
+    0.24 at the previously-registered 16-dim/C=50 — IVF_RECALL
+    evidence), i.e. the config a user should actually run. The oracle
+    mirrors BOTH stages (truncated scoring with prefix-zero-norm
+    exclusion, candidate rerank), so the gate certifies the staging
+    itself, not just the final scores; recall vs single-stage exact is
+    measured separately in scripts/ivf_recall_curve.py."""
     emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
     return similarity.two_stage_topk(
         emb, emb.filter(F.col("vec_id") < 10),
@@ -1434,7 +1437,7 @@ def emb_two_stage_topk(
 
 EMB_TWO_STAGE_TOPK_SQL = dedent(f"""
     WITH tr AS (
-      SELECT vec_id, embedding[1:16] AS embedding FROM embeddings
+      SELECT vec_id, embedding[1:32] AS embedding FROM embeddings
     ),
     tr_nz AS (SELECT * FROM tr WHERE {_SQL_NZ_PRED}),
     coarse AS (
@@ -1448,7 +1451,7 @@ EMB_TWO_STAGE_TOPK_SQL = dedent(f"""
         SELECT query_id, neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY query_id
                                   ORDER BY csim DESC, neighbor_id) AS crk
-        FROM coarse) WHERE crk <= 50
+        FROM coarse) WHERE crk <= 200
     ),
     rescored AS (
       SELECT d.query_id, d.neighbor_id,

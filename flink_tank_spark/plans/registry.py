@@ -49,6 +49,9 @@ FRONT_OF_LINE = (
     # red in round 7 (HUGEINT oracle dtype, fixed in sketches.py) —
     # must re-certify
     "ev_cms_merge_days",
+    # re-registered at the measured recall knee (32-dim/C=200) in r8 —
+    # config change must re-certify
+    "emb_two_stage_topk",
     # newest cert is round 6
     "agg_cube_status_priority",
     "agg_rollup_region_nation",

@@ -142,8 +142,13 @@ def main() -> int:
     # (~sqrt(d/64)) — the measured recall is the operator's WORST case;
     # the dims sweep shows exactly how much signal the prefix must carry
     # for a target recall.
+    # (64, 200) and (32, 500) document the scale path: recall at a fixed
+    # coarse_k decays as the corpus grows (r8: 0.86 at sf0.1 → 0.76 at
+    # sf1 for 32/200), so at larger corpora either the prefix must carry
+    # more signal (dims ↑) or the rescore budget must track corpus size
+    # (coarse_k ↑) — both knobs measured here.
     for coarse_dims, coarse_k in (
-        (16, 50), (16, 200), (32, 50), (32, 200),
+        (16, 50), (16, 200), (32, 50), (32, 200), (32, 500), (64, 200),
     ):
         t0 = time.perf_counter()
         two = (

@@ -150,6 +150,134 @@ def test_cep_tie_rule_across_batch_boundary(spark, tmp_path):
     assert _collect_matches(spark, out) == {(2, 20)}
 
 
+def _run_wave_timeout(spark, src, out, ckpt, idle_flush_ms):
+    """Drain the source, then keep the query alive until idle_flush_ms
+    (plus a timer-batch margin) passes with no input — the idle timers
+    have then fired. availableNow can't drive this: a pending one-shot
+    processing-time timer leaves it neither firing nor terminating (the
+    heartbeat availableNow gotcha, one-shot edition), so poll progress
+    under a processingTime trigger and stop() explicitly."""
+    import time
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts string, event_type string"
+        )
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        cep.cep_match_stream_timeout(stream, idle_flush_ms=idle_flush_ms)
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 240
+    last_data = time.time()
+    try:
+        while time.time() < deadline:
+            time.sleep(0.5)
+            p = q.lastProgress
+            if p and p["numInputRows"] > 0:
+                last_data = time.time()
+            if time.time() - last_data > idle_flush_ms / 1000 + 4:
+                return
+        raise AssertionError("wave did not quiesce before deadline")
+    finally:
+        q.stop()
+
+
+def test_cep_timeout_flushes_idle_key(spark, tmp_path):
+    """The timer twin's whole point: a within-window signup->purchase on
+    a key that then goes silent must emit WITHOUT any subsequent event
+    for the key (no mover), once the idle grace period lapses."""
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    t = "2024-01-01T00:"
+    _write_wave(src, "w0.jsonl", [
+        {"user_id": 1, "event_id": 10, "ts": t + "00:00", "event_type": "signup"},
+        {"user_id": 1, "event_id": 11, "ts": t + "10:00", "event_type": "purchase"},
+    ])
+    _run_wave_timeout(spark, src, out, ckpt, idle_flush_ms=2000)
+    assert _collect_matches(spark, out) == {(1, 10)}
+
+
+def test_cep_timeout_holds_tie_rule_within_grace(spark, tmp_path):
+    """An error at exactly the purchase ts arriving WITHIN the grace
+    period must still cancel the pending — the idle timer must not fire
+    under (or despite) incoming data. Runs one continuous
+    processing-time-trigger query and drops the error in mid-flight
+    (an availableNow wave can't model this: it waits out its own timers
+    before terminating)."""
+    import time
+
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    t = "2024-01-01T00:"
+    _write_wave(src, "w0.jsonl", [
+        {"user_id": 1, "event_id": 10, "ts": t + "00:00", "event_type": "signup"},
+        {"user_id": 1, "event_id": 11, "ts": t + "10:00", "event_type": "purchase"},
+        {"user_id": 2, "event_id": 20, "ts": t + "00:00", "event_type": "signup"},
+        {"user_id": 2, "event_id": 21, "ts": t + "10:00", "event_type": "purchase"},
+    ])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts string, event_type string"
+        )
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        cep.cep_match_stream_timeout(stream, idle_flush_ms=10_000)
+        .writeStream.format("json")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    got = set()
+    try:
+        # the error lands inside both keys' 10 s grace window (if the
+        # machine stalls and it shares user 1's first batch, per-key
+        # ordering makes the outcome identical)
+        time.sleep(2)
+        _write_wave(src, "w1.jsonl", [
+            {"user_id": 1, "event_id": 12, "ts": t + "10:00",
+             "event_type": "error"},
+        ])
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = _collect_matches(spark, out)
+            if got:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # user 1 cancelled by the tie rule; user 2 flushed by its idle timer
+    assert got == {(2, 20)}
+
+
+def test_cep_timeout_restart_batch_parity(spark, tmp_path):
+    """Corpus parity WITHOUT movers: the idle timers finalize the tails.
+    Each wave is a separate restarted run resuming the checkpoint —
+    opens survive the timeout flush and the restart (user-2-style
+    cross-wave matches must still complete)."""
+    rows = _event_rows(spark)
+    expected = _batch_expected(spark)
+    assert expected
+    src = str(tmp_path / "in")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    half = len(rows) // 2
+    for i, wave in enumerate([rows[:half], rows[half:]]):
+        _write_wave(src, f"w{i}.jsonl", wave)
+        _run_wave_timeout(spark, src, out, ckpt, idle_flush_ms=2000)
+    assert _collect_matches(spark, out) == expected
+
+
 def test_cep_custom_pattern_instance(spark, tmp_path):
     """make_matcher binds arbitrary (start, end, negation, within):
     view -> click within 5 min, purchase negation."""
