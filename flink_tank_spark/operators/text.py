@@ -69,11 +69,21 @@ def split_col(doc_id: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-row match counts for each PII pattern (audit columns)."""
-    return {
-        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_REGEX), F.lit(0))),
-        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_REGEX), F.lit(0))),
-    }
+    """Per-row match counts for each PII pattern (audit columns),
+    STAGED exactly like the scrub: pattern *i* is counted on the text
+    with patterns 0..i-1 already replaced, so a phone-shaped substring
+    consumed by the email redaction (e.g. ``555-1234@x.com``) is not
+    double-counted — the summed counts equal the number of replacements
+    :func:`pii_scrub` actually performs."""
+    names = ["n_emails", "n_phones"]
+    out: dict[str, Column] = {}
+    cur = text
+    for name, (pattern, token) in zip(names, PII_PATTERNS):
+        out[name] = F.size(
+            F.regexp_extract_all(cur, F.lit(pattern), F.lit(0))
+        )
+        cur = F.regexp_replace(cur, pattern, token)
+    return out
 
 
 def pii_scrub(text: Column) -> Column:

@@ -1038,7 +1038,11 @@ DOC_PII_SCRUB_SQL = dedent(f"""
     )
     SELECT doc_id,
            len(regexp_extract_all(w, '{text.PII_EMAIL_REGEX}')) AS n_emails,
-           len(regexp_extract_all(w, '{text.PII_PHONE_REGEX}')) AS n_phones,
+           -- staged like the scrub: phones counted on the email-scrubbed
+           -- text so an email-consumed phone substring isn't double-counted
+           len(regexp_extract_all(
+                 regexp_replace(w, '{text.PII_EMAIL_REGEX}', '<EMAIL>', 'g'),
+                 '{text.PII_PHONE_REGEX}')) AS n_phones,
            md5(s) AS scrub_hash,
            length(s) AS scrub_len,
            len(regexp_extract_all(s, '{text.PII_EMAIL_REGEX}'))

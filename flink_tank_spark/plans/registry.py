@@ -52,6 +52,9 @@ FRONT_OF_LINE = (
     # re-registered at the measured recall knee (32-dim/C=200) in r8 —
     # config change must re-certify
     "emb_two_stage_topk",
+    # r8: staged pii counts (no double-count of overlapping patterns) —
+    # semantic change must re-certify
+    "doc_pii_scrub",
     # newest cert is round 6
     "agg_cube_status_priority",
     "agg_rollup_region_nation",

@@ -68,6 +68,7 @@ from flink_tank_spark.operators.similarity import (
     ivf_assign,
     kmeans_centroids,
 )
+from flink_tank_spark.streaming import compaction
 
 VECTORS_SUBDIR = "vectors"
 CENTROIDS_SUBDIR = "centroids"
@@ -77,12 +78,12 @@ def _read_part(
     spark: SparkSession, index_dir: str, subdir: str, before_batch: int
 ) -> DataFrame | None:
     """Accumulated rows from partitions ``ingest_batch < b`` — None when
-    no prior partition exists (fresh index / replayed first batch)."""
+    no prior partition exists (fresh index / replayed first batch).
+    Raises on an interrupted-compact dir (compaction.check_readable)
+    instead of silently treating the accumulated corpus as fresh."""
     path = os.path.join(index_dir, subdir)
-    parts = [
-        e for e in (os.listdir(path) if os.path.isdir(path) else [])
-        if e.startswith("ingest_batch=")
-    ]
+    compaction.check_readable(path)
+    parts = compaction.parts(path)
     if not any(int(p.split("=", 1)[1]) < before_batch for p in parts):
         return None
     df = spark.read.option("basePath", path).parquet(path)
@@ -165,22 +166,36 @@ def incremental_emb_near_dup_sink(
                 ).select(F.col("centroid_id").alias(id_col),
                          F.col("cv").alias(vec_col))
                 seeded_here = True
-        idx = _read_part(spark, index_dir, VECTORS_SUBDIR, batch_id)
-        pairs, assigned = emb_near_dup_step(
-            batch_df, cent, idx,
-            threshold=threshold, probes=probes, id_col=id_col, vec_col=vec_col,
-        )
-        part = f"ingest_batch={batch_id}"
+        # seeded centroids derive from a k-means run over the batch —
+        # persist so the three write actions below (centroids, pairs,
+        # assignments) share one execution instead of re-training per
+        # referencing branch (the multi-branch-DAG re-evaluation cost)
         if seeded_here:
-            cent.select(
-                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-            ).write.mode("overwrite").parquet(
-                os.path.join(index_dir, CENTROIDS_SUBDIR, part)
+            cent = cent.persist()
+        try:
+            idx = _read_part(spark, index_dir, VECTORS_SUBDIR, batch_id)
+            pairs, assigned = emb_near_dup_step(
+                batch_df, cent, idx,
+                threshold=threshold, probes=probes, id_col=id_col,
+                vec_col=vec_col,
             )
-        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, part))
-        assigned.write.mode("overwrite").parquet(
-            os.path.join(index_dir, VECTORS_SUBDIR, part)
-        )
+            part = f"ingest_batch={batch_id}"
+            if seeded_here:
+                cent.select(
+                    F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("cv"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(index_dir, CENTROIDS_SUBDIR, part)
+                )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, part)
+            )
+            assigned.write.mode("overwrite").parquet(
+                os.path.join(index_dir, VECTORS_SUBDIR, part)
+            )
+        finally:
+            if seeded_here:
+                cent.unpersist()
 
     return write
 
@@ -220,23 +235,17 @@ def compact(spark: SparkSession, index_dir: str) -> None:
     merged partition (``ingest_batch=-1``), re-clustered on
     ``centroid_id`` so the per-batch cell probe reads co-located files —
     pure small-file hygiene, same contract as streaming/neardup.compact
-    (stream STOPPED; temp-dir write before originals are removed).
+    (stream STOPPED; hide → commit → clean swap protocol with
+    auto-recovery, streaming/compaction.py).
     Centroids are a single write-once partition and are left alone."""
-    import shutil
-
     base = os.path.join(index_dir, VECTORS_SUBDIR)
-    parts = [
-        e for e in (os.listdir(base) if os.path.isdir(base) else [])
-        if e.startswith("ingest_batch=")
-    ]
+    compaction.recover(base)
+    parts = compaction.parts(base)
     if not parts:
         raise ValueError(f"no index partitions under {base!r}")
     df = (
         spark.read.option("basePath", base).parquet(base)
         .drop("ingest_batch").repartition(F.col("centroid_id"))
     )
-    tmp = os.path.join(base, "_compact_tmp")
-    df.write.mode("overwrite").parquet(tmp)
-    for e in parts:
-        shutil.rmtree(os.path.join(base, e))
-    os.rename(tmp, os.path.join(base, "ingest_batch=-1"))
+    df.write.mode("overwrite").parquet(os.path.join(base, compaction.TMP_NAME))
+    compaction.commit_swap(base, parts)

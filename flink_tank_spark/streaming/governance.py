@@ -75,34 +75,51 @@ def governed_ingest_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        governed = governed_batch(batch_df)
+        # the four write actions below all re-derive from the scrub /
+        # shingle / minhash lineage — persist the shared stages so each
+        # runs once per micro-batch, not once per referencing branch
+        # (the multi-branch-DAG re-evaluation cost); the bucket index is
+        # additionally scanned twice when the cap is on (sizes + join)
+        governed = governed_batch(batch_df).persist()
+        persisted = [governed]
         idx_sh = _read_index(spark, index_dir, SHINGLES_SUBDIR, batch_id)
         idx_bk = _read_index(spark, index_dir, BUCKETS_SUBDIR, batch_id)
-        pairs, b_sh, b_bk = neardup.near_dup_batch(
-            governed.select("doc_id", "text"), idx_sh, idx_bk,
-            threshold=threshold, n_perms=n_perms,
-            rows_per_band=rows_per_band, max_bucket_size=max_bucket_size,
-        )
-        leaks = (
-            pairs.select(
-                "id_a", "id_b",
-                T.split_col(F.col("id_a")).alias("split_a"),
-                T.split_col(F.col("id_b")).alias("split_b"),
-                "n_common", "jaccard",
+        if idx_bk is not None and max_bucket_size is not None:
+            idx_bk = idx_bk.persist()
+            persisted.append(idx_bk)
+        try:
+            pairs, b_sh, b_bk = neardup.near_dup_batch(
+                governed.select("doc_id", "text"), idx_sh, idx_bk,
+                threshold=threshold, n_perms=n_perms,
+                rows_per_band=rows_per_band, max_bucket_size=max_bucket_size,
             )
-            .filter(F.col("split_a") != F.col("split_b"))
-        )
-        part = f"ingest_batch={batch_id}"
-        governed.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, part)
-        )
-        leaks.write.mode("overwrite").parquet(os.path.join(leaks_dir, part))
-        b_sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, SHINGLES_SUBDIR, part)
-        )
-        b_bk.write.mode("overwrite").parquet(
-            os.path.join(index_dir, BUCKETS_SUBDIR, part)
-        )
+            b_sh, b_bk = b_sh.persist(), b_bk.persist()
+            persisted += [b_sh, b_bk]
+            leaks = (
+                pairs.select(
+                    "id_a", "id_b",
+                    T.split_col(F.col("id_a")).alias("split_a"),
+                    T.split_col(F.col("id_b")).alias("split_b"),
+                    "n_common", "jaccard",
+                )
+                .filter(F.col("split_a") != F.col("split_b"))
+            )
+            part = f"ingest_batch={batch_id}"
+            governed.write.mode("overwrite").parquet(
+                os.path.join(corpus_dir, part)
+            )
+            leaks.write.mode("overwrite").parquet(
+                os.path.join(leaks_dir, part)
+            )
+            b_sh.write.mode("overwrite").parquet(
+                os.path.join(index_dir, SHINGLES_SUBDIR, part)
+            )
+            b_bk.write.mode("overwrite").parquet(
+                os.path.join(index_dir, BUCKETS_SUBDIR, part)
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
 
     return write
 

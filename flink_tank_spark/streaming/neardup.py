@@ -57,6 +57,7 @@ from flink_tank_spark.operators.dedup import (
     rescore_jaccard,
     shingle_sets,
 )
+from flink_tank_spark.streaming import compaction
 
 SHINGLES_SUBDIR = "shingles"
 BUCKETS_SUBDIR = "buckets"
@@ -68,13 +69,19 @@ def _read_index(
     """Accumulated index rows from partitions ``ingest_batch < b`` —
     None when no prior partition exists (first batch / fresh index).
     The strict filter makes replay safe: a crashed attempt's own
-    partition is invisible to its reprocessing."""
+    partition is invisible to its reprocessing — and the existence
+    check applies the SAME ``< before_batch`` rule, so a replayed
+    first batch whose crashed attempt left its own partition still
+    reads None, not an empty frame. Raises on an interrupted-compact
+    dir (compaction.check_readable) instead of silently treating the
+    accumulated corpus as fresh."""
     path = os.path.join(index_dir, subdir)
-    if not any(
-        e.startswith("ingest_batch=") for e in (
-            os.listdir(path) if os.path.isdir(path) else []
-        )
-    ):
+    compaction.check_readable(path)
+    prior = [
+        e for e in compaction.parts(path)
+        if int(e.split("=", 1)[1]) < before_batch
+    ]
+    if not prior:
         return None
     df = spark.read.option("basePath", path).parquet(path)
     return df.filter(F.col("ingest_batch") < before_batch).drop("ingest_batch")
@@ -166,19 +173,32 @@ def incremental_near_dup_sink(
         spark = batch_df.sparkSession
         idx_sh = _read_index(spark, index_dir, SHINGLES_SUBDIR, batch_id)
         idx_bk = _read_index(spark, index_dir, BUCKETS_SUBDIR, batch_id)
-        pairs, b_sh, b_bk = near_dup_batch(
-            batch_df, idx_sh, idx_bk,
-            threshold=threshold, n_perms=n_perms, rows_per_band=rows_per_band,
-            max_bucket_size=max_bucket_size, id_col=id_col, text_col=text_col,
-        )
-        part = f"ingest_batch={batch_id}"
-        pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, part))
-        b_sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, SHINGLES_SUBDIR, part)
-        )
-        b_bk.write.mode("overwrite").parquet(
-            os.path.join(index_dir, BUCKETS_SUBDIR, part)
-        )
+        # the bucket index is scanned twice when the cap is on (bucket
+        # sizes, then the candidate join) — persist it for the batch so
+        # the second reference hits cache, not parquet
+        if idx_bk is not None and max_bucket_size is not None:
+            idx_bk = idx_bk.persist()
+        try:
+            pairs, b_sh, b_bk = near_dup_batch(
+                batch_df, idx_sh, idx_bk,
+                threshold=threshold, n_perms=n_perms,
+                rows_per_band=rows_per_band,
+                max_bucket_size=max_bucket_size, id_col=id_col,
+                text_col=text_col,
+            )
+            part = f"ingest_batch={batch_id}"
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, part)
+            )
+            b_sh.write.mode("overwrite").parquet(
+                os.path.join(index_dir, SHINGLES_SUBDIR, part)
+            )
+            b_bk.write.mode("overwrite").parquet(
+                os.path.join(index_dir, BUCKETS_SUBDIR, part)
+            )
+        finally:
+            if idx_bk is not None and max_bucket_size is not None:
+                idx_bk.unpersist()
 
     return write
 
@@ -221,25 +241,21 @@ def compact(spark: SparkSession, index_dir: str) -> None:
     rows are append-only facts, no state algebra); the bucket table is
     re-clustered on ``bucket`` so the per-batch probe join reads
     co-located files. Run only while the stream is STOPPED (same replay
-    double-count argument as retrieval_index.compact). Crash safety:
-    the merged output is fully written to a temp dir before any
-    original partition is removed."""
-    import shutil
-
+    double-count argument as retrieval_index.compact). Crash safety: the
+    hide → commit → clean swap protocol (streaming/compaction.py) —
+    any interrupted state is detectable and auto-recovered here, and the
+    index readers refuse to misread it as a fresh corpus."""
     for subdir, key in ((SHINGLES_SUBDIR, "doc_id"), (BUCKETS_SUBDIR, "bucket")):
         base = os.path.join(index_dir, subdir)
-        parts = [
-            e for e in (os.listdir(base) if os.path.isdir(base) else [])
-            if e.startswith("ingest_batch=")
-        ]
+        compaction.recover(base)
+        parts = compaction.parts(base)
         if not parts:
             raise ValueError(f"no index partitions under {base!r}")
         df = (
             spark.read.option("basePath", base).parquet(base)
             .drop("ingest_batch").repartition(F.col(key))
         )
-        tmp = os.path.join(base, "_compact_tmp")
-        df.write.mode("overwrite").parquet(tmp)
-        for e in parts:
-            shutil.rmtree(os.path.join(base, e))
-        os.rename(tmp, os.path.join(base, "ingest_batch=-1"))
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, compaction.TMP_NAME)
+        )
+        compaction.commit_swap(base, parts)

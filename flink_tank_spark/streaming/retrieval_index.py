@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_tank_spark.operators import retrieval
+from flink_tank_spark.streaming import compaction
 
 POSTINGS_SUBDIR = "postings"
 TERM_STATE_SUBDIR = "term_state"
@@ -44,12 +45,11 @@ _SUBDIRS = (POSTINGS_SUBDIR, TERM_STATE_SUBDIR, STATS_SUBDIR)
 
 
 def _read_parts(spark: SparkSession, index_dir: str, subdir: str) -> DataFrame | None:
+    """Raises on an interrupted-compact dir (compaction.check_readable)
+    rather than reading a partial index."""
     path = os.path.join(index_dir, subdir)
-    if not any(
-        e.startswith("ingest_batch=") for e in (
-            os.listdir(path) if os.path.isdir(path) else []
-        )
-    ):
+    compaction.check_readable(path)
+    if not compaction.parts(path):
         return None
     return spark.read.option("basePath", path).parquet(path).drop("ingest_batch")
 
@@ -116,10 +116,11 @@ def compact(spark: SparkSession, index_dir: str) -> None:
     during a maintenance window): compacting a partition whose batch
     could still replay would let the replayed delta double-count on top
     of the merged row it was folded into. Crash safety within compact
-    itself: the merged output is fully written to a temp dir (the write
-    is an action) BEFORE any original partition is removed."""
-    import shutil
-
+    itself: the hide → commit → clean swap protocol with auto-recovery
+    (streaming/compaction.py) — an interrupted swap is detectable and
+    _read_parts refuses to read it as a partial or fresh index."""
+    for subdir in (TERM_STATE_SUBDIR, STATS_SUBDIR):
+        compaction.recover(os.path.join(index_dir, subdir))
     states = _read_parts(spark, index_dir, TERM_STATE_SUBDIR)
     sstates = _read_parts(spark, index_dir, STATS_SUBDIR)
     if states is None or sstates is None:
@@ -128,12 +129,11 @@ def compact(spark: SparkSession, index_dir: str) -> None:
     folded = sstates.groupBy().sum("n_docs", "dl_ssum").toDF("n_docs", "dl_ssum")
     for subdir, df in ((TERM_STATE_SUBDIR, merged), (STATS_SUBDIR, folded)):
         base = os.path.join(index_dir, subdir)
-        tmp = os.path.join(base, "_compact_tmp")
-        df.write.mode("overwrite").parquet(tmp)
-        for e in os.listdir(base):
-            if e.startswith("ingest_batch="):
-                shutil.rmtree(os.path.join(base, e))
-        os.rename(tmp, os.path.join(base, "ingest_batch=-1"))
+        parts = compaction.parts(base)
+        df.write.mode("overwrite").parquet(
+            os.path.join(base, compaction.TMP_NAME)
+        )
+        compaction.commit_swap(base, parts)
 
 
 def start_index_job(

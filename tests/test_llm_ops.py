@@ -450,6 +450,7 @@ def test_pii_scrub_redacts_everything_and_ordering_is_safe(spark):
         (3, "call 555-1234 or 800-0001."),
         (4, "mixed user123-456@ex.org and 123-4567 end"),
         (5, "boundary x555-1234 5551-234 555-12345"),  # no \b matches
+        (6, "write 555-1234@x.com please"),  # phone-shaped INSIDE email
     ]
     df = spark.createDataFrame(rows, "id long, t string")
     out = df.select(
@@ -467,6 +468,10 @@ def test_pii_scrub_redacts_everything_and_ordering_is_safe(spark):
     assert (by_id[4].n_emails, by_id[4].n_phones) == (1, 1)
     # \b guards: digit runs glued to letters/extra digits don't match
     assert by_id[5].s == rows[4][1] and by_id[5].n_phones == 0
+    # staged counts = actual redactions: the phone-shaped substring the
+    # email pass consumes is NOT also counted as a phone
+    assert by_id[6].s == "write <EMAIL> please"
+    assert (by_id[6].n_emails, by_id[6].n_phones) == (1, 0)
     # residual audit: re-counting on scrubbed text finds nothing
     resid = df.select(
         sum(T.pii_counts(T.pii_scrub(F.col("t"))).values()).alias("r")

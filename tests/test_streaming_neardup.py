@@ -187,6 +187,88 @@ def test_compaction_preserves_verdicts(spark, sf_dir, tmp_path):
     assert _collected_pairs(spark, pairs_dir) == expected
 
 
+def test_interrupted_compact_detected_and_recovered(spark, tmp_path):
+    """A compact interrupted at ANY point must never be misread. The
+    old swap (write tmp -> delete originals -> rename) had a window
+    where a crash left zero visible partitions and the next stream
+    start silently treated the corpus as fresh; the hide -> commit ->
+    clean protocol makes every interrupted state detectable
+    (readers raise) and recoverable (compact rolls back/forward)."""
+    import pytest
+
+    from flink_tank_spark.streaming import compaction
+
+    base_text = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        {"doc_id": 1, "text": base_text + " tail-a"},
+        {"doc_id": 2, "text": base_text + " tail-b"},  # true J = 0.875
+    ]
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = neardup.incremental_near_dup_sink(index_dir, pairs_dir)
+    sink(spark.createDataFrame([rows[0]]), 0)
+    base = os.path.join(index_dir, neardup.SHINGLES_SUBDIR)
+
+    # legacy fatal state: tmp exists, zero visible partitions
+    os.rename(
+        os.path.join(base, "ingest_batch=0"),
+        os.path.join(base, compaction.TMP_NAME),
+    )
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        sink(spark.createDataFrame([rows[1]]), 1)
+    # recovery: a tmp with no hidden originals is a stale partial write
+    # of a NOT-yet-started swap — but here there are no originals at
+    # all, so rebuild the partition instead of recovering blind
+    os.rename(
+        os.path.join(base, compaction.TMP_NAME),
+        os.path.join(base, "ingest_batch=0"),
+    )
+
+    # mid-hide / pre-commit state: originals hidden, tmp present
+    os.makedirs(os.path.join(base, compaction.TMP_NAME))
+    os.rename(
+        os.path.join(base, "ingest_batch=0"),
+        os.path.join(base, compaction.OLD_PREFIX + "ingest_batch=0"),
+    )
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        sink(spark.createDataFrame([rows[1]]), 1)
+    compaction.recover(base)  # rolls back: originals restored, tmp gone
+    assert compaction.parts(base) == ["ingest_batch=0"]
+    assert not os.path.exists(os.path.join(base, compaction.TMP_NAME))
+
+    # post-commit state: merged partition visible, leftover hidden dir
+    neardup.compact(spark, index_dir)
+    os.makedirs(os.path.join(base, compaction.OLD_PREFIX + "ingest_batch=0"))
+    with pytest.raises(RuntimeError, match="interrupted compact"):
+        sink(spark.createDataFrame([rows[1]]), 1)
+    compaction.recover(base)  # rolls forward: leftover deleted
+    assert compaction.parts(base) == ["ingest_batch=-1"]
+
+    # after recovery the stream resumes and still finds the cross-batch
+    # pair against the compacted index
+    sink(spark.createDataFrame([rows[1]]), 1)
+    got = {(p[0], p[1]) for p in _collected_pairs(spark, pairs_dir)}
+    assert got == {(1, 2)}
+
+
+def test_read_index_ignores_crashed_first_batch_partition(spark, tmp_path):
+    """A replayed FIRST batch whose crashed attempt already wrote its
+    own ingest_batch=0 partition must see a fresh index (None), not an
+    empty frame — the existence check applies the same < before_batch
+    rule as the content filter."""
+    rows = [{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}]
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    sink = neardup.incremental_near_dup_sink(index_dir, pairs_dir)
+    sink(spark.createDataFrame(rows), 0)  # the "crashed attempt"
+    assert (
+        neardup._read_index(spark, index_dir, neardup.SHINGLES_SUBDIR, 0)
+        is None
+    )
+    assert (
+        neardup._read_index(spark, index_dir, neardup.SHINGLES_SUBDIR, 1)
+        is not None
+    )
+
+
 def test_streamed_split_leakage_equals_batch_audit(spark, sf_dir, tmp_path):
     """Governance-over-streaming closure: running the split-leakage
     audit (plans/llm.doc_split_leakage semantics — split is a pure
