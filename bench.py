@@ -75,6 +75,18 @@ def main() -> None:
         "cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Regime guidance measured in WAND_BENCH_r07.json (fresh-batch,
+    # cache-honest): WAND's pruning overhead only pays for itself from
+    # ~128 queries/batch; the batch-64 headline row deliberately sits
+    # BELOW the crossover to keep both regimes visible.
+    if "doc_bm25_wand_batch64" in timings:
+        out["notes"] = {
+            "doc_bm25_wand_batch64": (
+                "WAND crossover is ~128 queries/batch; below that run "
+                "bm25_topk (exact) — this row measures the pre-crossover "
+                "regime on purpose"
+            )
+        }
     print(json.dumps(out))
 
 

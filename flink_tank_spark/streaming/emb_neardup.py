@@ -172,6 +172,7 @@ def incremental_emb_near_dup_sink(
         # referencing branch (the multi-branch-DAG re-evaluation cost)
         if seeded_here:
             cent = cent.persist()
+        assigned = None
         try:
             idx = _read_part(spark, index_dir, VECTORS_SUBDIR, batch_id)
             pairs, assigned = emb_near_dup_step(
@@ -179,6 +180,10 @@ def incremental_emb_near_dup_sink(
                 threshold=threshold, probes=probes, id_col=id_col,
                 vec_col=vec_col,
             )
+            # assigned (a full multi-probe scoring pass over the batch)
+            # feeds both the pairs plan and its own index append —
+            # persist so the assignment runs once per micro-batch
+            assigned = assigned.persist()
             part = f"ingest_batch={batch_id}"
             if seeded_here:
                 cent.select(
@@ -196,6 +201,8 @@ def incremental_emb_near_dup_sink(
         finally:
             if seeded_here:
                 cent.unpersist()
+            if assigned is not None:
+                assigned.unpersist()
 
     return write
 

@@ -174,10 +174,16 @@ def incremental_near_dup_sink(
         idx_sh = _read_index(spark, index_dir, SHINGLES_SUBDIR, batch_id)
         idx_bk = _read_index(spark, index_dir, BUCKETS_SUBDIR, batch_id)
         # the bucket index is scanned twice when the cap is on (bucket
-        # sizes, then the candidate join) — persist it for the batch so
-        # the second reference hits cache, not parquet
+        # sizes, then the candidate join), and the shingle index twice
+        # by the rescore (id_a and id_b sides) — persist both for the
+        # batch so the second reference hits cache, not parquet
+        persisted = []
         if idx_bk is not None and max_bucket_size is not None:
             idx_bk = idx_bk.persist()
+            persisted.append(idx_bk)
+        if idx_sh is not None:
+            idx_sh = idx_sh.persist()
+            persisted.append(idx_sh)
         try:
             pairs, b_sh, b_bk = near_dup_batch(
                 batch_df, idx_sh, idx_bk,
@@ -186,6 +192,14 @@ def incremental_near_dup_sink(
                 max_bucket_size=max_bucket_size, id_col=id_col,
                 text_col=text_col,
             )
+            # the three write actions below all re-derive the batch's
+            # CPU-dense shingle/minhash lineage (pairs via the candidate
+            # join + rescore, the two index appends directly) — persist
+            # so shingling runs once per micro-batch, not once per
+            # referencing action (the pairs plan picks the cached
+            # subtrees up via CacheManager plan-equality substitution)
+            b_sh, b_bk = b_sh.persist(), b_bk.persist()
+            persisted += [b_sh, b_bk]
             part = f"ingest_batch={batch_id}"
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_dir, part)
@@ -197,8 +211,8 @@ def incremental_near_dup_sink(
                 os.path.join(index_dir, BUCKETS_SUBDIR, part)
             )
         finally:
-            if idx_bk is not None and max_bucket_size is not None:
-                idx_bk.unpersist()
+            for df in persisted:
+                df.unpersist()
 
     return write
 
