@@ -1994,6 +1994,192 @@ MM_FRAME_STATS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# doc_clean_boilerplate — HTML/markup stripping (ingest text cleaning)
+# --------------------------------------------------------------------------
+
+def doc_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal at the ingest door: strip markup tags, decode
+    the common HTML entities, collapse space runs, trim — the first
+    transform a web-scraped training corpus goes through. The corpus
+    text is plain, so (like doc_pii_scrub) a deterministic doc_id-keyed
+    markup splice wraps each doc first and the cleaner must restore a
+    canonical form; ``n_tags`` audits how many tags were stripped and
+    ``clean_hash`` pins the exact output bytes. Patterns stay in the
+    Java-regex ∩ RE2 portable subset (explicit classes, no \\s whose
+    definition differs across engines); pure codegen regexp chain."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    spliced = F.concat(
+        F.lit('<div class="doc" id="d'), did.cast("string"), F.lit('">'),
+        F.when(did % 2 == 0, F.lit("<h1>Header&nbsp;h</h1> ")).otherwise(
+            F.lit("<p>")
+        ),
+        F.col("text"),
+        F.lit(" <br/>tail &amp; entities &lt;kept&gt;"),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(' <span data-x="'), did.cast("string"),
+                        F.lit('">footer</span>'))).otherwise(F.lit("")),
+        F.lit("</div>"),
+    )
+    n_tags = F.size(F.regexp_extract_all(spliced, F.lit("<[^>]+>"), F.lit(0)))
+    clean = F.regexp_replace(spliced, "<[^>]+>", " ")
+    for ent, repl in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                      ("&gt;", ">")):
+        clean = F.regexp_replace(clean, ent, repl)
+    clean = F.trim(F.regexp_replace(clean, "  +", " "))
+    return (
+        docs.select(
+            "doc_id",
+            n_tags.alias("n_tags"),
+            F.length(clean).alias("clean_len"),
+            F.md5(clean.cast("binary")).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BOILER_WITH_SQL = (
+    "'<div class=\"doc\" id=\"d' || CAST(doc_id AS VARCHAR) || '\">'"
+    " || CASE WHEN doc_id % 2 = 0 THEN '<h1>Header&nbsp;h</h1> '"
+    " ELSE '<p>' END || text || ' <br/>tail &amp; entities &lt;kept&gt;'"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' <span data-x=\"'"
+    " || CAST(doc_id AS VARCHAR) || '\">footer</span>' ELSE '' END"
+    " || '</div>'"
+)
+
+DOC_CLEAN_BOILERPLATE_SQL = dedent(f"""
+    WITH spliced AS (
+      SELECT doc_id, {_BOILER_WITH_SQL} AS w FROM documents
+    ),
+    cleaned AS (
+      SELECT doc_id, w,
+             trim(regexp_replace(
+               replace(replace(replace(replace(
+                 regexp_replace(w, '<[^>]+>', ' ', 'g'),
+                 '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '  +', ' ', 'g')) AS c
+      FROM spliced
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(w, '<[^>]+>')) AS n_tags,
+           length(c) AS clean_len,
+           md5(c) AS clean_hash
+    FROM cleaned
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_minhash_est — MinHash estimator calibration vs exact Jaccard
+# --------------------------------------------------------------------------
+
+def doc_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every verified near-dup pair, the 8-lane
+    MinHash estimate of Jaccard (fraction of agreeing signature lanes)
+    next to the exact value and the absolute error — the measurement
+    that justifies (or indicts) the LSH banding config. Reuses BOTH
+    shared stages (shingles, verified pairs), so the only new work is
+    two broadcast-size joins against the signature table."""
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    sigs = dedup.minhash_from_shingled(
+        _shingled_docs(spark, sf_dir), n_perms=8
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{p}").alias(f"_a{p}") for p in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{p}").alias(f"_b{p}") for p in range(8)],
+    )
+    matches = sum(
+        (F.col(f"_a{p}") == F.col(f"_b{p}")).cast("int") for p in range(8)
+    )
+    est = matches.cast("double") / F.lit(8.0)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b", "jaccard",
+            est.alias("mh_est"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_MH_MATCHES_SQL = " + ".join(
+    f"CASE WHEN a.mh_{p} = b.mh_{p} THEN 1 ELSE 0 END" for p in range(8)
+)
+
+DOC_MINHASH_EST_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES}
+    SELECT n.id_a, n.id_b, n.jaccard,
+           CAST({_MH_MATCHES_SQL} AS DOUBLE) / 8.0 AS mh_est,
+           abs(CAST({_MH_MATCHES_SQL} AS DOUBLE) / 8.0 - n.jaccard)
+             AS abs_err
+    FROM near_dups n
+    JOIN sigs a ON a.doc_id = n.id_a
+    JOIN sigs b ON b.doc_id = n.id_b
+    ORDER BY n.id_a, n.id_b
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_zipf_ranks — Zipf constancy diagnostic over the term distribution
+# --------------------------------------------------------------------------
+
+def doc_zipf_ranks(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus vocabulary shape: top-``k`` terms with rank, frequency,
+    the classic Zipf constancy product rank×freq (≈ constant under a
+    Zipf s=1 law), and corpus share. Integer/exact-ratio arithmetic
+    only — no ln(), whose libm results are not bit-identical across
+    engines (the doc_top_terms lesson). Top-k FIRST via orderBy+limit
+    (TakeOrderedAndProject), THEN the rank window over k rows — never a
+    global row_number over the whole vocabulary (single-task funnel)."""
+    freq = (
+        _word_postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    top = freq.orderBy(F.desc("freq"), "term").limit(k)
+    w = W.orderBy(F.desc("freq"), "term")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank", "term", "freq",
+            (F.col("rank") * F.col("freq")).alias("zipf_product"),
+            (F.col("freq").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("rank")
+    )
+
+
+DOC_ZIPF_RANKS_SQL = dedent("""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+             FROM words GROUP BY 1),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq),
+    top AS (SELECT term, freq FROM freq ORDER BY freq DESC, term LIMIT 20),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INTEGER)
+               AS rank,
+             term, freq
+      FROM top
+    )
+    SELECT rank, term, freq,
+           rank * freq AS zipf_product,
+           CAST(freq AS DOUBLE) / total AS share
+    FROM ranked CROSS JOIN tot
+    ORDER BY rank
+""")
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -2004,7 +2190,8 @@ QUERIES = [
               "truncated-dim (16/64) cosine top-k overlap vs full-dim exact",
               ("llm", "embedding")),
     QuerySpec("emb_two_stage_topk", emb_two_stage_topk, EMB_TWO_STAGE_TOPK_SQL,
-              "two-stage ANN: 16-dim Matryoshka coarse top-50 + exact full-dim rerank",
+              "two-stage ANN at the measured recall knee: 32-dim Matryoshka "
+              "coarse top-200 + exact full-dim rerank (recall@5 0.86 sf0.1)",
               ("llm", "embedding")),
     QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
               "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),
@@ -2094,4 +2281,14 @@ QUERIES = [
     QuerySpec("mm_resize", mm_resize, MM_RESIZE_SQL,
               "nearest-neighbor payload resize (dims/2, byte subsample + md5)",
               ("llm", "multimodal")),
+    QuerySpec("doc_clean_boilerplate", doc_clean_boilerplate,
+              DOC_CLEAN_BOILERPLATE_SQL,
+              "markup strip + entity decode + space collapse (ingest cleaning)",
+              ("llm", "text")),
+    QuerySpec("doc_minhash_est", doc_minhash_est, DOC_MINHASH_EST_SQL,
+              "8-lane MinHash Jaccard estimate vs exact per verified pair",
+              ("llm", "dedup")),
+    QuerySpec("doc_zipf_ranks", doc_zipf_ranks, DOC_ZIPF_RANKS_SQL,
+              "top-20 term ranks with Zipf rank x freq constancy product",
+              ("llm", "text")),
 ]

@@ -46,6 +46,10 @@ class QuerySpec:
 # (the 44 queries whose newest driver cert is round 6), so after this
 # round every query's newest driver cert stays ≤2 rounds old.
 FRONT_OF_LINE = (
+    # new in round 8 — no driver cert yet
+    "doc_clean_boilerplate",
+    "doc_minhash_est",
+    "doc_zipf_ranks",
     # red in round 7 (HUGEINT oracle dtype, fixed in sketches.py) —
     # must re-certify
     "ev_cms_merge_days",
