@@ -49,6 +49,7 @@ SCALAR_BROADCAST_OK = {
     "doc_idf_rarity",  # same 1-row n_docs stats frame
     "ev_funnel_conversion",  # four 1-row funnel-step counts cross-joined
     "ev_cms_merge_days",  # 1-row n_days count crossed into the output
+    "doc_zipf_ranks",  # 20-row top-k crossed with the 1-row corpus total
     "win_balance_quartiles",
     "win_exact_percentiles",
 }
