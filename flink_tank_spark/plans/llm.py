@@ -2180,6 +2180,158 @@ DOC_ZIPF_RANKS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# doc_span_dedup — exact substring (span-level) dedup audit
+# --------------------------------------------------------------------------
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str, w: int = 10) -> DataFrame:
+    """Span-level exact dedup (the Lee-et-al "Deduplicating Training
+    Data" substring view): hash every width-``w`` token span, find spans
+    shared by >= 2 documents, and report each doc's duplicated-span
+    fraction — the signal that catches shared boilerplate PASSAGES
+    inside otherwise-distinct documents, which doc-level near-dup can't
+    see.  Scale shape: one corpus scan -> codegen explode over span
+    starts (md5 at top level, never inside a HOF lambda) -> per-doc
+    DISTINCT -> a count window over the span-hash partition (tiny: one
+    row per holding doc) -> one per-doc aggregation.  Single pass — no
+    multi-branch re-reading of the md5-heavy span lineage; every
+    shuffle key (span hash, doc_id) is high-cardinality.  At 100 TB the
+    span table is ~n_words rows; stride > 1 trades recall for a
+    proportional cut, same plan."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly.
+    starts = F.when(
+        F.size(ws) >= w, F.sequence(F.lit(1), F.size(ws) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    spans = (
+        docs.select("doc_id", ws.alias("_ws"), F.explode(starts).alias("_i"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("_ws", F.col("_i"), w), " ")
+                .cast("binary")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    nd = spans.withColumn("nd", F.count("*").over(W.partitionBy("h")))
+    per_doc = nd.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum((F.col("nd") >= 2).cast("bigint")).alias("n_dup_spans"),
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0).cast("bigint"))
+    n_dup = F.coalesce("n_dup_spans", F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_spans.alias("n_spans"),
+            n_dup.alias("n_dup_spans"),
+            F.when(
+                n_spans > 0, n_dup.cast("double") / n_spans
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_SPAN_DEDUP_SQL = dedent("""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    spans AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+9], ' ')) AS h
+      FROM words, UNNEST(range(1, greatest(len(ws) - 9, 0) + 1)) AS t(i)
+    ),
+    nd AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS nd FROM spans
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans
+      FROM nd GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(n_spans, 0) AS n_spans,
+           COALESCE(n_dup_spans, 0) AS n_dup_spans,
+           CASE WHEN COALESCE(n_spans, 0) > 0
+                THEN CAST(COALESCE(n_dup_spans, 0) AS DOUBLE)
+                     / COALESCE(n_spans, 0)
+                ELSE 0.0 END AS dup_frac
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+    ORDER BY d.doc_id
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_mix_reweight — domain-mix sampling weights to a target distribution
+# --------------------------------------------------------------------------
+
+def doc_mix_reweight(spark: SparkSession, sf_dir: str,
+                     cap: float = 3.0) -> DataFrame:
+    """Corpus mixing: per-language token accounting plus the sampling
+    weight that moves the mix toward a UNIFORM target share, capped at
+    ``cap`` epochs (the standard upsample-repeat bound, DoReMi-style
+    static reweighting).  Expected post-sampling tokens make the trade
+    explicit.  One map-side-combinable groupBy over the corpus scan +
+    a broadcast 1-row totals frame — constant-size output at any
+    scale; all ratios are single IEEE divisions of exact BIGINTs, so
+    engine and oracle agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("bigint"))
+         .alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count("*").alias("_n_groups"),
+    )
+    token_share = F.col("n_tokens").cast("double") / F.col("_total")
+    target_share = F.lit(1.0) / F.col("_n_groups")
+    weight = F.least(F.lit(cap), target_share / token_share)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang", "n_docs", "n_tokens",
+            token_share.alias("token_share"),
+            target_share.alias("target_share"),
+            weight.alias("weight"),
+            (F.col("n_tokens").cast("double") * weight)
+             .alias("expected_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_MIX_REWEIGHT_SQL = dedent("""
+    WITH g AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             COUNT(*) AS n_groups
+      FROM g
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS token_share,
+           1.0 / n_groups AS target_share,
+           LEAST(3.0, (1.0 / n_groups)
+                      / (CAST(n_tokens AS DOUBLE) / total)) AS weight,
+           CAST(n_tokens AS DOUBLE)
+             * LEAST(3.0, (1.0 / n_groups)
+                          / (CAST(n_tokens AS DOUBLE) / total))
+             AS expected_tokens
+    FROM g CROSS JOIN tot
+    ORDER BY lang
+""")
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -2291,4 +2443,12 @@ QUERIES = [
     QuerySpec("doc_zipf_ranks", doc_zipf_ranks, DOC_ZIPF_RANKS_SQL,
               "top-20 term ranks with Zipf rank x freq constancy product",
               ("llm", "text")),
+    QuerySpec("doc_span_dedup", doc_span_dedup, DOC_SPAN_DEDUP_SQL,
+              "exact substring dedup: width-10 token spans shared across "
+              "docs, per-doc duplicated-span fraction",
+              ("llm", "dedup")),
+    QuerySpec("doc_mix_reweight", doc_mix_reweight, DOC_MIX_REWEIGHT_SQL,
+              "per-lang token shares + capped sampling weights to a "
+              "uniform target mix",
+              ("llm", "curation")),
 ]

@@ -50,6 +50,8 @@ FRONT_OF_LINE = (
     "doc_clean_boilerplate",
     "doc_minhash_est",
     "doc_zipf_ranks",
+    "doc_span_dedup",
+    "doc_mix_reweight",
     # red in round 7 (HUGEINT oracle dtype, fixed in sketches.py) —
     # must re-certify
     "ev_cms_merge_days",

@@ -495,3 +495,75 @@ def test_split_assign_is_stable_and_partitions_the_corpus(spark, sf_dir):
     assert 0.70 <= shares["train"] / n <= 0.90
     assert 0.04 <= shares["val"] / n <= 0.17
     assert 0.04 <= shares["test"] / n <= 0.17
+
+
+def _write_docs(tmp_path, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    pdf.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_span_dedup_flags_shared_passage_only(spark, tmp_path):
+    """A 10-token passage shared by two docs marks exactly one span in
+    each; a fully unique doc and a too-short doc report zero."""
+    from flink_tank_spark.plans.llm import doc_span_dedup
+
+    a_words = [f"a{i}" for i in range(20)]
+    shared = a_words[5:15]
+    b_words = shared + [f"b{i}" for i in range(5)]
+    sf = _write_docs(tmp_path, [
+        (1, " ".join(a_words), "en", "s"),
+        (2, " ".join(b_words), "en", "s"),
+        (3, " ".join(f"c{i}" for i in range(12)), "en", "s"),
+        (4, "too short", "en", "s"),
+    ])
+    rows = {r.doc_id: r for r in doc_span_dedup(spark, sf).collect()}
+    assert rows[1].n_spans == 11 and rows[1].n_dup_spans == 1
+    assert rows[2].n_spans == 6 and rows[2].n_dup_spans == 1
+    assert rows[3].n_spans == 3 and rows[3].n_dup_spans == 0
+    assert rows[4].n_spans == 0 and rows[4].dup_frac == 0.0
+
+
+def test_span_dedup_exact_duplicates_are_fully_covered(spark, tmp_path):
+    """Exact-duplicate docs must have dup_frac == 1.0 — every span is
+    shared with the twin — and within-doc repeats don't inflate counts
+    (spans are per-doc DISTINCT)."""
+    from flink_tank_spark.plans.llm import doc_span_dedup
+
+    body = " ".join(f"d{i}" for i in range(25))
+    rep = " ".join(["x"] * 30)  # one distinct span, repeated internally
+    sf = _write_docs(tmp_path, [
+        (1, body, "en", "s"),
+        (2, body, "en", "s"),
+        (3, rep, "en", "s"),
+    ])
+    res = {r.doc_id: r for r in doc_span_dedup(spark, sf).collect()}
+    assert res[1].n_spans == 16 and res[1].dup_frac == 1.0
+    assert res[2].dup_frac == 1.0
+    assert res[3].n_spans == 1 and res[3].n_dup_spans == 0
+
+
+def test_mix_reweight_balances_token_shares(spark, tmp_path):
+    """30/10 token split across two langs -> weights 2/3 and 2.0, both
+    expected-token outputs equal (the uniform target), cap respected."""
+    from flink_tank_spark.plans.llm import doc_mix_reweight
+
+    sf = _write_docs(tmp_path, [
+        (1, " ".join(["w"] * 30), "en", "s"),
+        (2, " ".join(["w"] * 10), "de", "s"),
+    ])
+    rows = {r.lang: r for r in doc_mix_reweight(spark, sf).collect()}
+    assert rows["en"].n_tokens == 30 and rows["de"].n_tokens == 10
+    assert abs(rows["en"].weight - (0.5 / 0.75)) < 1e-12
+    assert abs(rows["de"].weight - 2.0) < 1e-12
+    assert abs(rows["en"].expected_tokens - rows["de"].expected_tokens) < 1e-9
+
+    lopsided = _write_docs(tmp_path, [
+        (1, " ".join(["w"] * 99), "en", "s"),
+        (2, "w", "de", "s"),
+    ])
+    w = {r.lang: r for r in doc_mix_reweight(spark, lopsided).collect()}
+    assert w["de"].weight == 3.0  # cap binds

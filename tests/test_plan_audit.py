@@ -50,6 +50,7 @@ SCALAR_BROADCAST_OK = {
     "ev_funnel_conversion",  # four 1-row funnel-step counts cross-joined
     "ev_cms_merge_days",  # 1-row n_days count crossed into the output
     "doc_zipf_ranks",  # 20-row top-k crossed with the 1-row corpus total
+    "doc_mix_reweight",  # 5-row lang mix crossed with the 1-row totals
     "win_balance_quartiles",
     "win_exact_percentiles",
 }
