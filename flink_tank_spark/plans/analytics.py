@@ -15,7 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from flink_tank_spark.functions.numeric import dsum, sql_dsum
 from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import bloom
 from flink_tank_spark.plans.registry import QuerySpec
 
 FUNNEL_STEPS = ("signup", "view", "purchase")
@@ -199,6 +201,58 @@ EV_CEP_MATCH_SQL = dedent("""
 """)
 
 
+def join_bloom_prune(spark: SparkSession, sf_dir: str,
+                     fpp: float = 0.01) -> DataFrame:
+    """Bloom-pruned selective fact/dim join: revenue of line items whose
+    order is '1-URGENT', computed as build-Bloom-over-urgent-orderkeys →
+    probe-prune lineitem → EXACT semi-join on the survivors → aggregate.
+
+    The result is exact regardless of the filter's false-positive rate
+    (the semi-join removes them), which is what makes it oracle-gateable:
+    the DuckDB oracle is the plain semi-join aggregate. What the Bloom
+    stage changes is the PLAN — at 100 TB only ~(sel + fpp) of the fact
+    table reaches the semi-join's shuffle, at the price of broadcasting
+    ~1.2 bytes/key instead of the key set; Spark's own
+    ``runtimeFilter.bloomFilter`` applies the same transformation
+    opportunistically, and this query keeps it explicit and measurable.
+
+    Sizing runs ``count()`` on the (filtered, single-column,
+    predicate-pushed) build side first — AQE-style statistics gathering,
+    one cheap dim-side scan, never a fact-side action."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    m_bits, k = bloom.bloom_params(urgent.count(), fpp)
+    filt = bloom.bloom_build(urgent, "o_orderkey", m_bits, k)
+    maybe = bloom.bloom_probe(lineitem, "l_orderkey", filt, m_bits, k)
+    exact = maybe.join(
+        urgent, maybe.l_orderkey == urgent.o_orderkey, "left_semi"
+    )
+    return (
+        exact.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                 "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+JOIN_BLOOM_PRUNE_SQL = dedent(f"""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+""")
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -210,4 +264,8 @@ QUERIES = [
               "CEP pattern: signup → first purchase ≤1h, no error between "
               "(negation + within, Flink-CEP shape)",
               ("analytics", "events", "cep")),
+    QuerySpec("join_bloom_prune", join_bloom_prune, JOIN_BLOOM_PRUNE_SQL,
+              "Bloom-filter-pruned selective fact/dim semi-join (exact "
+              "result; the sketch prunes the fact shuffle)",
+              ("join", "sketch", "semijoin", "tpch")),
 ]

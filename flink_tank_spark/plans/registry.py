@@ -47,6 +47,9 @@ class QuerySpec:
 # round every query's newest driver cert stays ≤2 rounds old.
 FRONT_OF_LINE = (
     # new in round 8 — no driver cert yet
+    "join_bloom_prune",
+    "doc_fuzzy_near_dups",
+    "doc_pmi_pairs",
     "doc_clean_boilerplate",
     "doc_minhash_est",
     "doc_zipf_ranks",
