@@ -14,11 +14,15 @@ Construction is pure codegen aggregation — no driver-side bit array:
 
 - build: explode each key into ``k`` positions (``xxhash64(key, i) mod
   m``), map to (word, bit), ``groupBy(word).agg(bit_or)`` — a shuffle of
-  at most ``m/64`` rows regardless of input size — then fold the words
-  into a single-row ``map<long, long>`` frame. The one-row frame is
-  bounded by the filter size itself (``m/64`` longs ≈ m/8 bytes), the
-  same bounded-broadcast contract as the repo's 1-row stats frames;
-  at the default 1% fpp that is ~1.2 bytes per build-side key.
+  at most ``m/64`` rows regardless of input size — then densify against
+  a ``range(m/64)`` frame and fold into a single-row ``array<long>``.
+  The one-row frame is bounded by the filter size itself (``m/64``
+  longs ≈ m/8 bytes), the same bounded-broadcast contract as the repo's
+  1-row stats frames; at the default 1% fpp that is ~1.2 bytes per
+  build-side key. The DENSE ARRAY is load-bearing: Spark's map
+  ``element_at`` (GetMapValue) is a LINEAR scan over the entries, so a
+  ``map<long,long>`` filter costs O(m/64) per probe — measured 20.6 s
+  for the sf1 registry query vs 4 s with O(1) array indexing.
 - probe: broadcast-crossJoin the 1-row frame and test all ``k`` bits
   with ``element_at``/``shiftright``/``bitwiseAND`` — whole-stage
   codegen, no Python crossing, no shuffle of the probed side.
@@ -69,10 +73,13 @@ def _bit(pos: Column) -> Column:
 
 
 def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
-    """1-row frame ``bloom: map<long, long>`` (word index -> 64-bit word)
-    over every value of ``keys[key_col]``. Insert is idempotent, so the
-    input needs no pre-distinct; the (word)-grouped ``bit_or`` is the
-    only shuffle and carries <= m/64 rows."""
+    """1-row frame ``bloom: array<long>`` (index = word, value = 64-bit
+    word; dense, length m_bits/64) over every value of
+    ``keys[key_col]``. Insert is idempotent, so the input needs no
+    pre-distinct; the (word)-grouped ``bit_or`` is the only data-sized
+    shuffle and carries <= m/64 rows. Densification (left join against
+    ``range(m/64)``, array_sort by word, project bits) keeps probe
+    lookups O(1) — see the module docstring for why a map is not."""
     if m_bits % 64 != 0:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     pos = F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("pos")
@@ -85,9 +92,16 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame
         .groupBy("word")
         .agg(F.bit_or("bit").alias("bits"))
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word", "bits"))
+    dense = (
+        keys.sparkSession.range(m_bits // 64)
+        .select(F.col("id").alias("word"))
+        .join(words, "word", "left")
+        .select("word", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("word", "bits"))),
+            lambda s: s["bits"],
         ).alias("bloom")
     )
 
@@ -100,11 +114,12 @@ def bloom_probe(
     frame; the test is a codegen conjunction of k bit probes."""
     tests = []
     for p in _positions(F.col(key_col), m_bits, k):
-        word = F.shiftright(p, 6)
+        # 1-based dense-array index; always in range by pmod
+        word = (F.shiftright(p, 6) + F.lit(1)).cast("int")
         bit = _bit(p)
         tests.append(
-            F.coalesce(F.element_at(F.col("bloom"), word), F.lit(0).cast("long"))
-            .bitwiseAND(bit) != F.lit(0).cast("long")
+            F.element_at(F.col("bloom"), word).bitwiseAND(bit)
+            != F.lit(0).cast("long")
         )
     cond = reduce(lambda a, b: a & b, tests)
     return df.crossJoin(F.broadcast(bloom)).filter(cond).drop("bloom")

@@ -210,11 +210,25 @@ def join_bloom_prune(spark: SparkSession, sf_dir: str,
     The result is exact regardless of the filter's false-positive rate
     (the semi-join removes them), which is what makes it oracle-gateable:
     the DuckDB oracle is the plain semi-join aggregate. What the Bloom
-    stage changes is the PLAN — at 100 TB only ~(sel + fpp) of the fact
-    table reaches the semi-join's shuffle, at the price of broadcasting
+    stage changes is the PLAN — only ~(sel + fpp) of the fact table
+    reaches the semi-join's shuffle, at the price of broadcasting
     ~1.2 bytes/key instead of the key set; Spark's own
     ``runtimeFilter.bloomFilter`` applies the same transformation
     opportunistically, and this query keeps it explicit and measurable.
+
+    Measured regime (single-node sf1, warm, 24 cores): plain semi-join
+    2.7 s (broadcast) / 1.1 s (broadcast disabled, SMJ) vs bloom+semi
+    3.2 s / 2.2 s — the pruning CANNOT pay on one node, where a local
+    shuffle of narrow rows costs less than k=7 extra hashes per fact
+    row. Its winning regime is a cluster whose build side exceeds the
+    broadcast threshold so the alternative is a two-sided NETWORK
+    shuffle of the fact table: the sketch substitutes an m/8-byte
+    broadcast for (1 - sel - fpp) of that traffic, the same economics
+    by which Spark's runtime filter gates itself on estimated shuffle
+    bytes (creationSideThreshold/applicationSideThreshold). The gate
+    certifies the staging is exact; the regime note is the honest
+    price tag (the WAND lesson: state where a pruning pays, not just
+    that it can).
 
     Sizing runs ``count()`` on the (filtered, single-column,
     predicate-pushed) build side first — AQE-style statistics gathering,

@@ -147,11 +147,17 @@ def start_sketch_job(
     sketch_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming sketch-maintenance job over a jsonl event stream
-    (events-table schema). Returns the StreamingQuery."""
+    (events-table schema). Returns the StreamingQuery.
+    ``max_files_per_trigger`` forces one-micro-batch-per-source-file
+    (bench/parity runs that must exercise the per-batch delta path)."""
     os.makedirs(source_dir, exist_ok=True)
-    stream = spark.readStream.schema(EVENTS_SCHEMA).json(source_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
     writer = (
         stream.writeStream.foreachBatch(incremental_sketch_sink(sketch_dir))
         .option("checkpointLocation", checkpoint_dir)
