@@ -150,7 +150,53 @@ def main() -> int:
         "audit_reported_background": n_det_cross - n_pc_hit,
     }), flush=True)
 
-    for df in (shingled, planted_j, cands, detected):
+    # ---------------- fuzzy prefix linkage vs planted truth -----------
+    # doc_fuzzy_near_dups is an EDIT-DISTANCE PREFIX matcher, not a
+    # content near-dup detector: its contract is "first-12-token
+    # prefixes within Levenshtein 20". Planted pairs whose mutations
+    # fall inside the prefix beyond that are out of contract, so this
+    # section reports the measured CAPTURE RATE by planted edit-rate
+    # band — the honest operating curve — rather than recall against a
+    # threshold defined in the operator's own units (as LSH above).
+    from flink_tank_spark.plans.llm import doc_fuzzy_near_dups
+
+    fz = doc_fuzzy_near_dups(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    ).persist()
+    near_pairs = (
+        truth.filter(F.col("relation") == "near")
+        .select(
+            F.least("doc_id", "origin_doc_id").alias("id_a"),
+            F.greatest("doc_id", "origin_doc_id").alias("id_b"),
+            "edit_rate",
+        )
+        .persist()
+    )
+    erate_bands = [(0.00, 0.06), (0.06, 0.09), (0.09, 0.13)]
+    fz_per_band = {}
+    for lo, hi in erate_bands:
+        elig = near_pairs.filter(
+            (F.col("edit_rate") >= lo) & (F.col("edit_rate") < hi)
+        )
+        n_elig = elig.count()
+        n_hit = elig.join(fz, ["id_a", "id_b"], "semi").count()
+        fz_per_band[f"[{lo:.2f},{hi:.2f})"] = {
+            "planted": n_elig,
+            "capture_rate": round(n_hit / n_elig, 3) if n_elig else None,
+        }
+    n_fz = fz.count()
+    n_fz_planted = near_pairs.join(fz, ["id_a", "id_b"], "semi").count()
+    print(json.dumps({
+        "section": "documents_fuzzy_prefix",
+        "sf": sf_tag,
+        "planted_near_pairs": near_pairs.count(),
+        "captured_planted": n_fz_planted,
+        "detected_total": n_fz,
+        "detected_background": n_fz - n_fz_planted,
+        "per_edit_rate_band": fz_per_band,
+    }), flush=True)
+
+    for df in (shingled, planted_j, cands, detected, fz, near_pairs):
         df.unpersist()
 
     # ---------------- embeddings: IVF blocking vs planted near pairs --
