@@ -274,3 +274,96 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k minimum values) sketches → SET-OPERATION estimates
+# ---------------------------------------------------------------------------
+# The fourth sketch family: HLL answers |A|, CMS answers freq(x),
+# histograms answer quantiles — none can answer |A ∩ B| or J(A, B),
+# because HLL registers lose the identity of the hashed values. A KMV
+# sketch (Bar-Yossef et al. 2002; Beyer et al. "distinct-value synopses"
+# 2007) keeps the k SMALLEST hash values of the set: a uniform sample of
+# the hash space that supports union (k smallest of the merged arrays),
+# intersection/Jaccard (fraction of the union-sketch prefix present in
+# both sides), and distinct-count (k-1 over the k-th minimum) — all from
+# k values per group, re-aggregatable like every other sketch here.
+#
+# Determinism: hashes are full md5 hex strings — fixed width, so their
+# LEXICOGRAPHIC order IS their numeric order, and min-k/merge/estimate
+# are pure integer/string ops identical in Spark and the SQL oracle;
+# the estimator consumes the first 48 bits via the same base-conversion
+# recipe as the HLL registers. Every derived double is a single IEEE
+# division/multiply of exactly-representable operands.
+
+KMV_K = 64
+_KMV_48 = float(1 << 48)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = KMV_K,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-group KMV sketch: (group_cols..., ks: array<string>) holding
+    the ``k`` smallest md5 hashes of the group's DISTINCT keys.
+
+    Two-phase salted build (never a window over a low-cardinality group
+    partition, never a whole-group collect): phase 1 groups by
+    (group, salt-of-hash) and keeps each salt's local min-k — identical
+    keys share a hash and therefore a salt, so ``collect_set`` dedups
+    exactly; phase 2 merges the ≤ ``n_salts`` bounded arrays per group.
+    ``n_salts`` is the executor-memory knob: a salt group materializes
+    ~distinct/n_salts hashes, so at 100 TB it scales with the corpus
+    exactly like ``spark.sql.shuffle.partitions`` (the arrays crossing
+    the phase-2 shuffle stay ≤ n_salts × k per group regardless)."""
+    h = F.md5(F.col(key_col).cast("string").cast("binary"))
+    hashed = df.select(*group_cols, h.alias("h"))
+    local = (
+        hashed.withColumn("_salt", F.pmod(F.xxhash64("h"), F.lit(n_salts)))
+        .groupBy(*group_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("_hs"))
+    )
+    return local.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_hs"))), 1, k)
+        .alias("ks")
+    )
+
+
+def _v48(h: "F.Column") -> "F.Column":
+    # first 48 hash bits as an exact long (the HLL recipe)
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+
+
+def kmv_distinct_est(ks: "F.Column", k: int = KMV_K) -> "F.Column":
+    """Distinct-count estimate from a sketch array: exact size when the
+    sketch never filled; else (k-1)/u_k with u_k the k-th minimum mapped
+    to (0,1) — written as one literal-by-double division so Spark and
+    the oracle agree bit-for-bit."""
+    full = F.size(ks) >= k
+    vk = _v48(F.element_at(ks, F.size(ks)))
+    return F.when(
+        full, F.lit(float((k - 1)) * _KMV_48) / vk.cast("double")
+    ).otherwise(F.size(ks).cast("double"))
+
+
+def kmv_set_estimates(
+    ks_a: "F.Column", ks_b: "F.Column", k: int = KMV_K
+) -> dict[str, "F.Column"]:
+    """Union/Jaccard/intersection estimates for two sketches: merge to
+    the union sketch u (k smallest of the deduped concat), count the
+    prefix elements present in BOTH sides, estimate
+    J = common/|u|, |A ∪ B| from u's k-th min, |A ∩ B| = J × union."""
+    u = F.slice(F.array_sort(F.array_union(ks_a, ks_b)), 1, k)
+    n_u = F.size(u)
+    n_common = F.size(F.array_intersect(u, F.array_intersect(ks_a, ks_b)))
+    union_est = kmv_distinct_est(u, k)
+    jaccard_est = n_common.cast("double") / n_u
+    return {
+        "n_common": n_common.cast("long"),
+        "kmv_union_est": union_est,
+        "kmv_jaccard_est": jaccard_est,
+        "kmv_inter_est": jaccard_est * union_est,
+    }

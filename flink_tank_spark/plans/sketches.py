@@ -338,6 +338,135 @@ EV_CMS_HEAVY_HITTERS_SQL = dedent("""
 """)
 
 
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates: the sketch family's fourth member —
+# HLL = distinct, histogram = quantiles, CMS = frequency, KMV = set
+# OVERLAP (|A ∩ B| / Jaccard between groups), which HLL registers
+# cannot answer because they lose hash identity.
+# ---------------------------------------------------------------------------
+
+def ev_kmv_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated vs exact audience overlap between event types: per-type
+    KMV sketches (k=64 smallest md5 hashes of the distinct user-day
+    set), merged pairwise into union sketches, yielding union/Jaccard/
+    intersection estimates — with the exact intersection and Jaccard
+    alongside, the same checkable-estimate pattern as the CMS overcount
+    column. The pairwise stage joins the 5-row per-type sketch frames
+    (bounded by |types|^2, constant at any corpus size); the only
+    data-sized work is the distinct + salted min-k build, whose shuffle
+    carries <= n_salts x k hashes per type."""
+    ev = _user_day_events(spark, sf_dir)
+    duser = ev.select("event_type", "user_day").distinct()
+    sk = sketch.kmv_sketch(duser, "user_day", ["event_type"])
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("ks").alias("ks_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("ks").alias("ks_b"))
+    est = sketch.kmv_set_estimates(F.col("ks_a"), F.col("ks_b"))
+    pairs = (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b",
+                est["n_common"].alias("n_common"),
+                est["kmv_union_est"].alias("kmv_union_est"),
+                est["kmv_jaccard_est"].alias("kmv_jaccard_est"),
+                est["kmv_inter_est"].alias("kmv_inter_est"))
+    )
+    x, y = duser.alias("x"), duser.alias("y")
+    ex = (
+        x.join(y, (F.col("x.user_day") == F.col("y.user_day"))
+               & (F.col("x.event_type") < F.col("y.event_type")))
+        .groupBy(F.col("x.event_type").alias("type_a"),
+                 F.col("y.event_type").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter_exact"))
+    )
+    sz = duser.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    n_inter = F.coalesce("n_inter_exact", F.lit(0).cast("bigint"))
+    return (
+        pairs.join(ex, ["type_a", "type_b"], "left")
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b", "n_common",
+            "kmv_union_est", "kmv_jaccard_est", "kmv_inter_est",
+            n_inter.alias("n_inter_exact"),
+            (n_inter.cast("double")
+             / (F.col("n_a") + F.col("n_b") - n_inter)).alias("jaccard_exact"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+EV_KMV_OVERLAP_TYPES_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    k AS (
+      SELECT event_type,
+             CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS user_day
+      FROM events
+    ),
+    duser AS (SELECT DISTINCT event_type, user_day FROM k),
+    d AS (SELECT event_type, md5(user_day) AS h FROM duser),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM d) WHERE rk <= 64
+    ),
+    types AS (SELECT DISTINCT event_type FROM duser),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    uni0 AS (
+      SELECT p.type_a, p.type_b, s.h, COUNT(*) AS cnt
+      FROM pairs p JOIN sk s
+        ON s.event_type = p.type_a OR s.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT type_a, type_b, h, cnt,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk,
+             COUNT(*) OVER (PARTITION BY type_a, type_b) AS n_all
+      FROM uni0
+    ),
+    agg AS (
+      SELECT type_a, type_b,
+             LEAST(64, MAX(n_all)) AS n_u,
+             CAST(SUM(CASE WHEN rk <= 64 AND cnt = 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_common,
+             MAX(CASE WHEN rk = LEAST(64, n_all)
+                      THEN ('0x' || substr(h, 1, 12))::BIGINT END) AS vk
+      FROM uni GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT type_a, type_b, n_common,
+             CASE WHEN n_u >= 64
+                  THEN 17732923532771328.0 / CAST(vk AS DOUBLE)
+                  ELSE CAST(n_u AS DOUBLE) END AS kmv_union_est,
+             CAST(n_common AS DOUBLE) / n_u AS kmv_jaccard_est
+      FROM agg
+    ),
+    ex AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+             COUNT(*) AS n_inter
+      FROM duser x JOIN duser y
+        ON x.user_day = y.user_day AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT event_type, COUNT(*) AS n FROM duser GROUP BY 1)
+    SELECT e.type_a, e.type_b, e.n_common,
+           e.kmv_union_est, e.kmv_jaccard_est,
+           e.kmv_jaccard_est * e.kmv_union_est AS kmv_inter_est,
+           COALESCE(ex.n_inter, 0) AS n_inter_exact,
+           CAST(COALESCE(ex.n_inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(ex.n_inter, 0)) AS jaccard_exact
+    FROM est e
+    LEFT JOIN ex ON ex.type_a = e.type_a AND ex.type_b = e.type_b
+    JOIN sz sa ON sa.event_type = e.type_a
+    JOIN sz sb ON sb.event_type = e.type_b
+    ORDER BY e.type_a, e.type_b
+""")
+
+
 QUERIES = [
     QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
               EV_CMS_HEAVY_HITTERS_SQL,
@@ -359,4 +488,9 @@ QUERIES = [
               EV_VALUE_QUANTILES_MERGED_SQL,
               "daily histograms merged across days (same quantiles, re-aggregation)",
               ("sketch", "events"), bench=True),
+    QuerySpec("ev_kmv_overlap_types", ev_kmv_overlap_types,
+              EV_KMV_OVERLAP_TYPES_SQL,
+              "KMV-sketch audience overlap between event types: union/"
+              "Jaccard/intersection estimates vs exact",
+              ("sketch", "events", "setops")),
 ]

@@ -52,6 +52,8 @@ SCALAR_BROADCAST_OK = {
     "doc_zipf_ranks",  # 20-row top-k crossed with the 1-row corpus total
     "doc_mix_reweight",  # 5-row lang mix crossed with the 1-row totals
     "doc_pmi_pairs",  # 1-row n_docs corpus count crossed into the lift
+    "ev_kmv_overlap_types",  # |types|-row sketch frames pairwise joined
+    # on type_a < type_b — bounded by |types|^2 at any corpus size
     "join_bloom_prune",  # 1-row bloom map<word,bits> frame (bounded by
     # the filter size itself, ~1.2 bytes/build-key) broadcast to probe
     "win_balance_quartiles",

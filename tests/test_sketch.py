@@ -223,3 +223,49 @@ def test_cms_rejects_invalid_shapes(spark):
         sketch.cms_counters(df, "k", w=100)
     with pytest.raises(ValueError, match="32"):
         sketch.cms_counters(df, "k", d=20, w=4096)
+
+
+def test_kmv_merge_equals_direct_and_salt_invariant(spark, sf_dir):
+    """The KMV sketch of a union equals the k-smallest merge of the
+    per-part sketches (re-aggregation, like every sketch here), and the
+    salted two-phase build is invariant to the salt count."""
+    from flink_tank_spark.io.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k"),
+        F.to_date("ts").alias("day"),
+    )
+    direct = {
+        tuple(r.ks)
+        for r in sketch.kmv_sketch(ev, "k", [], k=16).collect()
+    }
+    daily = sketch.kmv_sketch(ev, "k", ["day"], k=16)
+    merged = {
+        tuple(r.ks)
+        for r in daily.select(F.explode("ks").alias("h"))
+        .distinct()
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, 16).alias("ks"))
+        .collect()
+    }
+    assert direct == merged
+    for n_salts in (1, 7, 64):
+        alt = {
+            tuple(r.ks)
+            for r in sketch.kmv_sketch(ev, "k", [], k=16, n_salts=n_salts)
+            .collect()
+        }
+        assert alt == direct, n_salts
+
+
+def test_kmv_estimates_track_exact(spark, oracle_sf_dir):
+    """Distinct / Jaccard / intersection estimates land within the
+    standard KMV envelope (~1/sqrt(k)) of the exact values on the real
+    per-type user-day sets."""
+    from flink_tank_spark.plans.sketches import ev_kmv_overlap_types
+
+    rows = ev_kmv_overlap_types(spark, oracle_sf_dir).collect()
+    assert len(rows) == 10  # 5 types -> 10 pairs
+    for r in rows:
+        assert abs(r.kmv_jaccard_est - r.jaccard_exact) <= 0.15, r
+        assert r.kmv_inter_est == r.kmv_jaccard_est * r.kmv_union_est, r
+        assert abs(r.kmv_inter_est - r.n_inter_exact) / r.n_inter_exact <= 0.5, r
