@@ -19,6 +19,7 @@ argument as streaming/retrieval_index.py):
     cms_state/ingest_batch=<b>    row, col, cnt        (user frequency)
     hll_state/ingest_batch=<b>    event_type, register, rho  (user-days)
     hist_state/ingest_batch=<b>   event_type, bin, n   (value quantiles)
+    kmv_state/ingest_batch=<b>    event_type, h        (set overlap)
 
 Delta-count growth is bounded operationally by :func:`compact` (all
 three states are mergeable, so compaction is just the merge plus the
@@ -38,7 +39,8 @@ from flink_tank_spark.streaming import compaction
 CMS_SUBDIR = "cms_state"
 HLL_SUBDIR = "hll_state"
 HIST_SUBDIR = "hist_state"
-_SUBDIRS = (CMS_SUBDIR, HLL_SUBDIR, HIST_SUBDIR)
+KMV_SUBDIR = "kmv_state"
+_SUBDIRS = (CMS_SUBDIR, HLL_SUBDIR, HIST_SUBDIR, KMV_SUBDIR)
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -85,6 +87,15 @@ def incremental_sketch_sink(sketch_dir: str):
             ).write.mode("overwrite").parquet(
                 os.path.join(sketch_dir, HIST_SUBDIR, part)
             )
+            # KMV delta: the batch's per-type min-k, EXPLODED to rows
+            # (event_type, h) so deltas merge by plain re-min-k at read
+            sketch.kmv_sketch(
+                _user_day(batch_df), "user_day", ["event_type"]
+            ).select(
+                "event_type", F.explode("ks").alias("h")
+            ).write.mode("overwrite").parquet(
+                os.path.join(sketch_dir, KMV_SUBDIR, part)
+            )
         finally:
             batch_df.unpersist()
 
@@ -110,7 +121,8 @@ def load_sketches(spark: SparkSession, sketch_dir: str) -> dict[str, DataFrame]:
     cms = _read_parts(spark, sketch_dir, CMS_SUBDIR)
     hll = _read_parts(spark, sketch_dir, HLL_SUBDIR)
     hist = _read_parts(spark, sketch_dir, HIST_SUBDIR)
-    if cms is None or hll is None or hist is None:
+    kmv = _read_parts(spark, sketch_dir, KMV_SUBDIR)
+    if cms is None or hll is None or hist is None or kmv is None:
         raise ValueError(f"no sketch partitions under {sketch_dir!r}")
     return {
         "cms": sketch.cms_merge(cms),
@@ -118,6 +130,13 @@ def load_sketches(spark: SparkSession, sketch_dir: str) -> dict[str, DataFrame]:
                   .agg(F.max("rho").alias("rho")),
         "hist": hist.groupBy("event_type", "bin")
                     .agg(F.sum("n").alias("n")),
+        # min-k of the unioned deltas == the from-scratch sketch: a
+        # batch can only DROP a hash that a smaller one displaced, and
+        # displaced hashes can never re-enter any later min-k
+        "kmv": kmv.distinct().groupBy("event_type").agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, sketch.KMV_K)
+            .alias("ks")
+        ),
     }
 
 
@@ -134,6 +153,9 @@ def compact(spark: SparkSession, sketch_dir: str) -> None:
         (CMS_SUBDIR, merged["cms"]),
         (HLL_SUBDIR, merged["hll"]),
         (HIST_SUBDIR, merged["hist"]),
+        # back to the stored row form (event_type, h)
+        (KMV_SUBDIR, merged["kmv"].select(
+            "event_type", F.explode("ks").alias("h"))),
     ):
         base = os.path.join(sketch_dir, subdir)
         parts = compaction.parts(base)

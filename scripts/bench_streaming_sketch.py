@@ -86,6 +86,8 @@ def main() -> int:
                     for r in folded["hll"].collect()},
             "hist": {(r.event_type, r.bin, r.n)
                      for r in folded["hist"].collect()},
+            "kmv": {(r.event_type, tuple(r.ks))
+                    for r in folded["kmv"].collect()},
         }
         finalize_s = time.perf_counter() - t1
 
@@ -98,10 +100,15 @@ def main() -> int:
                     ).collect()},
             "hist": {(r.event_type, r.bin, r.n) for r in sketch.fp_histogram(
                 ev, "value", ["event_type"]).collect()},
+            "kmv": {(r.event_type, tuple(r.ks)) for r in sketch.kmv_sketch(
+                ssk._user_day(ev), "user_day", ["event_type"]).collect()},
         }
         assert streamed == batch, "streamed state != from-scratch batch build"
 
-        state_rows = sum(len(v) for v in streamed.values())
+        state_rows = sum(
+            len(v) if k != "kmv" else sum(1 + len(ks) for _, ks in v)
+            for k, v in streamed.items()
+        )
         print(json.dumps({
             "metric": "streaming_sketch_drain",
             "value": round(n_events / drain_s, 1),

@@ -51,7 +51,13 @@ def _expected(ev):
         (r.event_type, r.bin, r.n)
         for r in sketch.fp_histogram(ev, "value", ["event_type"]).collect()
     }
-    return cms, hll, hist
+    kmv = {
+        (r.event_type, tuple(r.ks))
+        for r in sketch.kmv_sketch(
+            ssk._user_day(ev), "user_day", ["event_type"]
+        ).collect()
+    }
+    return cms, hll, hist, kmv
 
 
 def _folded(spark, sketch_dir):
@@ -60,6 +66,7 @@ def _folded(spark, sketch_dir):
         {(r.row, r.col, r.cnt) for r in m["cms"].collect()},
         {(r.event_type, r.register, r.rho) for r in m["hll"].collect()},
         {(r.event_type, r.bin, r.n) for r in m["hist"].collect()},
+        {(r.event_type, tuple(r.ks)) for r in m["kmv"].collect()},
     )
 
 
