@@ -1924,6 +1924,49 @@ MM_WAV_ROUNDTRIP_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# mm_audio_decimate — frame-aligned 2x downsample through the real codec
+# --------------------------------------------------------------------------
+
+def mm_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_wav → decimate_wav(2): the decimated container is
+    re-encoded and RE-DECODED through stdlib ``wave``, so the output
+    fields prove the full codec roundtrip; the oracle re-derives them
+    arithmetically from the deterministic encode recipe (the
+    mm_wav_roundtrip argument), including the md5 of the exact PCM
+    bytes kept by the frame-aligned stride."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    media = multimodal.encode_wav(docs, "doc_id", "text")
+    return multimodal.decimate_wav(media, factor=2).orderBy("media_id")
+
+
+# PCM = utf-8 text padded to even length (pad byte shows up as '00' in
+# the hex stream); frames are 2 bytes -> frame f = hex[4f+1 .. 4f+4];
+# the stride keeps frames 0, 2, 4, ...; rate halves from the encode
+# recipe 8000 + padded%8 * 1000 (always even).
+MM_AUDIO_DECIMATE_SQL = dedent("""
+    WITH b AS (
+      SELECT doc_id,
+             hex(encode(text))
+               || CASE WHEN octet_length(encode(text)) % 2 = 1
+                       THEN '00' ELSE '' END AS phex,
+             octet_length(encode(text))
+               + octet_length(encode(text)) % 2 AS n_padded
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(n_padded // 2 AS BIGINT) AS n_frames_in,
+           CAST((n_padded // 2 + 1) // 2 AS BIGINT) AS n_frames_out,
+           CAST((8000 + n_padded % 8 * 1000) // 2 AS INTEGER) AS frame_rate_out,
+           md5(lower(array_to_string(
+             list_transform(range(0, CAST(n_padded // 2 AS INTEGER), 2),
+                            f -> substr(phex, CAST(4*f + 1 AS INTEGER), 4)),
+             ''))) AS payload_md5
+    FROM b
+    ORDER BY media_id
+""")
+
+
+# --------------------------------------------------------------------------
 # mm_resize — nearest-neighbor payload resize through the Arrow path
 # --------------------------------------------------------------------------
 
@@ -2599,6 +2642,10 @@ QUERIES = [
     QuerySpec("mm_wav_roundtrip", mm_wav_roundtrip, MM_WAV_ROUNDTRIP_SQL,
               "real RIFF/WAVE codec roundtrip (stdlib wave) vs arithmetic oracle",
               ("llm", "multimodal"), bench=True),
+    QuerySpec("mm_audio_decimate", mm_audio_decimate, MM_AUDIO_DECIMATE_SQL,
+              "frame-aligned 2x audio decimation through the real codec "
+              "(decode -> stride -> re-encode -> re-decode)",
+              ("llm", "multimodal")),
     QuerySpec("mm_resize", mm_resize, MM_RESIZE_SQL,
               "nearest-neighbor payload resize (dims/2, byte subsample + md5)",
               ("llm", "multimodal")),
