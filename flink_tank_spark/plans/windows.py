@@ -406,6 +406,78 @@ AGG_GROUPING_SETS_SQL = dedent(f"""
 """)
 
 
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: the (size, price) points
+    no other part dominates — bigger-or-equal size AND cheaper-or-equal
+    price, strict in one. The OLAP shape behind "best tradeoff" queries
+    (Borzsony/Kossmann/Stocker, ICDE 2001).
+
+    Scale shape — the classic quadratic formulations (NOT EXISTS
+    anti-join, or a window over one global sort) are both banned here;
+    instead the corpus-sized work is ONE map-side-combinable groupBy:
+    per size keep the min price (any dominated-dimension point can
+    never reach the frontier), then run the running-min scan over the
+    SIZE DOMAIN — 50 rows at any corpus size, the same
+    bounded-domain-window argument as doc_zipf_ranks' 20-row rank
+    window. Continuous dominated dimensions would first bucket via the
+    fp_histogram recipe; the frontier of the bucketed domain bounds the
+    true frontier within half a bin. ``n_parts`` counts the parts
+    sitting exactly on each frontier point (broadcast join of the
+    bounded candidate frame back to the per-(size, price) counts)."""
+    part = load_table(spark, sf_dir, "part")
+    per_point = part.groupBy("p_size", "p_retailprice").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    best = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    cand = best.join(
+        F.broadcast(per_point),
+        (best.p_size == per_point.p_size)
+        & (best.best_price == per_point.p_retailprice),
+    ).select(best.p_size, "best_price", "n_parts")
+    w = (
+        W.orderBy(F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        cand.withColumn("_prev_min", F.min("best_price").over(w))
+        .filter(
+            F.col("_prev_min").isNull()
+            | (F.col("best_price") < F.col("_prev_min"))
+        )
+        .select("p_size", "best_price", "n_parts")
+        .orderBy(F.desc("p_size"))
+    )
+
+
+PART_SKYLINE_SQL = dedent("""
+    WITH per_point AS (
+      SELECT p_size, p_retailprice, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT p_size, MIN(p_retailprice) AS best_price FROM part GROUP BY 1
+    ),
+    cand AS (
+      SELECT b.p_size, b.best_price, p.n_parts
+      FROM best b JOIN per_point p
+        ON p.p_size = b.p_size AND p.p_retailprice = b.best_price
+    ),
+    scan AS (
+      SELECT p_size, best_price, n_parts,
+             MIN(best_price) OVER (ORDER BY p_size DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_min
+      FROM cand
+    )
+    SELECT p_size, best_price, n_parts
+    FROM scan
+    WHERE prev_min IS NULL OR best_price < prev_min
+    ORDER BY p_size DESC
+""")
+
+
 QUERIES = [
     QuerySpec("win_running_total", win_running_total, WIN_RUNNING_TOTAL_SQL,
               "running revenue per customer (exact fixed-point window sum)", ("window",)),
@@ -430,6 +502,10 @@ QUERIES = [
               "exact p25/p50/p95/p99 by distributed rank selection", ("window",)),
     QuerySpec("set_churned_customers", set_churned_customers, SET_CHURNED_SQL,
               "EXCEPT: customers active in 1996 but not 1997", ("setops",)),
+    QuerySpec("part_skyline", part_skyline, PART_SKYLINE_SQL,
+              "2-D skyline / Pareto frontier of (size, price) — one "
+              "map-side groupBy + a bounded size-domain scan",
+              ("window", "analytics", "tpch")),
     QuerySpec("set_loyal_customers", set_loyal_customers, SET_LOYAL_SQL,
               "INTERSECT: customers active in both years", ("setops",)),
 ]
