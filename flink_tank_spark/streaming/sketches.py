@@ -8,9 +8,10 @@ algebra under continuous ingest — the streaming twin the reference's
 AggregationJob shape implies for approximate analytics: a 100 TB event
 history is never rescanned; each micro-batch lands a bounded DELTA
 (≤ d·w CMS cells + ≤ groups×256 HLL registers + ≤ groups×bins histogram
-rows, no matter how many events the batch held), and finalize folds the
-deltas with the SAME batch operators, so streamed estimates equal the
-from-scratch build exactly.
+rows + ≤ groups×k KMV hashes + ≤ m/64 Bloom words, no matter how many
+events the batch held), and finalize folds the deltas with the SAME
+batch operators, so streamed estimates equal the from-scratch build
+exactly.
 
 Layout under ``sketch_dir`` (one partition per micro-batch, written
 with mode=overwrite for foreachBatch replay idempotency — the same
@@ -20,9 +21,10 @@ argument as streaming/retrieval_index.py):
     hll_state/ingest_batch=<b>    event_type, register, rho  (user-days)
     hist_state/ingest_batch=<b>   event_type, bin, n   (value quantiles)
     kmv_state/ingest_batch=<b>    event_type, h        (set overlap)
+    bloom_state/ingest_batch=<b>  word, bits           (membership)
 
 Delta-count growth is bounded operationally by :func:`compact` (all
-three states are mergeable, so compaction is just the merge plus the
+five states are mergeable, so compaction is just the merge plus the
 crash-safe hide → commit → clean swap of streaming/compaction.py).
 """
 
@@ -33,14 +35,21 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_tank_spark.operators import sketch
+from flink_tank_spark.operators import bloom, sketch
 from flink_tank_spark.streaming import compaction
 
 CMS_SUBDIR = "cms_state"
 HLL_SUBDIR = "hll_state"
 HIST_SUBDIR = "hist_state"
 KMV_SUBDIR = "kmv_state"
-_SUBDIRS = (CMS_SUBDIR, HLL_SUBDIR, HIST_SUBDIR, KMV_SUBDIR)
+BLOOM_SUBDIR = "bloom_state"
+_SUBDIRS = (CMS_SUBDIR, HLL_SUBDIR, HIST_SUBDIR, KMV_SUBDIR, BLOOM_SUBDIR)
+
+# the accumulated-membership filter over user keys: sized once at job
+# construction (the stream's total key budget, not per batch) so every
+# batch's delta addresses the same bit space and folds by plain bit_or
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 7
 
 EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, "
@@ -96,6 +105,13 @@ def incremental_sketch_sink(sketch_dir: str):
             ).write.mode("overwrite").parquet(
                 os.path.join(sketch_dir, KMV_SUBDIR, part)
             )
+            # Bloom membership delta over user keys (sparse word form,
+            # folds by bit_or — "have we ever seen this key" pruning)
+            bloom.bloom_words(
+                _user_key(batch_df), "user_key", BLOOM_M_BITS, BLOOM_K
+            ).write.mode("overwrite").parquet(
+                os.path.join(sketch_dir, BLOOM_SUBDIR, part)
+            )
         finally:
             batch_df.unpersist()
 
@@ -122,7 +138,9 @@ def load_sketches(spark: SparkSession, sketch_dir: str) -> dict[str, DataFrame]:
     hll = _read_parts(spark, sketch_dir, HLL_SUBDIR)
     hist = _read_parts(spark, sketch_dir, HIST_SUBDIR)
     kmv = _read_parts(spark, sketch_dir, KMV_SUBDIR)
-    if cms is None or hll is None or hist is None or kmv is None:
+    blm = _read_parts(spark, sketch_dir, BLOOM_SUBDIR)
+    if cms is None or hll is None or hist is None or kmv is None \
+            or blm is None:
         raise ValueError(f"no sketch partitions under {sketch_dir!r}")
     return {
         "cms": sketch.cms_merge(cms),
@@ -137,6 +155,7 @@ def load_sketches(spark: SparkSession, sketch_dir: str) -> dict[str, DataFrame]:
             F.slice(F.array_sort(F.collect_list("h")), 1, sketch.KMV_K)
             .alias("ks")
         ),
+        "bloom": blm.groupBy("word").agg(F.bit_or("bits").alias("bits")),
     }
 
 
@@ -156,6 +175,7 @@ def compact(spark: SparkSession, sketch_dir: str) -> None:
         # back to the stored row form (event_type, h)
         (KMV_SUBDIR, merged["kmv"].select(
             "event_type", F.explode("ks").alias("h"))),
+        (BLOOM_SUBDIR, merged["bloom"]),
     ):
         base = os.path.join(sketch_dir, subdir)
         parts = compaction.parts(base)

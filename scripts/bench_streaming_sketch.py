@@ -34,7 +34,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from flink_tank_spark.io.tables import load_table
-    from flink_tank_spark.operators import sketch
+    from flink_tank_spark.operators import bloom, sketch
     from flink_tank_spark.session import get_spark
     from flink_tank_spark.streaming import sketches as ssk
 
@@ -88,6 +88,7 @@ def main() -> int:
                      for r in folded["hist"].collect()},
             "kmv": {(r.event_type, tuple(r.ks))
                     for r in folded["kmv"].collect()},
+            "bloom": {(r.word, r.bits) for r in folded["bloom"].collect()},
         }
         finalize_s = time.perf_counter() - t1
 
@@ -102,6 +103,9 @@ def main() -> int:
                 ev, "value", ["event_type"]).collect()},
             "kmv": {(r.event_type, tuple(r.ks)) for r in sketch.kmv_sketch(
                 ssk._user_day(ev), "user_day", ["event_type"]).collect()},
+            "bloom": {(r.word, r.bits) for r in bloom.bloom_words(
+                ssk._user_key(ev), "user_key",
+                ssk.BLOOM_M_BITS, ssk.BLOOM_K).collect()},
         }
         assert streamed == batch, "streamed state != from-scratch batch build"
 

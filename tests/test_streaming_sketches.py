@@ -14,7 +14,7 @@ import os
 import pytest
 
 from flink_tank_spark.io.tables import load_table
-from flink_tank_spark.operators import sketch
+from flink_tank_spark.operators import bloom, sketch
 from flink_tank_spark.streaming import compaction
 from flink_tank_spark.streaming import sketches as ssk
 
@@ -57,7 +57,13 @@ def _expected(ev):
             ssk._user_day(ev), "user_day", ["event_type"]
         ).collect()
     }
-    return cms, hll, hist, kmv
+    blm = {
+        (r.word, r.bits)
+        for r in bloom.bloom_words(
+            ssk._user_key(ev), "user_key", ssk.BLOOM_M_BITS, ssk.BLOOM_K
+        ).collect()
+    }
+    return cms, hll, hist, kmv, blm
 
 
 def _folded(spark, sketch_dir):
@@ -67,6 +73,7 @@ def _folded(spark, sketch_dir):
         {(r.event_type, r.register, r.rho) for r in m["hll"].collect()},
         {(r.event_type, r.bin, r.n) for r in m["hist"].collect()},
         {(r.event_type, tuple(r.ks)) for r in m["kmv"].collect()},
+        {(r.word, r.bits) for r in m["bloom"].collect()},
     )
 
 
