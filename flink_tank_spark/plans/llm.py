@@ -1924,6 +1924,97 @@ MM_WAV_ROUNDTRIP_SQL = dedent("""
 
 
 # --------------------------------------------------------------------------
+# doc_bigram_fluency — statistical-LM quality scoring (corpus bigram model)
+# --------------------------------------------------------------------------
+
+def doc_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality signal without a model: score each doc by
+    the mean corpus-conditional bigram probability of its token stream
+    (how "predictable" the text is under the corpus's own bigram
+    statistics — the statistical cousin of perplexity filtering, usable
+    where no external LM exists). Log-free by design: perplexity needs
+    ln() (libm-divergent, the doc_top_terms lesson); the mean
+    conditional probability is rank-useful for filtering and
+    oracle-exact.
+
+    Determinism: each P(b|a) = n_ab/n_a is ONE IEEE division, but a
+    per-doc MEAN of many such doubles would be merge-order-dependent —
+    so each probability is floor-scaled to exact micro-units first (the
+    functions/numeric.py recipe) and summed as integers; one final
+    division chain converts back. Scale shape: two map-side-combinable
+    groupBys build the bigram model (≤ vocab² rows — broadcast), the
+    per-doc pass is one explode + broadcast join + groupBy; nothing
+    corpus-sized is ever windowed or collected."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = docs.select(
+        "doc_id", ws.alias("_ws"), F.explode(idx).alias("_i")
+    ).select(
+        "doc_id",
+        F.element_at("_ws", F.col("_i")).alias("a"),
+        F.element_at("_ws", F.col("_i") + 1).alias("b"),
+    )
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    c1 = bg.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    p = c2.join(c1, "a").select(
+        "a", "b",
+        F.floor(F.lit(1000000.0) * F.col("n_ab") / F.col("n_a"))
+         .alias("sp"),
+    )
+    d = (
+        bg.join(F.broadcast(p), ["a", "b"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("sp").alias("_s"))
+    )
+    n_bg = F.coalesce("n_bigrams", F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_bg.alias("n_bigrams"),
+            F.when(
+                n_bg > 0,
+                F.col("_s").cast("double") / n_bg / F.lit(1000000.0),
+            ).otherwise(F.lit(0.0)).alias("fluency"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_BIGRAM_FLUENCY_SQL = dedent("""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+      FROM words, UNNEST(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+    ),
+    c2 AS (SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT a, COUNT(*) AS n_a FROM bg GROUP BY 1),
+    p AS (
+      SELECT a, b, CAST(FLOOR((1000000.0 * n_ab) / n_a) AS BIGINT) AS sp
+      FROM c2 JOIN c1 USING (a)
+    ),
+    d AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(sp) AS BIGINT) AS s
+      FROM bg JOIN p USING (a, b) GROUP BY 1
+    )
+    SELECT doc_id,
+           COALESCE(n_bigrams, 0) AS n_bigrams,
+           CASE WHEN COALESCE(n_bigrams, 0) > 0
+                THEN CAST(s AS DOUBLE) / n_bigrams / 1000000.0
+                ELSE 0.0 END AS fluency
+    FROM documents LEFT JOIN d USING (doc_id)
+    ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
 # mm_audio_decimate — frame-aligned 2x downsample through the real codec
 # --------------------------------------------------------------------------
 
@@ -2675,5 +2766,10 @@ QUERIES = [
     QuerySpec("doc_pmi_pairs", doc_pmi_pairs, DOC_PMI_PAIRS_SQL,
               "top-20 term collocations by document-level lift "
               "(log-free PMI, vocab-capped pair space)",
+              ("llm", "text")),
+    QuerySpec("doc_bigram_fluency", doc_bigram_fluency,
+              DOC_BIGRAM_FLUENCY_SQL,
+              "statistical-LM quality score: mean corpus-conditional "
+              "bigram probability per doc (log-free perplexity cousin)",
               ("llm", "text")),
 ]

@@ -47,6 +47,7 @@ class QuerySpec:
 # round every query's newest driver cert stays ≤2 rounds old.
 FRONT_OF_LINE = (
     # new in round 8 — no driver cert yet
+    "doc_bigram_fluency",
     "part_skyline",
     "mm_audio_decimate",
     "ev_kmv_overlap_types",
