@@ -485,3 +485,153 @@ def cell_probe_pairs(
         .applyInPandas(per_cell, schema=out_schema)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace L2 codebooks → reconstructed ADC
+# ---------------------------------------------------------------------------
+# Jégou/Douze/Schmid "Product Quantization for Nearest Neighbor Search"
+# (TPAMI 2011): split each vector into M subspaces, k-means each subspace
+# into a tiny codebook, store M one-byte codes per vector — 64 dims of
+# float32 become 4 bytes (64x compression) and distances are computed
+# against codebook RECONSTRUCTIONS. PQ trains/assigns in L2 (unlike the
+# IVF path's cosine cells): magnitude matters for reconstruction, and L2
+# is total — zero subvectors are ordinary points, no zero-norm exclusion.
+
+
+def fp_sqdist(a: Column, b: Column) -> Column:
+    """Exact fixed-point squared L2: per-dim floor((x-y)^2 * 1e12 + 0.5)
+    summed as integers — an exact BIGINT any partitioning or engine
+    reproduces bit-for-bit (no final division: ranking uses the raw
+    scaled integer)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.floor((x - y) * (x - y) * F.lit(SCALE) + F.lit(0.5))
+            .cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sqdist_vectorized(a: Column, b: Column) -> Column:
+    """Arrow-batched fixed-point squared L2 — BIT-IDENTICAL to
+    :func:`fp_sqdist` (pinned in tests/test_scale_ops.py): every scaled
+    term floor((x-y)^2·1e12 + 0.5) is an exact int64 ≪ 2^53, so numpy's
+    summation order cannot change the integer total; subtract, multiply
+    and floor are correctly-rounded IEEE ops in both runtimes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sq_fp(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xa = np.stack(xs.to_numpy())
+        ya = np.stack(ys.to_numpy())
+        d = xa - ya
+        return pd.Series(
+            np.floor(d * d * SCALE + 0.5).astype(np.int64).sum(axis=1)
+        )
+
+    return _sq_fp(a, b)
+
+
+def l2_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, centroid_id): nearest centroid by exact fixed-point
+    squared L2, ties broken by lowest centroid id. Broadcast-hash pass
+    like ivf_assign; no zero-norm filter (L2 is defined everywhere)."""
+    from pyspark.sql.window import Window as W
+
+    v = vectors.select(id_col, as_double_array(F.col(vec_col)).alias("_v"))
+    c = centroids.select(
+        F.col("centroid_id"), as_double_array(F.col("cv")).alias("_c")
+    )
+    scored = _broadcast_all_pairs(v, c, id_col, "centroid_id").select(
+        id_col, "centroid_id",
+        sqdist_vectorized(F.col("_v"), F.col("_c")).alias("_d"),
+    )
+    w = W.partitionBy(id_col).orderBy("_d", "centroid_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def kmeans_centroids_l2(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means under L2 → (centroid_id, cv). Same
+    oracle-reproducible construction as the cosine :func:`kmeans_centroids`
+    (k smallest-id seeds, fixed-point means via davg, array_sort
+    recomposition) with the assignment metric swapped to exact
+    fixed-point squared L2."""
+    from flink_tank_spark.functions.numeric import davg
+
+    cent = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        assigned = l2_assign(vectors, cent, id_col=id_col, vec_col=vec_col)
+        joined = assigned.join(vectors, id_col).select(
+            "centroid_id", F.posexplode(as_double_array(F.col(vec_col))).alias("dim", "val")
+        )
+        means = joined.groupBy("centroid_id", "dim").agg(davg("val", "mval"))
+        cent = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mval"))),
+                lambda s: s["mval"],
+            ).alias("cv")
+        )
+    return cent
+
+
+def pq_reconstruct(
+    vectors: DataFrame,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode then decode: per subspace train a ``codes``-entry L2
+    codebook, assign every vector its nearest codeword, and reconstruct
+    (id_col, rvec = concat of the M codewords). The reconstruction IS
+    what ADC scores against — scoring rvec with the ordinary exact
+    cosine machinery is asymmetric-distance computation with the lookup
+    tables left implicit. Storage story at 100 TB: the codes table is
+    M log2(codes) bits/vector (4 bytes here vs 256) and the codebooks
+    are M×codes×sub_dim doubles — broadcast-sized at any corpus."""
+    out = None
+    for m in range(m_sub):
+        sub = vectors.select(
+            id_col,
+            F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias(vec_col),
+        )
+        book = kmeans_centroids_l2(
+            sub, k=codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        part = (
+            l2_assign(sub, book, id_col=id_col, vec_col=vec_col)
+            .join(F.broadcast(book), "centroid_id")
+            .select(id_col, F.col("cv").alias(f"_p{m}"))
+        )
+        out = part if out is None else out.join(part, id_col)
+    return out.select(
+        id_col,
+        F.concat(*[F.col(f"_p{m}") for m in range(m_sub)]).alias("rvec"),
+    )

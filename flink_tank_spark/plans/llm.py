@@ -1414,6 +1414,230 @@ EMB_MATRYOSHKA_TOPK_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# emb_pq_topk — product-quantization ADC retrieval quality audit
+# --------------------------------------------------------------------------
+
+def _sql_sqdist(a: str, b: str) -> str:
+    # exact fixed-point squared L2, ranked on the raw scaled BIGINT
+    # (mirror of similarity.fp_sqdist — no final division)
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> floor(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e12 + 0.5)))"
+        " AS BIGINT)"
+    )
+
+
+def _pq_sql(m_sub: int, sub_dim: int, codes: int, iters: int) -> tuple[str, str]:
+    """CTE chain mirroring similarity.pq_reconstruct: per subspace an
+    L2 Lloyd chain (seed = smallest-id subvectors, fixed-point means),
+    final assignment, then codeword concatenation. MATERIALIZED on every
+    re-referenced CTE (the round-6 DuckDB-inlining lesson). Returns
+    (cte_sql, reconstruction_cte_name)."""
+    parts = []
+    book = {}
+    for m in range(m_sub):
+        lo, hi = m * sub_dim + 1, (m + 1) * sub_dim
+        parts.append(dedent(f"""\
+            s{m} AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding[{lo}:{hi}],
+                                    x -> CAST(x AS DOUBLE)) AS sv
+              FROM embeddings
+            )"""))
+        parts.append(dedent(f"""\
+            c{m}_0 AS MATERIALIZED (
+              SELECT vec_id AS centroid_id, sv AS cv
+              FROM s{m} ORDER BY vec_id LIMIT {codes}
+            )"""))
+        prev = f"c{m}_0"
+        for i in range(1, iters + 1):
+            parts.append(dedent(f"""\
+                a{m}_{i} AS MATERIALIZED (
+                  SELECT vec_id, centroid_id FROM (
+                    SELECT v.vec_id, c.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                              ORDER BY {_sql_sqdist('v.sv', 'c.cv')} ASC,
+                                                       c.centroid_id) AS rk
+                    FROM s{m} v CROSS JOIN {prev} c
+                  ) t WHERE rk = 1
+                )"""))
+            parts.append(dedent(f"""\
+                e{m}_{i} AS (
+                  SELECT a.centroid_id,
+                         unnest(range(0, len(v.sv))) AS dim,
+                         unnest(v.sv) AS val
+                  FROM a{m}_{i} a JOIN s{m} v ON v.vec_id = a.vec_id
+                )"""))
+            parts.append(dedent(f"""\
+                m{m}_{i} AS (
+                  SELECT centroid_id, dim, {sql_davg('val')} AS mval
+                  FROM e{m}_{i} GROUP BY 1, 2
+                )"""))
+            parts.append(dedent(f"""\
+                c{m}_{i} AS MATERIALIZED (
+                  SELECT centroid_id, list(mval ORDER BY dim) AS cv
+                  FROM m{m}_{i} GROUP BY 1
+                )"""))
+            prev = f"c{m}_{i}"
+        book[m] = prev
+        parts.append(dedent(f"""\
+            f{m} AS MATERIALIZED (
+              SELECT vec_id, centroid_id FROM (
+                SELECT v.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY {_sql_sqdist('v.sv', 'c.cv')} ASC,
+                                                   c.centroid_id) AS rk
+                FROM s{m} v CROSS JOIN {prev} c
+              ) t WHERE rk = 1
+            )"""))
+    concat = " || ".join(f"b{m}.cv" for m in range(m_sub))
+    joins = "\n              ".join(
+        f"JOIN f{m} ON f{m}.vec_id = e.vec_id "
+        f"JOIN {book[m]} b{m} ON b{m}.centroid_id = f{m}.centroid_id"
+        for m in range(m_sub)
+    )
+    parts.append(dedent(f"""\
+        recon AS MATERIALIZED (
+          SELECT e.vec_id, {concat} AS rvec
+          FROM embeddings e
+              {joins}
+        )"""))
+    return ",\n    ".join(parts), "recon"
+
+
+def emb_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = 5, coarse_k: int = 50
+) -> DataFrame:
+    """Product-quantization retrieval audit, BOTH deployment regimes:
+    PQ-encode the corpus (4 subspaces x 16 codewords — 64 float32 dims
+    stored as 2 bytes of codes, 128x compression), reconstruct from the
+    codebooks, score the UNQUANTIZED queries against reconstructions
+    (asymmetric distance computation with the lookup tables left
+    implicit), and report per query (a) raw ADC top-k overlap vs the
+    exact full-precision search — the compression-only signal — and
+    (b) overlap after the production IVF-PQ shape: ADC top-``coarse_k``
+    shortlist, exact full-precision rerank to top-k (candidates joined
+    pairs-first, then one broadcast-hash probe of the corpus). Codebook
+    training is the deterministic L2 Lloyd chain
+    (similarity.kmeans_centroids_l2), so the entire train→encode→
+    reconstruct→score→rerank pipeline is bit-reproducible and
+    oracle-gated — not just the scoring stage."""
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    recon = similarity.pq_reconstruct(emb).select(
+        "vec_id", F.col("rvec").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    coarse = shared.stage(
+        spark, "emb_pq_coarse", (sf_dir, coarse_k),
+        lambda: similarity.cosine_topk(recon, queries, k=coarse_k),
+    )
+    adc_top = coarse.filter(F.col("rk") <= k).select(
+        F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
+    )
+    # exact full-precision rerank of the shortlist: pairs first, then
+    # one broadcast probe against the corpus vectors
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity.as_double_array(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", similarity.norm(F.col("qv")))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        similarity.as_double_array(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", similarity.norm(F.col("cv")))
+    pairs = coarse.select("query_id", "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    rescored = c.join(F.broadcast(pairs), "neighbor_id").select(
+        "query_id", "neighbor_id",
+        (similarity.dot(F.col("qv"), F.col("cv"))
+         / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    rr_top = (
+        rescored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= k)
+        .select(F.col("query_id").alias("r_qid"),
+                F.col("neighbor_id").alias("r_nid"))
+    )
+    full = _exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return (
+        full.join(
+            adc_top,
+            (F.col("query_id") == F.col("p_qid"))
+            & (F.col("neighbor_id") == F.col("p_nid")),
+            "left",
+        )
+        .join(
+            rr_top,
+            (F.col("query_id") == F.col("r_qid"))
+            & (F.col("neighbor_id") == F.col("r_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.count("p_nid").alias("n_adc_overlap"),
+            F.count("r_nid").alias("n_rerank_overlap"),
+        )
+        .withColumn("adc_overlap_at_5", F.col("n_adc_overlap") / F.lit(5.0))
+        .withColumn("rerank_overlap_at_5",
+                    F.col("n_rerank_overlap") / F.lit(5.0))
+        .orderBy("query_id")
+    )
+
+
+_PQ_CTES, _PQ_RECON = _pq_sql(m_sub=4, sub_dim=16, codes=16, iters=2)
+
+EMB_PQ_TOPK_SQL = dedent(f"""
+    WITH {_PQ_CTES},
+    recon_nz AS (SELECT * FROM recon WHERE {_SQL_NORM.format(a="rvec")} > 0),
+    {_EMB_NZ_CTE},
+    p_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.embedding', 'c.rvec')} AS cos_sim
+      FROM emb_nz q JOIN recon_nz c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ),
+    p_ranked AS MATERIALIZED (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM p_scored
+    ),
+    adc_top AS (SELECT query_id, neighbor_id FROM p_ranked WHERE rk <= 5),
+    cand AS (SELECT query_id, neighbor_id FROM p_ranked WHERE rk <= 50),
+    rescored AS (
+      SELECT d.query_id, d.neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+      FROM cand d
+      JOIN embeddings q ON q.vec_id = d.query_id
+      JOIN embeddings c ON c.vec_id = d.neighbor_id
+    ),
+    r_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rk
+        FROM rescored) WHERE rk <= 5
+    ),
+    full_top AS ({EMB_COSINE_TOPK_SQL})
+    SELECT f.query_id,
+           COUNT(*) AS n_full,
+           COUNT(p.neighbor_id) AS n_adc_overlap,
+           COUNT(r.neighbor_id) AS n_rerank_overlap,
+           COUNT(p.neighbor_id) / 5.0 AS adc_overlap_at_5,
+           COUNT(r.neighbor_id) / 5.0 AS rerank_overlap_at_5
+    FROM full_top f
+    LEFT JOIN adc_top p
+      ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+    LEFT JOIN r_top r
+      ON r.query_id = f.query_id AND r.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    ORDER BY f.query_id
+""")
+
+
+# --------------------------------------------------------------------------
 # emb_two_stage_topk — Matryoshka coarse search + exact full-dim rerank
 # --------------------------------------------------------------------------
 
@@ -2648,6 +2872,10 @@ QUERIES = [
               "two-stage ANN at the measured recall knee: 32-dim Matryoshka "
               "coarse top-200 + exact full-dim rerank (recall@5 0.86 sf0.1)",
               ("llm", "embedding")),
+    QuerySpec("emb_pq_topk", emb_pq_topk, EMB_PQ_TOPK_SQL,
+              "product quantization: L2 codebooks (4x16), ADC top-k overlap "
+              "raw AND after exact rerank of the top-50 shortlist",
+              ("llm", "embedding", "similarity")),
     QuerySpec("doc_minhash", doc_minhash, DOC_MINHASH_SQL,
               "MinHash signatures (4 md5 perms over word 3-shingles)", ("llm", "dedup")),
     QuerySpec("doc_lsh_near_dups", doc_lsh_near_dups, DOC_LSH_NEAR_DUPS_SQL,

@@ -47,6 +47,7 @@ class QuerySpec:
 # round every query's newest driver cert stays ≤2 rounds old.
 FRONT_OF_LINE = (
     # new in round 8 — no driver cert yet
+    "emb_pq_topk",
     "doc_bigram_fluency",
     "part_skyline",
     "mm_audio_decimate",

@@ -265,3 +265,29 @@ def test_bm25_term_stats_k1_b_mismatch_raises(spark, oracle_sf_dir):
     assert retrieval.bm25_wand_parts(
         docs, [0], k=3, posts=posts, term_stats=bare
     )["topk"].count() > 0
+
+
+def test_sqdist_vectorized_matches_hof_bit_exact(spark):
+    """The Arrow-batched fixed-point squared L2 equals the interpreted
+    HOF fold on every pair — same exact-integer argument as
+    dot_vectorized, pinned on real embeddings."""
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import similarity
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(64)
+    a = emb.select(
+        F.col("vec_id").alias("ia"),
+        similarity.as_double_array("embedding").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"),
+        similarity.as_double_array("embedding").alias("vb"),
+    )
+    pairs = a.join(b, F.col("ia") < F.col("ib"))
+    diff = pairs.select(
+        (similarity.fp_sqdist(F.col("va"), F.col("vb"))
+         - similarity.sqdist_vectorized(F.col("va"), F.col("vb"))).alias("d")
+    ).agg(F.sum(F.abs(F.col("d"))), F.count(F.lit(1))).first()
+    assert diff[1] > 1000 and diff[0] == 0, diff
