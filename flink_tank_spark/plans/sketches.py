@@ -361,8 +361,11 @@ def ev_kmv_overlap_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sk.select(F.col("event_type").alias("type_a"), F.col("ks").alias("ks_a"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("ks").alias("ks_b"))
     est = sketch.kmv_set_estimates(F.col("ks_a"), F.col("ks_b"))
+    # broadcast pinned: the sketch frames are |types| rows but come out
+    # of an aggregation with no stats — without the hint the sf1 planner
+    # demoted this to a CartesianProduct (caught by plan_scale_audit r8)
     pairs = (
-        a.join(b, F.col("type_a") < F.col("type_b"))
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
         .select("type_a", "type_b",
                 est["n_common"].alias("n_common"),
                 est["kmv_union_est"].alias("kmv_union_est"),
