@@ -177,14 +177,25 @@ def _run_wave_timeout(spark, src, out, ckpt, idle_flush_ms):
     )
     deadline = time.time() + 240
     last_data = time.time()
+    quiet_batches: set = set()
     try:
         while time.time() < deadline:
             time.sleep(0.5)
             p = q.lastProgress
-            if p and p["numInputRows"] > 0:
+            if not p:
+                continue
+            if p["numInputRows"] > 0:
                 last_data = time.time()
-            if time.time() - last_data > idle_flush_ms / 1000 + 4:
-                return
+                quiet_batches.clear()
+                continue
+            # a fixed wall margin flakes under host load (the trigger
+            # can be scheduled late): require TWO distinct zero-input
+            # micro-batches to COMPLETE after the idle window — the
+            # second proves the timer batch itself ran to completion
+            if time.time() - last_data > idle_flush_ms / 1000 + 1:
+                quiet_batches.add(p["batchId"])
+                if len(quiet_batches) >= 2:
+                    return
         raise AssertionError("wave did not quiesce before deadline")
     finally:
         q.stop()
