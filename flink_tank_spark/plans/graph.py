@@ -1,0 +1,121 @@
+"""Graph-analytics queries over the document similarity graph.
+
+Extension surface: iterative graph algorithms expressed as DataFrame
+plans — the category GraphX/Pregel covers on the JVM, here kept inside
+Catalyst so the per-iteration joins get AQE/broadcast planning like any
+other query. Nodes are documents; edges are the LSH-verified near-dup
+pairs (the SAME shared stage doc_lsh_near_dups / doc_dedup_groups /
+doc_split_leakage run on — pair detection runs once per session, this
+module adds zero extra shuffle for it).
+
+Oracle strategy: the engine computes in scaled BIGINTs (see
+operators/graph.py determinism contract), and the DuckDB mirror unrolls
+the same fixed iteration count as MATERIALIZED CTEs over the shared
+LSH-pair CTE block — the k-means / PQ oracle pattern applied to graph
+iteration.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import graph
+from flink_tank_spark.plans.llm import LSH_PAIRS_CTES, _lsh_verified_pairs
+from flink_tank_spark.plans.registry import QuerySpec
+
+PR_ITERS = 5
+PR_TOPN = 25
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph centrality: 5-iteration damped PageRank over the
+    LSH-verified near-dup graph, top 25 docs. The curation use: inside a
+    duplicate cluster the highest-PR member is the best canonical pick
+    (most-connected to the rest); corpus-wide, high-PR docs flag
+    templated/boilerplate families that exact dedup missed.
+
+    Scale shape: per iteration one edge⋈rank equi-join + one groupBy
+    sum — O(edges) shuffled work per round, 5 rounds; the final top-25
+    is orderBy+limit (TakeOrderedAndProject), with the row_number window
+    applied only to the already-limited 25-row frame."""
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    pr = graph.pagerank_scaled(nodes, edges, id_col="doc_id", iters=PR_ITERS)
+    top = pr.orderBy(F.col("pr_scaled").desc(), "doc_id").limit(PR_TOPN)
+    return top.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.orderBy(F.col("pr_scaled").desc(), "doc_id"))
+        .cast("integer"),
+    ).select("rk", "doc_id", "degree", "pr_scaled")
+
+
+def _pr_iter_ctes(iters: int) -> str:
+    """Unrolled PageRank iterations over CTEs ``edges_d`` (src, dst,
+    deg) and ``nodes`` (doc_id), producing ``r{iters}`` = (doc_id,
+    pr_scaled). Mirrors operators/graph.pagerank_scaled bit-for-bit:
+    (pr * 17) // (20 * deg) is BIGINT floor division in DuckDB and
+    ``div`` in Spark — identical on the non-negative ranks here."""
+    parts = [
+        "r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS pr_scaled FROM nodes)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(dedent(f"""\
+            c{k} AS MATERIALIZED (
+              SELECT e.dst, SUM((r.pr_scaled * 17) // (20 * e.deg)) AS inc
+              FROM edges_d e JOIN r{k - 1} r ON e.src = r.doc_id
+              GROUP BY e.dst
+            ),
+            r{k} AS MATERIALIZED (
+              SELECT n.doc_id,
+                     CAST(150000 + COALESCE(c.inc, 0) AS BIGINT) AS pr_scaled
+              FROM nodes n LEFT JOIN c{k} c ON n.doc_id = c.dst
+            )"""))
+    return ",\n    ".join(parts)
+
+
+DOC_PAGERANK_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near_dups
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near_dups
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    edges_d AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT doc_id FROM documents),
+    {_pr_iter_ctes(PR_ITERS)},
+    final AS (
+      SELECT r.doc_id,
+             CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+             r.pr_scaled
+      FROM r{PR_ITERS} r LEFT JOIN deg d ON r.doc_id = d.src
+    ),
+    ranked AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY pr_scaled DESC, doc_id) AS INTEGER) AS rk,
+             doc_id, degree, pr_scaled
+      FROM final
+    )
+    SELECT rk, doc_id, degree, pr_scaled
+    FROM ranked WHERE rk <= {PR_TOPN}
+    ORDER BY rk
+""")
+
+
+QUERIES = [
+    QuerySpec(
+        "doc_pagerank",
+        doc_pagerank,
+        DOC_PAGERANK_SQL,
+        "5-iteration fixed-point PageRank over the LSH near-dup graph, top 25",
+        ("llm", "graph", "dedup"),
+    ),
+]

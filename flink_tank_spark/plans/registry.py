@@ -121,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Assemble the full registry (imported lazily to keep startup light)."""
     from flink_tank_spark.plans import (
         analytics,
+        graph,
         llm,
         sketches,
         streaming_batch,
@@ -129,7 +130,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (tpch, windows, streaming_batch, sketches, analytics, llm):
+    for module in (tpch, windows, streaming_batch, sketches, analytics, llm, graph):
         for spec in module.QUERIES:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")
