@@ -121,6 +121,7 @@ def all_queries() -> dict[str, QuerySpec]:
     """Assemble the full registry (imported lazily to keep startup light)."""
     from flink_tank_spark.plans import (
         analytics,
+        bpe,
         graph,
         llm,
         sketches,
@@ -130,7 +131,9 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     registry: dict[str, QuerySpec] = {}
-    for module in (tpch, windows, streaming_batch, sketches, analytics, llm, graph):
+    for module in (
+        tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
+    ):
         for spec in module.QUERIES:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")

@@ -1,0 +1,68 @@
+"""Semantic tests for the BPE trainer (operators/bpe.py).
+
+Registry parity gates doc_bpe_merges / doc_bpe_tokens against DuckDB;
+these pin the ALGORITHM on hand-checkable corpora — the classic
+Sennrich merge example, greedy overlapping-pair semantics, and
+deterministic tie-breaking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_tank_spark.operators import bpe
+
+
+def _train(spark, words_with_counts, n):
+    df = spark.createDataFrame(words_with_counts, "word string, cnt long")
+    return bpe.train_merges(bpe.seed_symbols(df), n)
+
+
+def test_classic_merge_sequence(spark):
+    # Sennrich-style toy vocabulary: 'es' dominates, then 'est', 'est</w>'.
+    corpus = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2)]
+    merges = _train(spark, corpus, 3)
+    assert [(m.left, m.right) for m in merges] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+    ]
+    assert merges[0].count == 9  # newest(6) + widest(3)
+
+
+def test_greedy_overlap_and_application(spark):
+    # 'aaa' with pair (a,a): greedy left-to-right merges the FIRST two
+    # only — {aa}{a}, the standard BPE behavior the brace representation
+    # preserves under single-pass replace.
+    merges = _train(spark, [("aaa", 10)], 1)
+    assert (merges[0].left, merges[0].right) == ("a", "a")
+    seeded = bpe.seed_symbols(
+        spark.createDataFrame([("aaa", 1)], "word string, cnt long")
+    )
+    out = bpe.apply_merges(seeded, merges).collect()[0]
+    assert out["syms"] == "{aa}{a}{</w>}"
+    tok = (
+        bpe.apply_merges(seeded, merges)
+        .select(bpe.token_count_col().alias("n"))
+        .collect()[0]["n"]
+    )
+    assert tok == 3
+
+
+def test_tie_break_is_lexicographic(spark):
+    # 'ba' and 'cd' pairs both occur once -> (b,a) sorts before (c,d)
+    merges = _train(spark, [("ba", 1), ("cd", 1)], 1)
+    assert (merges[0].left, merges[0].right) == ("a", "</w>") or True
+    # counts: pairs are (b,a),(a,</w>),(c,d),(d,</w>) each 1; lexicographic
+    # min is (a,</w>)
+    assert (merges[0].left, merges[0].right) == ("a", "</w>")
+
+
+def test_word_counts_is_weighted_and_lowercased(spark):
+    docs = spark.createDataFrame(
+        [(1, "The the THE cat"), (2, "cat dog")], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()
+    }
+    assert got == {"the": 3, "cat": 2, "dog": 1}
