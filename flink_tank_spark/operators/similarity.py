@@ -635,3 +635,163 @@ def pq_reconstruct(
         id_col,
         F.concat(*[F.col(f"_p{m}") for m in range(m_sub)]).alias("rvec"),
     )
+
+
+# --------------------------------------------------------------------------
+# Signed-random-projection (SRP) LSH — hyperplane buckets for cosine ANN
+# --------------------------------------------------------------------------
+
+SRP_SCALE = 1_000_000.0  # per-component fixed-point scale for sign sums
+
+
+def srp_weights(n_planes: int, dim: int) -> "np.ndarray":
+    """Deterministic Rademacher (±1) hyperplane matrix, (n_planes, dim).
+
+    Entry (p, i) is +1 iff the last hex digit of md5("p:i") is even —
+    a public, content-addressed pseudo-random source (the same md5
+    convention the MinHash permutations use), so ANY runtime (the
+    engine, the DuckDB oracle literal table, a future reimplementation)
+    regenerates the identical matrix with no shipped state. ±1 entries
+    (Charikar's SRP admits any symmetric distribution) keep the
+    projection in EXACT integer arithmetic: with components scaled to
+    micro-unit BIGINTs the plane sum is ±sums of integers — partition-
+    order-independent, no float dot product anywhere in the hash path.
+    """
+    import hashlib
+
+    w = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for i in range(dim):
+            last = hashlib.md5(f"{p}:{i}".encode()).hexdigest()[-1]
+            w[p, i] = 1 if int(last, 16) % 2 == 0 else -1
+    return w
+
+
+def srp_band_keys(
+    vec_col: Column, n_planes: int = 24, n_bands: int = 6, dim: int = 64
+) -> Column:
+    """The banded SRP keys of an embedding: array of ``n_bands`` BIGINTs,
+    band b's key = ``(b << 20) + value of its rows' sign bits``
+    (disjoint bit ranges, so ``+`` is the band tag — no cross-engine
+    bitwise-or semantics to match).
+
+    Banding is MinHash-LSH's OR-amplification applied to hyperplane
+    signs: two vectors are candidates iff ANY band agrees on all its
+    rows — collision prob 1-(1-p^r)^b for per-plane agreement
+    p = 1 - θ/π (Charikar), the knob that trades candidate volume for
+    recall without Hamming-ball probe explosion.
+
+    Arrow-batched pandas_udf (the similarity layer's sanctioned Python
+    crossing, like dot_vectorized): per vector a dim×n_planes integer
+    matmul — interpreted HOFs would pay a closure call per cell.
+    All-integer pipeline: scale → int64 → matmul (exact;
+    |s| ≤ dim·1e6·max|x| ≪ 2^63) → sign bits → packed band values.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = n_planes // n_bands
+    w_t = srp_weights(n_planes, dim).T  # (dim, n_planes)
+    shifts = np.arange(rows, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _keys(xs: pd.Series) -> pd.Series:
+        xa = np.stack(xs.to_numpy()).astype(np.float64)
+        xi = np.floor(xa * SRP_SCALE + 0.5).astype(np.int64)
+        bits = (xi @ w_t >= 0).astype(np.int64)  # (n, n_planes)
+        keys = np.stack(
+            [
+                (bits[:, b * rows : (b + 1) * rows] << shifts).sum(axis=1)
+                + (b << 20)
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(keys))
+
+    return _keys(vec_col)
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 24,
+    n_bands: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded SRP-LSH approximate cosine top-k with exact rerank.
+
+    Candidates = corpus vectors sharing ≥1 of the query's band keys
+    (equi-join on band key, DISTINCT pairs — a pair can collide in
+    several bands); exact fixed-point cosine reranks candidates only.
+    The blocking scheme complementary to IVF (two_stage_topk / the
+    kmeans family): no training pass, no centroid state — the hash IS
+    the index, so it extends to streaming ingest with zero maintenance.
+    Work is Σ band-bucket² join output, linear in the corpus for any
+    fixed band population; never an all-pairs product.
+
+    Quality envelope (honesty note, measured in emb_srp_recall): on
+    clustered corpora where true neighbors sit at cos ≥ 0.8 (per-plane
+    agreement ≥ 0.80), 6 bands × 4 rows hits ≥ 0.95 of them. The
+    SYNTHETIC test embeddings are near-isotropic — true top-5 cosines
+    ≈ 0.3, per-plane agreement ≈ 0.61 vs 0.50 random — so angle-LSH
+    lift is intrinsically bounded there (measured recall@5 ≈ 0.5 at a
+    ≈ 0.33 candidate fraction), the same corpus property the PQ ADC
+    audit documents.
+    """
+    from pyspark.sql.window import Window as W
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("cn", norm(F.col("cv")))
+        .filter(F.col("cn") > 0)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("qv"),
+        )
+        .withColumn("qn", norm(F.col("qv")))
+        .filter(F.col("qn") > 0)
+    )
+    c_keys = c.select(
+        "neighbor_id",
+        F.explode(srp_band_keys(F.col("cv"), n_planes, n_bands, dim)).alias(
+            "band_key"
+        ),
+    )
+    q_keys = q.select(
+        "query_id",
+        F.explode(srp_band_keys(F.col("qv"), n_planes, n_bands, dim)).alias(
+            "band_key"
+        ),
+    )
+    cand = (
+        c_keys.join(F.broadcast(q_keys), "band_key")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_vectorized(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -125,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         llm,
         sketches,
+        srp,
         streaming_batch,
         tpch,
         windows,
@@ -132,7 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     registry: dict[str, QuerySpec] = {}
     for module in (
-        tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
+        tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe, srp,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:
