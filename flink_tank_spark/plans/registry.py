@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         graph,
         llm,
+        scd,
         sketches,
         srp,
         streaming_batch,
@@ -133,7 +134,8 @@ def all_queries() -> dict[str, QuerySpec]:
 
     registry: dict[str, QuerySpec] = {}
     for module in (
-        tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe, srp,
+        tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
+        srp, scd,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:

@@ -1,0 +1,148 @@
+"""Slowly-changing-dimension (SCD type 2) maintenance as a query plan.
+
+The dimension-upsert/MERGE capability of a warehouse, expressed without
+table mutation: given the customer dimension and an update batch
+derived from the latest order month (each active customer's account
+balance restated by that month's exact spend), emit the full SCD2
+history table — closed rows carry valid_to = the effective date,
+current rows carry valid_to NULL. A lakehouse MERGE INTO produces
+exactly this table as its post-image; producing it as a PLAN keeps the
+operation oracle-checkable and engine-agnostic.
+
+Scale shape: ONE broadcast of the 1-row effective-month scalar, one
+orders scan for the update aggregate (map-side combinable exact dsum),
+one equi-join of updates onto the dimension, and a union — dimension
+tables are small next to facts at any scale, and nothing here touches
+the fact table twice.
+
+The streaming twin (streaming/scd.py) maintains the same table
+incrementally from an update stream via an append-only change log and
+derives identical history on read — batch/stream parity is pinned by
+tests/test_streaming_scd.py.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.functions.numeric import dsum, sql_dsum
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.plans.registry import QuerySpec
+
+DIM_BIRTH = "1992-01-01"  # valid_from of the initial dimension load
+
+
+def scd2_apply(dim: DataFrame, updates: DataFrame) -> DataFrame:
+    """Apply one update batch to a current-state dimension, producing
+    the SCD2 post-image.
+
+    ``dim``: (custkey, c_name, c_mktsegment, acctbal, valid_from) —
+    the current rows. ``updates``: (custkey, new_acctbal, eff_ts).
+    Updated keys contribute a CLOSED row (old balance,
+    valid_to = eff_ts) plus a CURRENT row (new balance,
+    valid_from = eff_ts); untouched keys pass through. One left join +
+    union — no mutation, no window over the dimension."""
+    joined = dim.join(F.broadcast(updates), "custkey", "left")
+    untouched = joined.filter(F.col("new_acctbal").isNull()).select(
+        "custkey", "c_name", "c_mktsegment",
+        F.col("acctbal"),
+        "valid_from",
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = joined.filter(F.col("new_acctbal").isNotNull()).select(
+        "custkey", "c_name", "c_mktsegment",
+        F.col("acctbal"),
+        "valid_from",
+        F.col("eff_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = joined.filter(F.col("new_acctbal").isNotNull()).select(
+        "custkey", "c_name", "c_mktsegment",
+        F.col("new_acctbal").alias("acctbal"),
+        F.col("eff_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return untouched.unionByName(closed).unionByName(opened)
+
+
+def dim_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    eff = orders.agg(
+        F.date_trunc("month", F.max("o_orderdate")).alias("eff_ts")
+    )
+    updates = (
+        orders.crossJoin(F.broadcast(eff))
+        .filter(F.date_trunc("month", F.col("o_orderdate")) == F.col("eff_ts"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice", "spend"), F.first("eff_ts").alias("eff_ts"))
+    )
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(DIM_BIRTH).cast("timestamp").alias("valid_from"),
+    )
+    upd = updates.join(
+        dim.select("custkey", F.col("acctbal").alias("_old")), "custkey"
+    ).select(
+        "custkey",
+        (F.col("_old") + F.col("spend")).alias("new_acctbal"),
+        "eff_ts",
+    )
+    return scd2_apply(dim, upd).orderBy("custkey", "valid_from")
+
+
+DIM_SCD2_CUSTOMER_SQL = dedent(f"""
+    WITH eff AS (
+      SELECT date_trunc('month', MAX(o_orderdate)) AS eff_ts FROM orders
+    ),
+    updates AS (
+      SELECT o.o_custkey AS custkey,
+             {sql_dsum('o.o_totalprice')} AS spend,
+             MIN(e.eff_ts) AS eff_ts
+      FROM orders o CROSS JOIN eff e
+      WHERE date_trunc('month', o.o_orderdate) = e.eff_ts
+      GROUP BY o.o_custkey
+    ),
+    dim AS (
+      SELECT c_custkey AS custkey, c_name, c_mktsegment,
+             c_acctbal AS acctbal,
+             CAST('{DIM_BIRTH}' AS TIMESTAMP) AS valid_from
+      FROM customer
+    ),
+    upd AS (
+      SELECT u.custkey, d.acctbal + u.spend AS new_acctbal, u.eff_ts
+      FROM updates u JOIN dim d USING (custkey)
+    )
+    SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+    FROM dim d LEFT JOIN upd u USING (custkey) WHERE u.custkey IS NULL
+    UNION ALL
+    SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
+           u.eff_ts AS valid_to, FALSE AS is_current
+    FROM dim d JOIN upd u USING (custkey)
+    UNION ALL
+    SELECT d.custkey, d.c_name, d.c_mktsegment, u.new_acctbal AS acctbal,
+           u.eff_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM dim d JOIN upd u USING (custkey)
+    ORDER BY custkey, valid_from
+""")
+
+
+QUERIES = [
+    QuerySpec(
+        "dim_scd2_customer",
+        dim_scd2_customer,
+        DIM_SCD2_CUSTOMER_SQL,
+        "SCD type-2 dimension post-image: latest-month spend restates balances",
+        ("warehouse", "scd", "merge"),
+    ),
+]
