@@ -25,6 +25,7 @@ from pyspark.sql.window import Window as W
 
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import graph
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.llm import LSH_PAIRS_CTES, _lsh_verified_pairs
 from flink_tank_spark.plans.registry import QuerySpec
 
@@ -43,10 +44,17 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum — O(edges) shuffled work per round, 5 rounds; the final top-25
     is orderBy+limit (TakeOrderedAndProject), with the row_number window
     applied only to the already-limited 25-row frame."""
-    pairs = _lsh_verified_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    def build_edges() -> DataFrame:
+        pairs = _lsh_verified_pairs(spark, sf_dir)
+        return pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+
+    # The iteration loop references the edge list once per round; a
+    # persisted stage makes each reference an InMemoryTableScan instead
+    # of re-deriving the (md5-heavy) pair pipeline 5× (the multi-branch
+    # DAG re-evaluation cost, see plans/shared.py).
+    edges = shared.stage(spark, "doc_pagerank_edges", (sf_dir,), build_edges)
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     pr = graph.pagerank_scaled(nodes, edges, id_col="doc_id", iters=PR_ITERS)
     top = pr.orderBy(F.col("pr_scaled").desc(), "doc_id").limit(PR_TOPN)

@@ -39,14 +39,20 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-8
-# rotation: head = round-8 additions (never certified), then
-# ev_cms_merge_days (r7's only red — oracle dtype fix must re-certify),
-# then sorted(set(r06) - set(r07)) over the CORRECTNESS_r*.json keys
-# (the 44 queries whose newest driver cert is round 6), so after this
-# round every query's newest driver cert stays ≤2 rounds old.
+# run FIRST (order is otherwise meaningless to the gate). Round-9
+# rotation: the driver emitted NO CORRECTNESS_r08.json, so the round-8
+# head (r8 additions + the r7 red + config/semantic re-certs) keeps its
+# place with the round-9 additions prepended; the tail remains the
+# queries whose newest driver cert is round 6.
 FRONT_OF_LINE = (
-    # new in round 8 — no driver cert yet
+    # new in round 9 — no driver cert yet
+    "doc_pagerank",
+    "doc_bpe_merges",
+    "doc_bpe_tokens",
+    "emb_srp_topk",
+    "emb_srp_recall",
+    "dim_scd2_customer",
+    # new in round 8 — no driver cert yet (r8 driver run never landed)
     "emb_pq_topk",
     "doc_bigram_fluency",
     "part_skyline",
