@@ -267,6 +267,66 @@ JOIN_BLOOM_PRUNE_SQL = dedent(f"""
 """)
 
 
+def ev_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for each
+    (from_type, to_type) pair of CONSECUTIVE events within a user's
+    timeline, the transition count and row-normalized probability — the
+    user-journey model product analytics fits next to funnels/retention.
+
+    Shape: one lead() window partitioned by user_id (per-user event
+    counts are bounded; user_id is high-cardinality, so no single-task
+    funnel) → one map-side-combinable groupBy over at most |types|²
+    pairs; the row normalization joins against the 5-row per-from-type
+    totals. Ordering ties break on event_id (the ev_sequence
+    convention), so the matrix is partition-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            (F.col("n_trans").cast("double") / F.col("n_from").cast("double"))
+            .alias("p_trans"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EV_TYPE_TRANSITIONS_SQL = dedent("""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    totals AS (
+      SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n_trans,
+           CAST(t.n_trans AS DOUBLE) / CAST(o.n_from AS DOUBLE) AS p_trans
+    FROM trans t JOIN totals o USING (from_type)
+    ORDER BY t.from_type, t.to_type
+""")
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -282,4 +342,8 @@ QUERIES = [
               "Bloom-filter-pruned selective fact/dim semi-join (exact "
               "result; the sketch prunes the fact shuffle)",
               ("join", "sketch", "semijoin", "tpch")),
+    QuerySpec("ev_type_transitions", ev_type_transitions,
+              EV_TYPE_TRANSITIONS_SQL,
+              "first-order Markov transition matrix over user event journeys",
+              ("analytics", "events")),
 ]

@@ -46,6 +46,8 @@ class QuerySpec:
 # queries whose newest driver cert is round 6.
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
+    "ev_type_transitions",
+    "ev_zorder_extents",
     "doc_pagerank",
     "doc_bpe_merges",
     "doc_bpe_tokens",
@@ -130,6 +132,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bpe,
         graph,
         llm,
+        layout,
         scd,
         sketches,
         srp,
@@ -141,7 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
-        srp, scd,
+        srp, scd, layout,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:
