@@ -200,5 +200,6 @@ QUERIES = [
         DOC_BPE_TOKENS_SQL,
         "per-lang token stats under the learned BPE vocabulary",
         ("llm", "text", "tokenizer"),
+        bench=True,
     ),
 ]

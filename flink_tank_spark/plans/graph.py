@@ -125,5 +125,6 @@ QUERIES = [
         DOC_PAGERANK_SQL,
         "5-iteration fixed-point PageRank over the LSH near-dup graph, top 25",
         ("llm", "graph", "dedup"),
+        bench=True,
     ),
 ]
