@@ -26,37 +26,56 @@ from pyspark.sql.window import Window as W
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import graph
 from flink_tank_spark.plans import shared
-from flink_tank_spark.plans.llm import LSH_PAIRS_CTES, _lsh_verified_pairs
+from flink_tank_spark.plans.llm import (
+    _CC_CTES,
+    _CC_FINAL,
+    _CC_GUARD,
+    LSH_PAIRS_CTES,
+    _lsh_verified_pairs,
+)
 from flink_tank_spark.plans.registry import QuerySpec
 
 PR_ITERS = 5
 PR_TOPN = 25
 
 
+def _pr_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: the full (doc_id, degree, pr_scaled) rank table —
+    doc_pagerank and doc_canonical_by_pr both read it, so the iteration
+    chain runs once per session."""
+
+    def build() -> DataFrame:
+        def build_edges() -> DataFrame:
+            pairs = _lsh_verified_pairs(spark, sf_dir)
+            return pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            ).union(
+                pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+            )
+
+        # The iteration loop references the edge list once per round; a
+        # persisted stage makes each reference an InMemoryTableScan
+        # instead of re-deriving the (md5-heavy) pair pipeline 5× (the
+        # multi-branch DAG re-evaluation cost, see plans/shared.py).
+        edges = shared.stage(spark, "doc_pagerank_edges", (sf_dir,), build_edges)
+        nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+        return graph.pagerank_scaled(nodes, edges, id_col="doc_id", iters=PR_ITERS)
+
+    return shared.stage(spark, "doc_pagerank_ranks", (sf_dir,), build)
+
+
 def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-graph centrality: 5-iteration damped PageRank over the
     LSH-verified near-dup graph, top 25 docs. The curation use: inside a
     duplicate cluster the highest-PR member is the best canonical pick
-    (most-connected to the rest); corpus-wide, high-PR docs flag
-    templated/boilerplate families that exact dedup missed.
+    (doc_canonical_by_pr materializes exactly that); corpus-wide,
+    high-PR docs flag templated/boilerplate families exact dedup missed.
 
     Scale shape: per iteration one edge⋈rank equi-join + one groupBy
     sum — O(edges) shuffled work per round, 5 rounds; the final top-25
     is orderBy+limit (TakeOrderedAndProject), with the row_number window
     applied only to the already-limited 25-row frame."""
-    def build_edges() -> DataFrame:
-        pairs = _lsh_verified_pairs(spark, sf_dir)
-        return pairs.select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-        ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-
-    # The iteration loop references the edge list once per round; a
-    # persisted stage makes each reference an InMemoryTableScan instead
-    # of re-deriving the (md5-heavy) pair pipeline 5× (the multi-branch
-    # DAG re-evaluation cost, see plans/shared.py).
-    edges = shared.stage(spark, "doc_pagerank_edges", (sf_dir,), build_edges)
-    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
-    pr = graph.pagerank_scaled(nodes, edges, id_col="doc_id", iters=PR_ITERS)
+    pr = _pr_ranks(spark, sf_dir)
     top = pr.orderBy(F.col("pr_scaled").desc(), "doc_id").limit(PR_TOPN)
     return top.withColumn(
         "rk",
@@ -118,6 +137,76 @@ DOC_PAGERANK_SQL = dedent(f"""
 """)
 
 
+def doc_canonical_by_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: for every duplicate GROUP
+    (connected component of the near-dup graph) pick the member with
+    the highest PageRank — the most-connected, most-representative doc
+    — instead of doc_dedup_groups' arbitrary min-id convention. Ties
+    break on doc_id, so the pick is deterministic.
+
+    Shape: the CC labels and the rank table are both shared stages; this
+    query adds one equi-join and a per-group row_number window (group
+    sizes are bounded by the near-dup cluster size, never corpus-wide).
+    """
+    from flink_tank_spark.operators import dedup as dedup_ops
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    groups = dedup_ops.connected_components(pairs)
+    pr = _pr_ranks(spark, sf_dir)
+    scored = groups.join(pr, "doc_id").select(
+        F.col("canon_id").alias("group_id"), "doc_id", "pr_scaled"
+    )
+    w = W.partitionBy("group_id").orderBy(F.col("pr_scaled").desc(), "doc_id")
+    sizes = scored.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "group_id")
+        .select(
+            "group_id",
+            F.col("doc_id").alias("canonical_doc"),
+            "pr_scaled",
+            "n_members",
+        )
+        .orderBy("group_id")
+    )
+
+
+DOC_CANONICAL_BY_PR_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM near_dups
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near_dups
+    ),
+    {_CC_CTES},
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    edges_d AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+    nodes AS (SELECT doc_id FROM documents),
+    {_pr_iter_ctes(PR_ITERS)},
+    members AS (SELECT node AS doc_id, lbl AS group_id FROM {_CC_FINAL}),
+    scored AS (
+      SELECT m.group_id, m.doc_id, r.pr_scaled
+      FROM members m JOIN r{PR_ITERS} r USING (doc_id)
+    ),
+    picked AS (
+      SELECT group_id, doc_id, pr_scaled,
+             ROW_NUMBER() OVER (PARTITION BY group_id
+                                ORDER BY pr_scaled DESC, doc_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+      FROM scored
+    )
+    SELECT group_id, doc_id AS canonical_doc, pr_scaled, n_members
+    FROM picked WHERE rk = 1
+    UNION ALL
+    -- unconverged propagation (diameter > rounds) fails the gate loudly
+    SELECT -1, -1, -1, -1 WHERE {_CC_GUARD} > 0
+    ORDER BY group_id
+""")
+
+
 QUERIES = [
     QuerySpec(
         "doc_pagerank",
@@ -126,5 +215,12 @@ QUERIES = [
         "5-iteration fixed-point PageRank over the LSH near-dup graph, top 25",
         ("llm", "graph", "dedup"),
         bench=True,
+    ),
+    QuerySpec(
+        "doc_canonical_by_pr",
+        doc_canonical_by_pr,
+        DOC_CANONICAL_BY_PR_SQL,
+        "per-duplicate-group canonical doc = highest-PageRank member",
+        ("llm", "graph", "dedup"),
     ),
 ]
