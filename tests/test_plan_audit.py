@@ -58,6 +58,9 @@ SCALAR_BROADCAST_OK = {
     # the filter size itself, ~1.2 bytes/build-key) broadcast to probe
     "win_balance_quartiles",
     "win_exact_percentiles",
+    "ev_zorder_extents",  # 1-row min/max quantization stats frame crossed
+    # into the dims projection (no equality predicate for Catalyst to
+    # convert into a hash join, unlike dim_scd2_customer's month filter)
 }
 
 SPECS = sorted(all_queries().values(), key=lambda s: s.name)
