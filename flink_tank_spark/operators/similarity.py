@@ -795,3 +795,65 @@ def srp_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def srp_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 24,
+    n_bands: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded-SRP-blocked near-duplicate pairs with exact rescoring —
+    the stateless alternative to the IVF blocking of
+    cell_blocked_pairs: no centroid training, no drift, the hash IS the
+    index (which is why the streaming twin, streaming/srp_neardup.py,
+    needs zero index maintenance beyond appends).
+
+    Candidates = vectors sharing ≥1 band key (equi-join, id_a < id_b,
+    DISTINCT over multi-band collisions), verified by the exact
+    fixed-point cosine at ``threshold``. Work is Σ band-bucket² join
+    output — linear in the corpus for bounded band populations, never
+    an all-pairs product."""
+    v = (
+        vectors.select(
+            F.col(id_col), as_double_array(F.col(vec_col)).alias("v")
+        )
+        .withColumn("vn", norm(F.col("v")))
+        .filter(F.col("vn") > 0)
+    )
+    keys = v.select(
+        id_col,
+        F.explode(srp_band_keys(F.col("v"), n_planes, n_bands, dim)).alias(
+            "band_key"
+        ),
+    )
+    a = keys.select(F.col(id_col).alias("id_a"), "band_key")
+    b = keys.select(F.col(id_col).alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na")
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("vn").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot_vectorized(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

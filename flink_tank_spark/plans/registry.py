@@ -46,6 +46,7 @@ class QuerySpec:
 # queries whose newest driver cert is round 6.
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
+    "emb_srp_near_dups",
     "doc_canonical_by_pr",
     "ev_type_transitions",
     "ev_zorder_extents",
