@@ -138,6 +138,30 @@ def compact_partitioned(
     ).parquet(dest_path)
 
 
+def compact_zordered(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_files: int = 32,
+) -> None:
+    """Small-file compaction that ALSO re-clusters on the Z-order curve
+    of two already-quantized integer columns (io/zorder.py) — the
+    lakehouse OPTIMIZE ... ZORDER BY maintenance job: one rewrite buys
+    both fewer files and parquet min/max pruning on BOTH predicate
+    columns (quantified in tests/test_zorder.py).
+
+    Same never-in-place contract as :func:`compact_partitioned`."""
+    from flink_tank_spark.io.zorder import zorder_layout
+
+    df = spark.read.parquet(src_path)
+    zorder_layout(df, x_col, y_col, bits=bits, n_files=n_files).drop(
+        "_zkey"
+    ).write.mode("overwrite").parquet(dest_path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

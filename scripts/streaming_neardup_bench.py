@@ -110,6 +110,33 @@ def main() -> int:
             "per_batch_wall": ewalls, "pairs_found": e_pairs,
             "post_compact_batch_wall": round(e_post, 2),
         }
+
+        # ---- SRP embedding near-dup (stateless bands, r9) -----------------
+        from flink_tank_spark.streaming import srp_neardup
+
+        idx_s = os.path.join(work, "s_idx")
+        pairs_s = os.path.join(work, "s_pairs")
+        ssink = srp_neardup.incremental_srp_near_dup_sink(idx_s, pairs_s)
+        swalls = []
+        t0 = time.monotonic()
+        for b in range(n_batches):
+            bt = time.monotonic()
+            ssink(emb.filter(F.pmod(F.col("vec_id"), n_batches) == b), b)
+            swalls.append(round(time.monotonic() - bt, 2))
+        stotal = time.monotonic() - t0
+        s_pairs = spark.read.option("basePath", pairs_s).parquet(pairs_s).count()
+        srp_neardup.compact(spark, idx_s)
+        ct = time.monotonic()
+        ssink(emb.filter(F.pmod(F.col("vec_id"), n_batches) == 0)
+              .withColumn("vec_id", F.col("vec_id") + 10_000_000), n_batches)
+        s_post = time.monotonic() - ct
+        out["srp_embedding"] = {
+            "vectors": n_vec,
+            "wall_sec": round(stotal, 2),
+            "vectors_per_sec": round(n_vec / stotal, 1),
+            "per_batch_wall": swalls, "pairs_found": s_pairs,
+            "post_compact_batch_wall": round(s_post, 2),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

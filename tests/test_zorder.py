@@ -5,6 +5,8 @@ single-column time layout.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import numpy as np
 from pyspark.sql import functions as F
@@ -100,3 +102,40 @@ def test_zorder_tightens_both_dimensions(spark):
     n_z = _files_overlapping(z, user_probe, (0, dom))
     assert n_naive == 32, "time layout reads every file for a user filter"
     assert n_z <= 16, f"z-order should skip >=half the files, read {n_z}"
+
+
+def test_compact_zordered_files_prune_on_both_columns(spark, tmp_path):
+    """The OPTIMIZE-style rewrite: many small files in, n_files Z-ordered
+    files out, with real parquet footers whose min/max prune a
+    two-column predicate."""
+    import numpy as np
+    from flink_tank_spark.io.tables import compact_zordered
+
+    rng = np.random.default_rng(23)
+    dom = 1 << 16
+    pts = [(int(u), int(h)) for u, h in rng.integers(0, dom, size=(5000, 2))]
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    df = spark.createDataFrame(pts, "ux long, hy long")
+    df.repartition(64).write.parquet(src)  # 64 small unclustered files
+
+    compact_zordered(spark, src, dest, "ux", "hy", n_files=16)
+    out = spark.read.parquet(dest)
+    assert out.count() == 5000 and set(out.columns) == {"ux", "hy"}
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(files) <= 16
+
+    # real footer stats: per-file extents from the written files
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(dest, f)).metadata
+        lo_u = min(md.row_group(i).column(0).statistics.min
+                   for i in range(md.num_row_groups))
+        hi_u = max(md.row_group(i).column(0).statistics.max
+                   for i in range(md.num_row_groups))
+        spans.append(hi_u - lo_u)
+    # a random unclustered file would span ~the full domain; z-ordered
+    # files must be materially tighter on the NON-curve-leading column
+    assert sum(spans) / len(spans) < 0.55 * dom
+
