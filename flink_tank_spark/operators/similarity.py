@@ -800,8 +800,8 @@ def srp_topk(
 def srp_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.45,
-    n_planes: int = 24,
-    n_bands: int = 6,
+    n_planes: int = 48,
+    n_bands: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -815,8 +815,17 @@ def srp_near_dup_pairs(
     Candidates = vectors sharing ≥1 band key (equi-join, id_a < id_b,
     DISTINCT over multi-band collisions), verified by the exact
     fixed-point cosine at ``threshold``. Work is Σ band-bucket² join
-    output — linear in the corpus for bounded band populations, never
-    an all-pairs product."""
+    output, so the BAND WIDTH is the scale knob: each band's key space
+    is 2^(n_planes/n_bands), and bucket populations stay bounded only
+    while bits-per-band ≳ log2(corpus). The default 4×12 keeps ~tens of
+    candidates per vector at the 20k-vector test scale with 0.69
+    blocking recall on the planted cos≈0.9 near-dups (measured,
+    SRP_RECALL_r09.jsonl); at 100 TB widen the bands with the corpus
+    (more planes costs only hash bits, not state). Unlike MinHash bands
+    (content-hash entropy per band) sign bits carry ~1 bit each, so
+    SRP blocking recall DECAYS as bands widen — when recall dominates,
+    prefer the IVF near-dup path (cell_blocked_pairs, 0.94 planted
+    recall); this operator is the zero-state streaming niche."""
     v = (
         vectors.select(
             F.col(id_col), as_double_array(F.col(vec_col)).alias("v")

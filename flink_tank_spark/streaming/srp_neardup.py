@@ -49,8 +49,11 @@ BANDS_SUBDIR = "bands"
 VECTORS_SUBDIR = "vectors"
 
 THRESHOLD = 0.45
-N_PLANES = 24
-N_BANDS = 6
+# the wide-band near-dup blocking config (plans/srp.py ND_*): all-pairs
+# candidate volume is sum-of-bucket^2, so bits-per-band tracks
+# log2(corpus) — see similarity.srp_near_dup_pairs' scale note
+N_PLANES = 48
+N_BANDS = 4
 DIM = 64
 
 
