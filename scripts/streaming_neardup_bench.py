@@ -116,7 +116,15 @@ def main() -> int:
 
         idx_s = os.path.join(work, "s_idx")
         pairs_s = os.path.join(work, "s_pairs")
-        ssink = srp_neardup.incremental_srp_near_dup_sink(idx_s, pairs_s)
+        # freeze the stream's band width at what the adaptive batch query
+        # picks for this corpus size (streaming contract: width fixed at
+        # stream start)
+        from flink_tank_spark.plans.srp import ND_BANDS, _nd_bits
+
+        nd_bits = _nd_bits(n_vec)
+        ssink = srp_neardup.incremental_srp_near_dup_sink(
+            idx_s, pairs_s, n_planes=ND_BANDS * nd_bits, n_bands=ND_BANDS
+        )
         swalls = []
         t0 = time.monotonic()
         for b in range(n_batches):
@@ -131,7 +139,7 @@ def main() -> int:
               .withColumn("vec_id", F.col("vec_id") + 10_000_000), n_batches)
         s_post = time.monotonic() - ct
         out["srp_embedding"] = {
-            "vectors": n_vec,
+            "vectors": n_vec, "band_bits": nd_bits,
             "wall_sec": round(stotal, 2),
             "vectors_per_sec": round(n_vec / stotal, 1),
             "per_batch_wall": swalls, "pairs_found": s_pairs,
