@@ -1,0 +1,100 @@
+"""Column profiling — the engine's data-quality / statistics surface.
+
+Per-column row count, null count, exact distinct count, and min/max in
+one declarative pass, the operation behind ``ANALYZE``-style stats
+collection, ingest-time data-quality gates, and optimizer cardinality
+feeds. Profiled values are cast to DOUBLE so every column shares one
+output schema (exact for the key/linenumber magnitudes involved:
+doubles hold integers up to 2^53); min/max are data values copied, not
+arithmetic, so they hash bit-identically against the oracle.
+
+Scale shape: ``stack`` melts each row into (col_name, value) pairs
+BEFORE the aggregate, so the wide-table scan happens ONCE no matter how
+many columns are profiled (vs one scan per column in the naive UNION
+plan the oracle mirrors — DuckDB gets the readable form, Spark gets the
+single-pass form, values identical). count/min/max collapse map-side;
+the exact distinct rewrites to a two-phase aggregate keyed by
+(col_name, value), which is hash-distributed across the cluster, so the
+8-group final aggregate only ever sees pre-aggregated rows — no 8-key
+reducer hotspot. At 100 TB this is the textbook profile plan: one scan,
+partial aggs, one distinct-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.plans.registry import QuerySpec
+
+PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+)
+
+
+def profile_numeric(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Single-pass numeric profile of ``cols``: one melted scan, one
+    distinct-keyed aggregate. Output: (col_name, n_rows, n_null,
+    n_distinct, min_val, max_val) per profiled column."""
+    stack = "stack({}, {}) as (col_name, val)".format(
+        len(cols),
+        ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols),
+    )
+    return (
+        df.selectExpr(stack)
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def tbl_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_numeric(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+TBL_PROFILE_LINEITEM_SQL = dedent(
+    """
+    WITH m AS (
+      {}
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(val) AS n_null,
+           COUNT(DISTINCT val) AS n_distinct,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM m GROUP BY col_name ORDER BY col_name
+"""
+).format(
+    "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM lineitem"
+        for c in PROFILE_COLS
+    )
+)
+
+
+QUERIES = [
+    QuerySpec(
+        "tbl_profile_lineitem",
+        tbl_profile_lineitem,
+        TBL_PROFILE_LINEITEM_SQL,
+        "Single-pass column profile: rows/nulls/exact-distinct/min/max per column",
+        ("profiling", "data-quality", "stats"),
+    ),
+]

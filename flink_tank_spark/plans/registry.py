@@ -46,6 +46,8 @@ class QuerySpec:
 # queries whose newest driver cert is round 6.
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
+    "dim_scd2_asof_join",
+    "tbl_profile_lineitem",
     "emb_srp_near_dups",
     "doc_canonical_by_pr",
     "ev_type_transitions",
@@ -135,6 +137,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph,
         llm,
         layout,
+        profile,
         scd,
         sketches,
         srp,
@@ -146,7 +149,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
-        srp, scd, layout,
+        srp, scd, layout, profile,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:

@@ -70,7 +70,9 @@ def scd2_apply(dim: DataFrame, updates: DataFrame) -> DataFrame:
     return untouched.unionByName(closed).unionByName(opened)
 
 
-def dim_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_post_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unordered SCD2 history table shared by the post-image query
+    and the point-in-time join."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     eff = orders.agg(
@@ -96,10 +98,50 @@ def dim_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_old") + F.col("spend")).alias("new_acctbal"),
         "eff_ts",
     )
-    return scd2_apply(dim, upd).orderBy("custkey", "valid_from")
+    return scd2_apply(dim, upd)
 
 
-DIM_SCD2_CUSTOMER_SQL = dedent(f"""
+def dim_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_post_image(spark, sf_dir).orderBy("custkey", "valid_from")
+
+
+def dim_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal as-of) fact→dimension lookup: every order
+    joins the SCD2 customer version valid AT ITS ORDER DATE — the
+    warehouse query SCD2 history exists to answer. Intervals are
+    half-open [valid_from, valid_to): an order placed exactly at an
+    effective timestamp sees the NEW version, matching the post-image's
+    close/open convention, and NULL valid_to is +infinity.
+
+    Scale shape: the dimension (2 rows/key worst case) is broadcast into
+    the fact scan, so this is a BroadcastHashJoin on custkey whose range
+    predicate rides along as the join residual — one fact-table pass,
+    zero shuffles before the final 10-group aggregate, which is
+    map-side combinable. Never an interval cross-product: the equi-key
+    carries the join; the interval only filters the (<=2)-row bucket.
+    The aggregate splits orders by which version age they saw
+    (is_current), so any off-by-one in the interval logic moves rows
+    between groups and breaks the value hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    scd2 = _scd2_post_image(spark, sf_dir)
+    j = orders.join(
+        F.broadcast(scd2),
+        (F.col("o_custkey") == F.col("custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("c_mktsegment", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+            F.countDistinct("custkey").alias("n_customers"),
+        )
+        .orderBy("c_mktsegment", "is_current")
+    )
+
+
+_SCD2_CTES = dedent(f"""\
     WITH eff AS (
       SELECT date_trunc('month', MAX(o_orderdate)) AS eff_ts FROM orders
     ),
@@ -120,22 +162,43 @@ DIM_SCD2_CUSTOMER_SQL = dedent(f"""
     upd AS (
       SELECT u.custkey, d.acctbal + u.spend AS new_acctbal, u.eff_ts
       FROM updates u JOIN dim d USING (custkey)
-    )
-    SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
-           CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
-    FROM dim d LEFT JOIN upd u USING (custkey) WHERE u.custkey IS NULL
-    UNION ALL
-    SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
-           u.eff_ts AS valid_to, FALSE AS is_current
-    FROM dim d JOIN upd u USING (custkey)
-    UNION ALL
-    SELECT d.custkey, d.c_name, d.c_mktsegment, u.new_acctbal AS acctbal,
-           u.eff_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
-           TRUE AS is_current
-    FROM dim d JOIN upd u USING (custkey)
+    ),
+    scd2 AS (
+      SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      FROM dim d LEFT JOIN upd u USING (custkey) WHERE u.custkey IS NULL
+      UNION ALL
+      SELECT d.custkey, d.c_name, d.c_mktsegment, d.acctbal, d.valid_from,
+             u.eff_ts AS valid_to, FALSE AS is_current
+      FROM dim d JOIN upd u USING (custkey)
+      UNION ALL
+      SELECT d.custkey, d.c_name, d.c_mktsegment, u.new_acctbal AS acctbal,
+             u.eff_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+             TRUE AS is_current
+      FROM dim d JOIN upd u USING (custkey)
+    )""")
+
+DIM_SCD2_CUSTOMER_SQL = dedent(f"""
+    {_SCD2_CTES}
+    SELECT custkey, c_name, c_mktsegment, acctbal, valid_from,
+           valid_to, is_current
+    FROM scd2
     ORDER BY custkey, valid_from
 """)
 
+DIM_SCD2_ASOF_JOIN_SQL = dedent(f"""
+    {_SCD2_CTES}
+    SELECT d.c_mktsegment, d.is_current,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue,
+           COUNT(DISTINCT d.custkey) AS n_customers
+    FROM orders o JOIN scd2 d
+      ON o.o_custkey = d.custkey
+     AND d.valid_from <= o.o_orderdate
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.c_mktsegment, d.is_current
+    ORDER BY d.c_mktsegment, d.is_current
+""")
 
 QUERIES = [
     QuerySpec(
@@ -144,5 +207,12 @@ QUERIES = [
         DIM_SCD2_CUSTOMER_SQL,
         "SCD type-2 dimension post-image: latest-month spend restates balances",
         ("warehouse", "scd", "merge"),
+    ),
+    QuerySpec(
+        "dim_scd2_asof_join",
+        dim_scd2_asof_join,
+        DIM_SCD2_ASOF_JOIN_SQL,
+        "Point-in-time join: each order sees the SCD2 version valid at its date",
+        ("warehouse", "scd", "temporal-join"),
     ),
 ]
