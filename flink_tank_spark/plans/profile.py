@@ -42,16 +42,23 @@ PROFILE_COLS = (
 )
 
 
-def profile_numeric(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
-    """Single-pass numeric profile of ``cols``: one melted scan, one
-    distinct-keyed aggregate. Output: (col_name, n_rows, n_null,
-    n_distinct, min_val, max_val) per profiled column."""
+def melt_numeric(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """The shared melt stage: one row per (col_name, value-as-double)
+    pair — the form both the one-pass batch profile and the streaming
+    per-batch deltas (streaming/profile.py) aggregate over."""
     stack = "stack({}, {}) as (col_name, val)".format(
         len(cols),
         ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols),
     )
+    return df.selectExpr(stack)
+
+
+def profile_numeric(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Single-pass numeric profile of ``cols``: one melted scan, one
+    distinct-keyed aggregate. Output: (col_name, n_rows, n_null,
+    n_distinct, min_val, max_val) per profiled column."""
     return (
-        df.selectExpr(stack)
+        melt_numeric(df, cols)
         .groupBy("col_name")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -96,5 +103,6 @@ QUERIES = [
         TBL_PROFILE_LINEITEM_SQL,
         "Single-pass column profile: rows/nulls/exact-distinct/min/max per column",
         ("profiling", "data-quality", "stats"),
+        bench=True,
     ),
 ]
