@@ -75,6 +75,62 @@ def tbl_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_numeric(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
 
 
+TEXT_COLS = ("lang", "source", "text")
+
+
+def profile_text(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """String-column profile: the same one-melted-scan shape as
+    :func:`profile_numeric` with length statistics in place of value
+    extrema — the ingest-gate stats for a text corpus (is a field
+    suddenly empty/huge/low-cardinality?). Lengths are counted in code
+    points, which Spark and DuckDB agree on (and are cast to BIGINT on
+    both sides — DuckDB's SUM(BIGINT) would otherwise widen to HUGEINT,
+    the round-7 dtype-mismatch lesson)."""
+    stack = "stack({}, {}) as (col_name, val)".format(
+        len(cols), ", ".join(f"'{c}', {c}" for c in cols)
+    )
+    length = F.length("val").cast("long")
+    return (
+        df.selectExpr(stack)
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+            F.countDistinct("val").alias("n_distinct"),
+            F.min(length).alias("min_len"),
+            F.max(length).alias("max_len"),
+            F.sum(length).alias("len_chars"),
+        )
+        .orderBy("col_name")
+    )
+
+
+def doc_profile_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile_text(load_table(spark, sf_dir, "documents"), TEXT_COLS)
+
+
+DOC_PROFILE_TEXT_SQL = dedent(
+    """
+    WITH m AS (
+      {}
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(val) AS n_null,
+           COUNT(DISTINCT val) AS n_distinct,
+           CAST(MIN(LENGTH(val)) AS BIGINT) AS min_len,
+           CAST(MAX(LENGTH(val)) AS BIGINT) AS max_len,
+           CAST(SUM(LENGTH(val)) AS BIGINT) AS len_chars
+    FROM m GROUP BY col_name ORDER BY col_name
+"""
+).format(
+    "\n      UNION ALL\n      ".join(
+        f"SELECT '{c}' AS col_name, {c} AS val FROM documents"
+        for c in TEXT_COLS
+    )
+)
+
+
 TBL_PROFILE_LINEITEM_SQL = dedent(
     """
     WITH m AS (
@@ -104,5 +160,12 @@ QUERIES = [
         "Single-pass column profile: rows/nulls/exact-distinct/min/max per column",
         ("profiling", "data-quality", "stats"),
         bench=True,
+    ),
+    QuerySpec(
+        "doc_profile_text",
+        doc_profile_text,
+        DOC_PROFILE_TEXT_SQL,
+        "String-column profile: rows/nulls/exact-distinct/length stats per column",
+        ("profiling", "data-quality", "text"),
     ),
 ]

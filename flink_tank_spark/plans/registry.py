@@ -48,6 +48,7 @@ FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
+    "doc_profile_text",
     "emb_srp_near_dups",
     "doc_canonical_by_pr",
     "ev_type_transitions",
