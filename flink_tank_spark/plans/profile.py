@@ -26,6 +26,7 @@ from textwrap import dedent
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.plans.registry import QuerySpec
@@ -131,6 +132,11 @@ DOC_PROFILE_TEXT_SQL = dedent(
 )
 
 
+_MELT_LINEITEM_SQL = "\n      UNION ALL\n      ".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM lineitem"
+    for c in PROFILE_COLS
+)
+
 TBL_PROFILE_LINEITEM_SQL = dedent(
     """
     WITH m AS (
@@ -144,11 +150,73 @@ TBL_PROFILE_LINEITEM_SQL = dedent(
            MAX(val) AS max_val
     FROM m GROUP BY col_name ORDER BY col_name
 """
-).format(
-    "\n      UNION ALL\n      ".join(
-        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS val FROM lineitem"
-        for c in PROFILE_COLS
+).format(_MELT_LINEITEM_SQL)
+
+
+MCV_K = 5
+
+
+def mcv_numeric(
+    df: DataFrame, cols: tuple[str, ...], k: int = MCV_K, salts: int = 32
+) -> DataFrame:
+    """Most-common values per column — the MCV half of ANALYZE-style
+    statistics (the profiler's min/max tells the optimizer the range;
+    the MCV list tells it the skew). Total order (cnt DESC, val ASC)
+    makes the top-k deterministic under ties.
+
+    Scale shape: the global (col_name, val) counts are map-side
+    combinable, but a DIRECT per-column top-k window would funnel every
+    distinct value of a column through one task (billions of rows per
+    partition at 100 TB for a key-like column — the low-cardinality-
+    window trap in the repo's scale notes). Two-phase instead: a salted
+    window takes top-k within (col_name, hash(val)%salts) — bounded
+    partitions — which provably contains the global top-k (every global
+    top-k member is top-k within its own salt); the final window then
+    ranks ≤ k·salts survivors per column, a constant-size task."""
+    counts = (
+        melt_numeric(df, cols)
+        .filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    order = [F.col("cnt").desc(), F.col("val").asc()]
+    w1 = Window.partitionBy("col_name", "salt").orderBy(*order)
+    survivors = (
+        counts.withColumn("salt", F.pmod(F.hash("val"), F.lit(salts)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("salt", "rn")
+    )
+    w2 = Window.partitionBy("col_name").orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("col_name", "rank")
+    )
+
+
+def tbl_mcv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mcv_numeric(load_table(spark, sf_dir, "lineitem"), PROFILE_COLS)
+
+
+TBL_MCV_LINEITEM_SQL = dedent(
+    f"""
+    WITH m AS (
+      {_MELT_LINEITEM_SQL}
+    ),
+    c AS (
+      SELECT col_name, val, COUNT(*) AS cnt
+      FROM m WHERE val IS NOT NULL GROUP BY col_name, val
+    )
+    SELECT col_name, val, cnt, rank FROM (
+      SELECT col_name, val, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY col_name
+                                     ORDER BY cnt DESC, val ASC) AS INTEGER)
+               AS rank
+      FROM c)
+    WHERE rank <= {MCV_K}
+    ORDER BY col_name, rank
+"""
 )
 
 
@@ -167,5 +235,12 @@ QUERIES = [
         DOC_PROFILE_TEXT_SQL,
         "String-column profile: rows/nulls/exact-distinct/length stats per column",
         ("profiling", "data-quality", "text"),
+    ),
+    QuerySpec(
+        "tbl_mcv_lineitem",
+        tbl_mcv_lineitem,
+        TBL_MCV_LINEITEM_SQL,
+        "Most-common values per column via two-phase salted top-k",
+        ("profiling", "data-quality", "stats"),
     ),
 ]

@@ -49,6 +49,7 @@ FRONT_OF_LINE = (
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",
+    "tbl_mcv_lineitem",
     "emb_srp_near_dups",
     "doc_canonical_by_pr",
     "ev_type_transitions",

@@ -16,7 +16,13 @@ import datetime
 from pyspark.sql import functions as F
 
 from flink_tank_spark.io.tables import load_table
-from flink_tank_spark.plans.profile import PROFILE_COLS, profile_numeric
+from flink_tank_spark.plans.profile import (
+    MCV_K,
+    PROFILE_COLS,
+    mcv_numeric,
+    melt_numeric,
+    profile_numeric,
+)
 from flink_tank_spark.plans.scd import _scd2_post_image, dim_scd2_asof_join
 
 SF = "/root/testdata/sf0.001"
@@ -45,6 +51,38 @@ def test_profile_lineitem_shape(spark):
     assert rows["l_linenumber"]["n_distinct"] == 7
     assert rows["l_discount"]["min_val"] >= 0.0
     assert rows["l_discount"]["max_val"] <= 0.11
+
+
+def test_mcv_salted_topk_equals_direct_window(spark):
+    """The two-phase salted top-k must equal a DIRECT single-window
+    top-k (the salting is a partition-size bound, never a result
+    change), for every salt count including salts=1 (degenerate) and
+    salts >> distinct values (every value alone in its salt)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, SF, "lineitem")
+    counts = (
+        melt_numeric(li, PROFILE_COLS)
+        .filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("col_name").orderBy(
+        F.col("cnt").desc(), F.col("val").asc()
+    )
+    direct = {
+        tuple(r)
+        for r in counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MCV_K)
+        .collect()
+    }
+    for salts in (1, 7, 4096):
+        got = {
+            tuple(r)
+            for r in mcv_numeric(li, PROFILE_COLS, salts=salts).collect()
+        }
+        assert got == direct, f"salted top-k diverged at salts={salts}"
 
 
 def test_asof_join_totality(spark):
