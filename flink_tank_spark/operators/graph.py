@@ -96,3 +96,93 @@ def pagerank_scaled(
         F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
         "pr_scaled",
     )
+
+
+CC_SCALE = 1_000_000  # clustering coefficient ppm: 1.0 == 1e6
+
+
+def triangle_counts(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list (``id_a`` < ``id_b``, one row per edge).
+
+    Distributed shape — degree-ordered orientation (the classic
+    MapReduce triangle recipe of Suri & Vassilvitskii, WWW'11 /
+    Schank-Wagner): each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so every node's
+    OUT-degree is O(sqrt(m)) regardless of how skewed the raw degree
+    distribution is — a celebrity node with 10^6 neighbours emits no
+    wedges; its low-degree neighbours each emit a bounded few. Wedges
+    (a->b, a->c) join back against the oriented edge list on (b, c),
+    confirming each triangle EXACTLY once. All three joins are equi
+    hash joins (wedge join on the shared source, closure join on the
+    endpoint pair); nothing is quadratic in a bucket and nothing
+    shuffles more than the wedge set (~m^1.5 worst case, the known
+    optimum for exact counting without sketches).
+
+    Determinism: counts are integers; the clustering coefficient is
+    emitted as scaled ppm via exact integer floor division
+    ``(2 * tri * 1e6) div (deg * (deg - 1))`` so any partitioning and
+    the DuckDB oracle (``//``) agree bit-for-bit (both floor on the
+    non-negative operands here). Returns one row per node with
+    degree >= 1: (id_col, degree, n_tri, cc_ppm); cc_ppm = 0 where
+    degree < 2 (undefined -> 0 by convention).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    # Attach both endpoint degrees, orient low (deg, id) -> high.
+    e = (
+        edges.join(deg.select(F.col("src").alias("u"), F.col("deg").alias("du")),
+                   F.col("src") == F.col("u"))
+        .join(deg.select(F.col("src").alias("v"), F.col("deg").alias("dv")),
+              F.col("dst") == F.col("v"))
+        .select("src", "dst", "du", "dv")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("ddeg").alias("db")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("ddeg").alias("dc")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+    corners = (
+        tris.select(F.col("a").alias("n"))
+        .union(tris.select(F.col("b").alias("n")))
+        .union(tris.select(F.col("c").alias("n")))
+    )
+    tri_per_node = corners.groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
+
+    out = (
+        deg.join(tri_per_node, deg["src"] == tri_per_node["n"], "left")
+        .select(
+            F.col("src").alias(id_col),
+            F.col("deg").cast("long").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+        )
+        .withColumn(
+            "cc_ppm",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(f"(2 * n_tri * {CC_SCALE}) div (degree * (degree - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return out

@@ -207,6 +207,66 @@ DOC_CANONICAL_BY_PR_SQL = dedent(f"""
 """)
 
 
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per document over
+    the LSH-verified near-dup graph — the cohesion signal next to CC
+    (membership) and PageRank (centrality): a high clustering
+    coefficient marks tight duplicate CLIQUES (template families, exact
+    re-posts), a low one marks hub-like chains (boilerplate that
+    near-matches many unrelated docs) — different curation actions.
+
+    Scale shape: degree-ordered orientation (operators/graph.
+    triangle_counts) keeps every wedge emitter's out-degree O(sqrt(m));
+    all joins are equi hash joins over the SHARED session pair stage —
+    no new corpus scan, no quadratic bucket work."""
+
+    def build() -> DataFrame:
+        pairs = _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+        return graph.triangle_counts(pairs, id_col="doc_id")
+
+    out = shared.stage(spark, "doc_triangles", (sf_dir,), build)
+    return out.orderBy("doc_id")
+
+
+_TRI_ORIENT = "(da.deg < db.deg) OR (da.deg = db.deg AND e.src < e.dst)"
+
+DOC_TRIANGLES_SQL = dedent(f"""
+    WITH {LSH_PAIRS_CTES},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM near_dups),
+    und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+    oriented AS MATERIALIZED (
+      SELECT CASE WHEN {_TRI_ORIENT} THEN e.src ELSE e.dst END AS src,
+             CASE WHEN {_TRI_ORIENT} THEN e.dst ELSE e.src END AS dst,
+             CASE WHEN {_TRI_ORIENT} THEN db.deg ELSE da.deg END AS ddeg
+      FROM edges e JOIN deg da ON e.src = da.src
+                   JOIN deg db ON e.dst = db.src
+    ),
+    tris AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src
+           AND ((e1.ddeg < e2.ddeg) OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS n FROM tris
+      UNION ALL SELECT b FROM tris
+      UNION ALL SELECT c FROM tris
+    ),
+    tpn AS (SELECT n, COUNT(*) AS n_tri FROM corners GROUP BY n)
+    SELECT d.src AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+           CAST(CASE WHEN d.deg >= 2
+                     THEN (2 * COALESCE(t.n_tri, 0) * 1000000)
+                          // (d.deg * (d.deg - 1))
+                     ELSE 0 END AS BIGINT) AS cc_ppm
+    FROM deg d LEFT JOIN tpn t ON d.src = t.n
+    ORDER BY doc_id
+""")
+
+
 QUERIES = [
     QuerySpec(
         "doc_pagerank",
@@ -215,6 +275,13 @@ QUERIES = [
         "5-iteration fixed-point PageRank over the LSH near-dup graph, top 25",
         ("llm", "graph", "dedup"),
         bench=True,
+    ),
+    QuerySpec(
+        "doc_triangles",
+        doc_triangles,
+        DOC_TRIANGLES_SQL,
+        "per-doc triangle count + clustering coefficient (ppm) on the near-dup graph",
+        ("llm", "graph", "dedup"),
     ),
     QuerySpec(
         "doc_canonical_by_pr",

@@ -46,6 +46,7 @@ class QuerySpec:
 # queries whose newest driver cert is round 6.
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
+    "doc_triangles",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

@@ -62,3 +62,55 @@ def test_pagerank_partition_invariant(spark):
         ).collect()
     )
     assert one == many
+
+
+# --------------------------------------------------------------------------
+# triangle_counts (operators/graph.py)
+# --------------------------------------------------------------------------
+
+from flink_tank_spark.operators.graph import CC_SCALE, triangle_counts
+
+
+def _tri_df(spark, und_pairs):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in und_pairs], "id_a long, id_b long"
+    )
+
+
+def test_triangle_counts_on_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3); pendant node 5 off 1;
+    # path node 6-7 (no triangles); 8 isolated (degree 0 -> absent).
+    und = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (1, 5),
+        (6, 7),
+    ]
+    got = {
+        r["doc_id"]: (r["degree"], r["n_tri"], r["cc_ppm"])
+        for r in triangle_counts(_tri_df(spark, und)).collect()
+    }
+    # K4 interior: node 1 has degree 4 (incl. pendant), 3 triangles ->
+    # cc = 2*3/(4*3) = 0.5; nodes 2..4 degree 3, 3 triangles -> cc = 1.0.
+    assert got[1] == (4, 3, CC_SCALE // 2)
+    for n in (2, 3, 4):
+        assert got[n] == (3, 3, CC_SCALE)
+    assert got[5] == (1, 0, 0)  # pendant: degree 1, cc undefined -> 0
+    assert got[6] == (1, 0, 0) and got[7] == (1, 0, 0)
+    assert 8 not in got  # no edges -> no row
+    # global triangle count: sum of per-node counts / 3
+    assert sum(v[1] for v in got.values()) == 4 * 3
+
+
+def test_triangle_counts_skewed_hub_and_invariance(spark):
+    # hub 0 connected to 1..20 (star: no triangles), plus one triangle
+    # hanging off leaves 1-2 via (1,2): nodes 0,1,2 form the only triangle.
+    und = [(0, i) for i in range(1, 21)] + [(1, 2)]
+    base = triangle_counts(_tri_df(spark, und))
+    got = {r["doc_id"]: (r["degree"], r["n_tri"]) for r in base.collect()}
+    assert got[0] == (20, 1)
+    assert got[1] == (2, 1) and got[2] == (2, 1)
+    assert all(got[i] == (1, 0) for i in range(3, 21))
+    # partitioning must not change anything (exact integer outputs)
+    one = sorted(map(tuple, triangle_counts(_tri_df(spark, und).coalesce(1)).collect()))
+    many = sorted(map(tuple, triangle_counts(_tri_df(spark, und).repartition(13)).collect()))
+    assert one == many
