@@ -327,6 +327,101 @@ EV_TYPE_TRANSITIONS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# ev_value_outliers — exact-arithmetic z-score anomaly counts
+# --------------------------------------------------------------------------
+
+def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) value-anomaly monitor: how many events sit
+    beyond 3 population standard deviations of their group, plus the
+    worst squared z-score — the data-quality tripwire a training-data
+    ingest runs next to the column profiler (plans/profile.py).
+
+    Exactness contract: the z² comparison is pure INTEGER arithmetic —
+    with v scaled to micro-units (the numeric.py recipe), n·s2 − s1²
+    = n²σ² and (n·v − s1)² = n²(v−μ)², so
+
+        |v − μ| > 3σ  ⇔  (n·v − s1)² > 9·(n·s2 − s1²)
+
+    with the n² cancelled: no division, no sqrt, no float — any
+    partitioning and the DuckDB oracle agree bit-for-bit. The reported
+    ``z2_max_ppm`` is exact floor division (z² ≤ n by Chebyshev, so the
+    ppm value fits a BIGINT at any group size).
+
+    Scale shape: one map-side-combinable stats groupBy, one broadcast
+    join of the (type, day)-bounded stats table back onto events, one
+    counting groupBy. Precision envelope: products stay in
+    DECIMAL(38,0); |n·v_s| < 1e18 holds for group counts up to ~1e9 at
+    this value domain (≤ 5e8 micro-units) — beyond that, shrink the
+    group grain (hourly) or drop the scale factor.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+        .cast("decimal(20,0)")
+        .alias("v"),
+    )
+    stats = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    j = base.join(F.broadcast(stats), ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("v") - F.col("s1")).alias("diff"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("rhs"),
+    )
+    num = F.col("diff") * F.col("diff")
+    return (
+        j.select(
+            "event_type",
+            "day",
+            (num > F.lit(9) * F.col("rhs")).cast("integer").alias("is_out"),
+            F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("z2_ppm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_out").cast("long").alias("n_out3"),
+            F.max("z2_ppm").alias("z2_max_ppm"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EV_VALUE_OUTLIERS_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, day, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(v) AS s1, SUM(v * v) AS s2
+      FROM e GROUP BY event_type, day
+    ),
+    j AS (
+      SELECT e.event_type, e.day,
+             (s.n * e.v - s.s1) * (s.n * e.v - s.s1) AS num,
+             (s.n * s.s2 - s.s1 * s.s1) AS rhs
+      FROM e JOIN s USING (event_type, day)
+    )
+    SELECT event_type, day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN num > 9 * rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_out3,
+           CAST(MAX(CASE WHEN rhs > 0 THEN (num * 1000000) // rhs ELSE 0 END) AS BIGINT) AS z2_max_ppm
+    FROM j GROUP BY event_type, day
+    ORDER BY event_type, day
+""")
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -334,6 +429,9 @@ QUERIES = [
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
               "first-seen cohorts x day-offset retention counts (0..7)",
               ("analytics", "events")),
+    QuerySpec("ev_value_outliers", ev_value_outliers, EV_VALUE_OUTLIERS_SQL,
+              "per-(type, day) 3-sigma outlier counts + max z² (exact integer z-test)",
+              ("analytics", "events", "quality")),
     QuerySpec("ev_cep_match", ev_cep_match, EV_CEP_MATCH_SQL,
               "CEP pattern: signup → first purchase ≤1h, no error between "
               "(negation + within, Flink-CEP shape)",

@@ -47,6 +47,7 @@ class QuerySpec:
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
     "doc_triangles",
+    "ev_value_outliers",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

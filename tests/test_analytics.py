@@ -46,3 +46,47 @@ def test_cep_match_negation_within_tie_and_overlap(spark, tmp_path):
         for r in ev_cep_match(spark, str(tmp_path)).collect()
     }
     assert got == {(1, 10), (5, 50), (5, 51)}
+
+
+# --------------------------------------------------------------------------
+# ev_value_outliers — exact z-score semantics
+# --------------------------------------------------------------------------
+
+def _write_valued_events(spark, path, vals, day=1):
+    t0 = dt.datetime(2024, 1, day)
+    full = [
+        (i, t0 + dt.timedelta(minutes=i), i, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        full, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_value_outliers_flags_exactly_the_3sigma_points(spark, tmp_path):
+    from flink_tank_spark.plans.analytics import ev_value_outliers
+
+    # 20 values at 10.0 plus one wild point: mean≈14.3, the 100.0 sits
+    # far beyond 3σ while the 10.0s sit well inside.
+    vals = [10.0] * 20 + [100.0]
+    _write_valued_events(spark, str(tmp_path), vals)
+    rows = ev_value_outliers(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_events"], r["n_out3"]) == (21, 1)
+    # numpy cross-check of the max z² (population σ), scaled to ppm
+    import numpy as np
+
+    v = np.array(vals)
+    z2 = ((v - v.mean()) ** 2 / v.var()).max()
+    assert abs(r["z2_max_ppm"] / 1e6 - z2) < 1e-3
+
+
+def test_value_outliers_constant_group_has_no_outliers(spark, tmp_path):
+    from flink_tank_spark.plans.analytics import ev_value_outliers
+
+    _write_valued_events(spark, str(tmp_path), [5.0] * 10)
+    r = ev_value_outliers(spark, str(tmp_path)).collect()[0]
+    # zero variance: nothing beyond 3σ, z² guard yields 0 (no div-by-zero)
+    assert (r["n_events"], r["n_out3"], r["z2_max_ppm"]) == (10, 0, 0)
