@@ -267,6 +267,70 @@ DOC_TRIANGLES_SQL = dedent(f"""
 """)
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 32
+
+
+def doc_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-core of the near-dup graph: docs that keep >= 2 near-dup
+    neighbours after all peripheral chains peel away — the dense
+    template-family membership set, with each member's within-core
+    degree. Complements doc_triangles (local cliquishness) with the
+    global density hierarchy.
+
+    Scale shape: counted-fixpoint peeling, one degree groupBy + two
+    semi joins per round over the SHARED session pair stage; lineage
+    checkpoint-truncated per round (operators/graph.kcore)."""
+
+    def build() -> DataFrame:
+        pairs = _lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+        return graph.kcore(pairs, k=KCORE_K, id_col="doc_id")
+
+    out = shared.stage(spark, "doc_kcore", (sf_dir,), build)
+    return out.orderBy("doc_id")
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """Unrolled peeling over CTE ``e0`` (src, dst, both directions).
+    Peeling is monotone and idempotent at fixpoint, so a fixed unroll
+    >= the true peel depth yields the exact core; the guard CTE makes
+    an unconverged unroll fail LOUDLY (sentinel row) instead of
+    returning a too-large core."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e{i-1} GROUP BY src),\n"
+            f"e{i} AS MATERIALIZED (\n"
+            f"  SELECT e.src, e.dst FROM e{i-1} e\n"
+            f"  JOIN d{i} a ON e.src = a.src AND a.d >= {k}\n"
+            f"  JOIN d{i} b ON e.dst = b.src AND b.d >= {k}\n"
+            f")"
+        )
+    return ",\n    ".join(parts)
+
+
+DOC_KCORE_SQL = dedent(f"""
+    WITH {{LSH_PAIRS_CTES}},
+    e0 AS (
+      SELECT id_a AS src, id_b AS dst FROM near_dups
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM near_dups
+    ),
+    {{KCORE_ROUND_CTES}},
+    core AS (SELECT src, COUNT(*) AS d FROM e{{R}} GROUP BY src)
+    SELECT src AS doc_id, CAST(d AS BIGINT) AS core_degree FROM core
+    UNION ALL
+    -- unconverged peel (depth > rounds) fails the gate loudly
+    SELECT -1, -1 WHERE (SELECT COUNT(*) FROM core WHERE d < {{K}}) > 0
+    ORDER BY doc_id
+""").format(
+    LSH_PAIRS_CTES=LSH_PAIRS_CTES,
+    KCORE_ROUND_CTES=_kcore_ctes(KCORE_K, KCORE_ROUNDS),
+    R=KCORE_ROUNDS,
+    K=KCORE_K,
+)
+
+
 QUERIES = [
     QuerySpec(
         "doc_pagerank",
@@ -281,6 +345,13 @@ QUERIES = [
         doc_triangles,
         DOC_TRIANGLES_SQL,
         "per-doc triangle count + clustering coefficient (ppm) on the near-dup graph",
+        ("llm", "graph", "dedup"),
+    ),
+    QuerySpec(
+        "doc_kcore",
+        doc_kcore,
+        DOC_KCORE_SQL,
+        "2-core of the near-dup graph via counted-fixpoint peeling",
         ("llm", "graph", "dedup"),
     ),
     QuerySpec(

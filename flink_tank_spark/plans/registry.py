@@ -47,6 +47,7 @@ class QuerySpec:
 FRONT_OF_LINE = (
     # new in round 9 — no driver cert yet
     "doc_triangles",
+    "doc_kcore",
     "ev_value_outliers",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",

@@ -114,3 +114,41 @@ def test_triangle_counts_skewed_hub_and_invariance(spark):
     one = sorted(map(tuple, triangle_counts(_tri_df(spark, und).coalesce(1)).collect()))
     many = sorted(map(tuple, triangle_counts(_tri_df(spark, und).repartition(13)).collect()))
     assert one == many
+
+
+# --------------------------------------------------------------------------
+# kcore (operators/graph.py)
+# --------------------------------------------------------------------------
+
+import pytest
+
+from flink_tank_spark.operators.graph import kcore
+
+
+def test_kcore_peels_chains_keeps_cliques(spark):
+    # K4 with a pendant (5) and a detached path 10-11-12-13: the 2-core
+    # is exactly the K4, each member at within-core degree 3 (the
+    # pendant edge peels first, then the whole path end-first).
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+           (10, 11), (11, 12), (12, 13)]
+    got = sorted(map(tuple, kcore(_tri_df(spark, und), k=2).collect()))
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    # the 3-core is the same K4; the 4-core is empty
+    assert sorted(map(tuple, kcore(_tri_df(spark, und), k=3).collect())) == got
+    assert kcore(_tri_df(spark, und), k=4).count() == 0
+
+
+def test_kcore_cascading_peel_and_cap(spark):
+    # a 20-node path peels ~2 nodes per round: converges inside the
+    # default budget, and a tiny cap raises instead of lying
+    und = [(i, i + 1) for i in range(20)]
+    assert kcore(_tri_df(spark, und), k=2).count() == 0
+    with pytest.raises(RuntimeError):
+        kcore(_tri_df(spark, und), k=2, iters=3)
+
+
+def test_kcore_partition_invariant(spark):
+    und = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    one = sorted(map(tuple, kcore(_tri_df(spark, und).coalesce(1), k=2).collect()))
+    many = sorted(map(tuple, kcore(_tri_df(spark, und).repartition(7), k=2).collect()))
+    assert one == many == [(1, 3), (2, 3), (3, 3), (4, 3)]
