@@ -74,6 +74,10 @@ bench-cep: sf1
 bench-streaming-sketch: sf1
 	python scripts/bench_streaming_sketch.py data/sf1 16 8 2>/dev/null | tail -1
 
+# incremental materialized-view drain (rows/sec + exact q1 parity)
+bench-streaming-matview: sf1
+	python scripts/bench_streaming_matview.py data/sf1 16 8 2>/dev/null | tail -1
+
 # multi-probe IVF recall/cost curve (probes 1/2/4 vs exact top-5).
 # sf0.1 is the meaningful corpus: sfN replicas put a query's exact
 # duplicates in its own cell, pinning recall at 1.0
