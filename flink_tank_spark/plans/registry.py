@@ -49,6 +49,7 @@ FRONT_OF_LINE = (
     "doc_triangles",
     "doc_kcore",
     "ev_value_outliers",
+    "ev_value_deciles",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

@@ -470,6 +470,97 @@ EV_KMV_OVERLAP_TYPES_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# ev_value_deciles — equi-depth discretization, applied at the BIN level
+# --------------------------------------------------------------------------
+
+def ev_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature discretization: every event's value mapped to
+    its within-type decile (the binning step a feature pipeline runs
+    before bucketized embeddings / monotonic models), reported as per-
+    (type, decile) occupancy with the bucket's value range.
+
+    Scale shape — the decile is assigned at the BIN level, never per
+    event: after the one map-side-combinable histogram groupBy, edges
+    and assignments live on the bounded (type × bins) dimension table
+    (the fp_histogram counting-sort trick), so corpus-sized work is ONE
+    aggregation regardless of row count, and the bin→decile map is a
+    broadcast-sized dimension any downstream apply joins against. The
+    decile threshold test is pure integers (10·cum ≥ d·total — no
+    ceil/float), and bucket bounds are exact bin/100 doubles, so any
+    partitioning and the DuckDB oracle agree bit-for-bit.
+    """
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketch.fp_histogram(ev, "value", ["event_type"])
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(W.partitionBy("event_type").orderBy("bin"))
+    ).withColumn("total", F.sum("n").over(W.partitionBy("event_type")))
+    d = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d")
+    edges = (
+        cum.select("event_type", "bin", "cum", "total", d)
+        .filter(F.lit(10) * F.col("cum") >= F.col("d") * F.col("total"))
+        .groupBy("event_type", "d")
+        .agg(F.min("bin").alias("edge_bin"))
+    )
+    bin_decile = (
+        hist.join(F.broadcast(edges), "event_type")
+        .groupBy("event_type", "bin", "n")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum((F.col("edge_bin") < F.col("bin")).cast("integer"))
+            ).cast("long").alias("decile")
+        )
+    )
+    return (
+        bin_decile.groupBy("event_type", "decile")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.min("bin") / F.lit(100.0)).alias("lo"),
+            (F.max("bin") / F.lit(100.0)).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+EV_VALUE_DECILES_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    b AS (
+      SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS bin
+      FROM events
+    ),
+    h AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ),
+    edges AS (
+      SELECT event_type, d, MIN(bin) AS edge_bin
+      FROM c CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) ds
+      WHERE 10 * cum >= d * total
+      GROUP BY event_type, d
+    ),
+    bd AS (
+      SELECT h.event_type, h.bin, h.n,
+             CAST(1 + SUM(CASE WHEN e.edge_bin < h.bin THEN 1 ELSE 0 END)
+                  AS BIGINT) AS decile
+      FROM h JOIN edges e USING (event_type)
+      GROUP BY h.event_type, h.bin, h.n
+    )
+    SELECT event_type, decile,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           MIN(bin) / 100.0 AS lo,
+           MAX(bin) / 100.0 AS hi
+    FROM bd GROUP BY event_type, decile
+    ORDER BY event_type, decile
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
               EV_CMS_HEAVY_HITTERS_SQL,
@@ -487,6 +578,10 @@ QUERIES = [
     QuerySpec("ev_value_quantiles", ev_value_quantiles, EV_VALUE_QUANTILES_SQL,
               "exact p50/p95/p99 per type from a fixed-precision histogram",
               ("sketch", "events")),
+    QuerySpec("ev_value_deciles", ev_value_deciles, EV_VALUE_DECILES_SQL,
+              "equi-depth within-type deciles assigned at the bin level "
+              "(occupancy + exact bucket bounds)",
+              ("sketch", "events", "quality")),
     QuerySpec("ev_value_quantiles_merged", ev_value_quantiles_merged,
               EV_VALUE_QUANTILES_MERGED_SQL,
               "daily histograms merged across days (same quantiles, re-aggregation)",

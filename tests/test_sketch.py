@@ -269,3 +269,58 @@ def test_kmv_estimates_track_exact(spark, oracle_sf_dir):
         assert abs(r.kmv_jaccard_est - r.jaccard_exact) <= 0.15, r
         assert r.kmv_inter_est == r.kmv_jaccard_est * r.kmv_union_est, r
         assert abs(r.kmv_inter_est - r.n_inter_exact) / r.n_inter_exact <= 0.5, r
+
+
+# --------------------------------------------------------------------------
+# ev_value_deciles — equi-depth discretization semantics
+# --------------------------------------------------------------------------
+
+def test_value_deciles_fixture_semantics(spark, tmp_path):
+    """1..100 at two decimals: deciles are exactly 10 buckets of 10 with
+    contiguous, non-overlapping bounds."""
+    import datetime as dt
+
+    from flink_tank_spark.plans.sketches import ev_value_deciles
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, i, "click", float(i), "{}") for i in range(1, 101)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = ev_value_deciles(spark, str(tmp_path)).collect()
+    assert [r["decile"] for r in got] == list(range(1, 11))
+    assert all(r["n_events"] == 10 for r in got)
+    # contiguous non-overlapping coverage: 1-10, 11-20, ..., 91-100
+    for i, r in enumerate(got):
+        assert (r["lo"], r["hi"]) == (10.0 * i + 1.0, 10.0 * (i + 1))
+
+
+def test_value_deciles_corpus_equal_depth(spark, sf_dir):
+    """On the real corpus each within-type decile holds n/10 rows up to
+    bin granularity (ties share a bin, so deviation is bounded by the
+    largest single bin's count)."""
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators.sketch import fp_histogram
+    from flink_tank_spark.plans.sketches import ev_value_deciles
+
+    ev = load_table(spark, sf_dir, "events")
+    got = ev_value_deciles(spark, sf_dir).collect()
+    per_type = {}
+    for r in got:
+        per_type.setdefault(r["event_type"], []).append(r["n_events"])
+    max_bin = {
+        r["event_type"]: r["m"]
+        for r in fp_histogram(ev, "value", ["event_type"])
+        .groupBy("event_type").agg(F.max("n").alias("m"))
+        .collect()
+    }
+    for et, counts in per_type.items():
+        total = sum(counts)
+        assert len(counts) == 10
+        for c in counts:
+            assert abs(c - total / 10) <= max_bin[et] + 1
