@@ -149,3 +149,37 @@ def distributed_ntile(
         .withColumn(out_col, ntile_expr(F.col("_grn"), F.col("_n_total"), k))
         .drop("_grn", "_n_total")
     )
+
+
+def salted_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    salt_col: str,
+    k: int,
+    salts: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic per-group top-k WITHOUT the per-group window
+    funnel: a direct ``row_number() OVER (PARTITION BY group)`` drags
+    every row of a hot group through one task (billions per partition
+    at 100 TB). Two-phase instead — phase 1 ranks within
+    (group, hash(salt_col) % salts): bounded partitions, and every
+    global top-k member is necessarily top-k within its own salt;
+    phase 2 ranks the ≤ k·salts survivors per group, a constant-size
+    task. ``order`` must be a TOTAL order (break ties!) so the result
+    is partition-invariant. Same recipe as the MCV statistics and the
+    distributed-NTILE family (plans/profile.py, operators/rank.py).
+    """
+    w1 = W.partitionBy(*group_cols, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", F.pmod(F.hash(salt_col), F.lit(salts)))
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_salt", "_rn")
+    )
+    w2 = W.partitionBy(*group_cols).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2).cast("integer"))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -50,6 +50,7 @@ FRONT_OF_LINE = (
     "doc_kcore",
     "ev_value_outliers",
     "ev_value_deciles",
+    "ev_hourly_top_users",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

@@ -580,6 +580,66 @@ EV_SALTED_COUNTS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# ev_hourly_top_users — windowed Top-N (the Flink "window TopN" shape)
+# --------------------------------------------------------------------------
+
+TOPN_K = 3
+
+
+def hourly_top_users_from_counts(counts: DataFrame) -> DataFrame:
+    """Finalize (window_start, user_id, n_events) counts to the
+    deterministic per-window top-3 — ONE definition shared by the batch
+    query and the streaming-incremental twin (streaming/topk.py), so
+    parity is structural, not coincidental."""
+    from flink_tank_spark.operators.rank import salted_topk
+
+    order = [F.col("n_events").desc(), F.col("user_id").asc()]
+    return (
+        salted_topk(counts, ["window_start"], order, "user_id", TOPN_K)
+        .select("window_start", "rank", "user_id", "n_events")
+        .orderBy("window_start", "rank")
+    )
+
+
+def ev_hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per tumbling hour: the 3 most active users — Flink's windowed
+    TopN, the leaderboard shape next to ev_tumbling_hourly's plain
+    counts. Ties break on user_id, so the board is reproducible.
+
+    Scale shape: the (hour, user) counts are one map-side-combinable
+    groupBy; the per-window top-3 goes through the two-phase SALTED
+    window (operators/rank.salted_topk) — never a row_number over a
+    whole window's users (100 M rows through one task at lake scale).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    return hourly_top_users_from_counts(counts)
+
+
+EV_HOURLY_TOP_USERS_SQL = dedent(f"""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    c AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, rank, user_id, n_events FROM (
+      SELECT window_start, user_id, n_events,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n_events DESC, user_id ASC)
+                  AS INTEGER) AS rank
+      FROM c)
+    WHERE rank <= {TOPN_K}
+    ORDER BY window_start, rank
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_parse_route", ev_parse_route, EV_PARSE_ROUTE_SQL,
               "M3→P1: JSON wire serialize + parse_and_route round-trip", ("streaming", "parse")),
@@ -597,6 +657,10 @@ QUERIES = [
               "session windows vs gaps-and-islands oracle", ("streaming", "window")),
     QuerySpec("ev_json_extract", ev_json_extract, EV_JSON_EXTRACT_SQL,
               "JSON scalar functions over the open props map", ("streaming", "json")),
+    QuerySpec("ev_hourly_top_users", ev_hourly_top_users, EV_HOURLY_TOP_USERS_SQL,
+              "windowed Top-N: 3 most active users per tumbling hour "
+              "(salted two-phase, deterministic ties)",
+              ("streaming", "window", "topn")),
     QuerySpec("ev_tumbling_hourly", ev_tumbling_hourly, EV_TUMBLING_HOURLY_SQL,
               "tumbling hourly counts + exact sums", ("streaming", "window")),
     QuerySpec("ev_asof_login", ev_asof_login, EV_ASOF_LOGIN_SQL,
