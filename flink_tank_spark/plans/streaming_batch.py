@@ -640,6 +640,82 @@ EV_HOURLY_TOP_USERS_SQL = dedent(f"""
 
 
 
+# --------------------------------------------------------------------------
+# ev_session_stats — per-user session metrics over the session windows
+# --------------------------------------------------------------------------
+
+def ev_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session metrics over the same 30-minute-gap session
+    windows as ev_sessionize: session count, events, total/average
+    session duration — the engagement rollup session windows exist for.
+
+    Determinism: durations are exact integer SECONDS (max-min event
+    time per session); the average is one int/int double division —
+    identical IEEE op on both engines. Scale shape: session assembly is
+    Spark's native session_window aggregation (per-user state, high-
+    cardinality key); the rollup is one further map-side-combinable
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        .select(
+            "user_id",
+            "n_ev",
+            (F.unix_timestamp("t1") - F.unix_timestamp("t0")).alias("dur_sec"),
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.sum("dur_sec").alias("total_duration_sec"),
+        )
+        .withColumn(
+            "avg_duration_sec",
+            F.col("total_duration_sec").cast("double")
+            / F.col("n_sessions").cast("double"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SESSION_STATS_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_ev,
+             date_diff('second', MIN(ts), MAX(ts)) AS dur_sec
+      FROM islands GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(dur_sec) AS BIGINT) AS total_duration_sec,
+           CAST(SUM(dur_sec) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_duration_sec
+    FROM sess GROUP BY user_id
+    ORDER BY user_id
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_parse_route", ev_parse_route, EV_PARSE_ROUTE_SQL,
               "M3→P1: JSON wire serialize + parse_and_route round-trip", ("streaming", "parse")),
@@ -653,6 +729,9 @@ QUERIES = [
               "P3/A1: 10min/5s sliding windows, per-user peak", ("streaming", "window"), bench=True),
     QuerySpec("ev_type_counts", ev_type_counts, EV_TYPE_COUNTS_SQL,
               "A2: per-key per-type counts", ("streaming", "agg")),
+    QuerySpec("ev_session_stats", ev_session_stats, EV_SESSION_STATS_SQL,
+              "per-user session count / events / exact-second durations",
+              ("streaming", "window", "session")),
     QuerySpec("ev_sessionize", ev_sessionize, EV_SESSIONIZE_SQL,
               "session windows vs gaps-and-islands oracle", ("streaming", "window")),
     QuerySpec("ev_json_extract", ev_json_extract, EV_JSON_EXTRACT_SQL,
