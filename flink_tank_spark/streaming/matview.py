@@ -31,6 +31,15 @@ as streaming/retrieval_index.py):
                                      sq sb sdp sch sd (scaled decimal
                                      sums), nq np nd n (counts)
 
+A second maintained view, ``nation_revenue``, exercises the star-join
+case: the fact STREAM joins static dimensions (supplier → nation) at
+ingest — ∆(L ⋈ D) = ∆L ⋈ D when only the fact side streams — then
+aggregates algebraically, so a revenue-by-nation rollup over a century
+of lineitems refreshes from each batch's bounded delta:
+
+    nation_state/ingest_batch=<b>    n_name, rev (scaled decimal sum),
+                                     n (count)
+
 Delta-partition growth is bounded operationally by :func:`compact`
 (state is mergeable, so compaction is the fold plus the crash-safe
 hide → commit → clean swap of streaming/compaction.py).
@@ -47,14 +56,15 @@ from flink_tank_spark.functions.numeric import SCALE, _scaled
 from flink_tank_spark.streaming import compaction
 
 MV_SUBDIR = "pricing_state"
+NATION_SUBDIR = "nation_state"
 
 # q1's shipdate predicate — part of the view definition
 CUTOFF = "1998-09-02"
 
 LINEITEM_SCHEMA = (
-    "l_orderkey bigint, l_quantity double, l_extendedprice double, "
-    "l_discount double, l_tax double, l_returnflag string, "
-    "l_linestatus string, l_shipdate timestamp"
+    "l_orderkey bigint, l_suppkey bigint, l_quantity double, "
+    "l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
 )
 
 _KEYS = ["l_returnflag", "l_linestatus"]
@@ -133,18 +143,88 @@ def load_pricing_summary(spark: SparkSession, view_dir: str) -> DataFrame:
     )
 
 
+def nation_revenue_delta(batch_df: DataFrame, dims: DataFrame) -> DataFrame:
+    """Star-join view delta: the batch's lineitems joined to the STATIC
+    supplier→nation dimension path (broadcast — dimension-sized at any
+    fact scale), aggregated to per-nation discounted revenue. Because
+    only the fact side streams, the view delta is exactly
+    ∆L ⋈ D — no retraction logic needed."""
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        batch_df.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_scaled(rev)).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def supplier_nation_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static dimension path the ingest join broadcasts."""
+    sup = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+    nat = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    return sup.join(
+        nat, sup["s_nationkey"] == nat["n_nationkey"]
+    ).select("s_suppkey", "n_name")
+
+
+def incremental_star_sink(view_dir: str, dims: DataFrame):
+    """foreachBatch writer maintaining BOTH views from one batch scan."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        part = f"ingest_batch={batch_id}"
+        batch_df = batch_df.persist()
+        try:
+            pricing_delta(batch_df).write.mode("overwrite").parquet(
+                os.path.join(view_dir, MV_SUBDIR, part)
+            )
+            nation_revenue_delta(batch_df, dims).write.mode("overwrite").parquet(
+                os.path.join(view_dir, NATION_SUBDIR, part)
+            )
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
+def load_nation_revenue(spark: SparkSession, view_dir: str) -> DataFrame:
+    """Fold the star-view deltas: (n_name, revenue, n_lineitems) —
+    BIT-identical to the batch join+aggregate over the ingested union."""
+    path = os.path.join(view_dir, NATION_SUBDIR)
+    compaction.check_readable(path)
+    if not compaction.parts(path):
+        raise ValueError(f"no star-view partitions under {view_dir!r}")
+    state = spark.read.option("basePath", path).parquet(path).drop("ingest_batch")
+    folded = state.groupBy("n_name").agg(
+        F.sum("rev").alias("rev"), F.sum("n").alias("n")
+    )
+    return folded.select(
+        "n_name",
+        (F.col("rev").cast("double") / F.lit(SCALE)).alias("revenue"),
+        F.col("n").cast("long").alias("n_lineitems"),
+    ).orderBy("n_name")
+
+
 def compact(spark: SparkSession, view_dir: str) -> None:
     """Rewrite the accumulated state as ONE merged partition
     (``ingest_batch=-1``) via the crash-safe hide → commit → clean swap.
     Run only while the stream is STOPPED (same double-count argument as
     retrieval_index.compact)."""
-    base = os.path.join(view_dir, MV_SUBDIR)
-    compaction.recover(base)
-    state = spark.read.option("basePath", base).parquet(base).drop("ingest_batch")
-    merged = _fold(state)
-    parts = compaction.parts(base)
-    merged.write.mode("overwrite").parquet(os.path.join(base, compaction.TMP_NAME))
-    compaction.commit_swap(base, parts)
+    for subdir, fold in (
+        (MV_SUBDIR, _fold),
+        (NATION_SUBDIR, lambda st: st.groupBy("n_name").agg(
+            F.sum("rev").alias("rev"), F.sum("n").alias("n"))),
+    ):
+        base = os.path.join(view_dir, subdir)
+        if not os.path.isdir(base):
+            continue  # job maintained only the pricing view
+        compaction.recover(base)
+        state = spark.read.option("basePath", base).parquet(base).drop("ingest_batch")
+        merged = fold(state)
+        parts = compaction.parts(base)
+        merged.write.mode("overwrite").parquet(os.path.join(base, compaction.TMP_NAME))
+        compaction.commit_swap(base, parts)
 
 
 def start_matview_job(
@@ -154,16 +234,24 @@ def start_matview_job(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    dims: DataFrame | None = None,
 ):
     """Streaming view-maintenance job over a jsonl lineitem stream.
-    Returns the StreamingQuery."""
+    With ``dims`` (supplier_nation_dims), maintains the star-join
+    nation-revenue view alongside the pricing rollup. Returns the
+    StreamingQuery."""
     os.makedirs(source_dir, exist_ok=True)
     reader = spark.readStream.schema(LINEITEM_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(source_dir)
+    sink = (
+        incremental_matview_sink(view_dir)
+        if dims is None
+        else incremental_star_sink(view_dir, dims)
+    )
     writer = (
-        stream.writeStream.foreachBatch(incremental_matview_sink(view_dir))
+        stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .queryName("incremental-matview")
     )

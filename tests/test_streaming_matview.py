@@ -19,8 +19,8 @@ from flink_tank_spark.streaming import compaction
 from flink_tank_spark.streaming import matview as mv
 
 _COLS = [
-    "l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-    "l_returnflag", "l_linestatus", "l_shipdate",
+    "l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
 ]
 
 
@@ -147,3 +147,49 @@ def test_interrupted_compact_is_detected(spark, sf_dir, tmp_path):
     assert _rows(mv.load_pricing_summary(spark, vd)) == _rows(
         q1_pricing_summary(spark, sf_dir)
     )
+
+
+def test_star_join_view_equals_batch_join_aggregate(spark, sf_dir, tmp_path):
+    """The nation-revenue star view (fact stream ⋈ static dims at
+    ingest) folds to the batch join+aggregate bit-exactly, and both
+    views stay correct maintained side-by-side from one batch scan."""
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.functions.numeric import dsum
+
+    li = _lineitems(spark, sf_dir)
+    rows = [r.asDict() for r in li.collect()]
+    dims = mv.supplier_nation_dims(spark, sf_dir)
+    expected = [
+        tuple(r)
+        for r in (
+            li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("n_name")
+            .agg(
+                dsum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")),
+                    "revenue",
+                ),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+            .orderBy("n_name")
+            .collect()
+        )
+    ]
+    assert expected, "fixture produced an empty star view"
+
+    src = str(tmp_path / "in")
+    vd, ck = str(tmp_path / "mv"), str(tmp_path / "ck")
+    for i in range(3):
+        _write_jsonl(src, f"b{i}.jsonl", rows[i::3])
+    _drain(mv.start_matview_job(spark, src, vd, ck, dims=dims))
+    assert _rows(mv.load_nation_revenue(spark, vd)) == expected
+    # the pricing view was maintained from the same scan
+    assert _rows(mv.load_pricing_summary(spark, vd)) == _rows(
+        q1_pricing_summary(spark, sf_dir)
+    )
+    # compaction folds BOTH states and preserves both views
+    mv.compact(spark, vd)
+    for sub in (mv.MV_SUBDIR, mv.NATION_SUBDIR):
+        assert compaction.parts(os.path.join(vd, sub)) == [compaction.MERGED_PART]
+    assert _rows(mv.load_nation_revenue(spark, vd)) == expected
