@@ -220,6 +220,105 @@ TBL_MCV_LINEITEM_SQL = dedent(
 )
 
 
+# --------------------------------------------------------------------------
+# tbl_fk_audit — referential-integrity audit across the star schema
+# --------------------------------------------------------------------------
+
+FK_SPECS = (
+    # (fk_name, child_table, child_col, parent_table, parent_col)
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def tbl_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign key in the star
+    schema: child rows, nulls, distinct referenced keys, and ORPHANS
+    (child keys with no parent row) — the constraint check a lakehouse
+    runs at ingest because parquet enforces nothing. Zero orphans is
+    the pass state; non-zero pinpoints the broken edge.
+
+    Scale shape: per FK, the child side first collapses to its DISTINCT
+    key table with counts (map-side combinable; bounded by parent
+    cardinality, not child row count), then ONE anti-join against the
+    parent key column decides orphanhood — never a row-level child scan
+    through the join. The per-FK results union into one audit table.
+    """
+    out = None
+    for fk_name, child, ccol, parent, pcol in FK_SPECS:
+        c = load_table(spark, sf_dir, child)
+        pkeys = load_table(spark, sf_dir, parent).select(
+            F.col(pcol).alias("_pk")
+        ).distinct()
+        keyed = (
+            c.select(F.col(ccol).cast("long").alias("_fk"))
+            .filter(F.col("_fk").isNotNull())
+            .groupBy("_fk")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        orphans = keyed.join(
+            pkeys, keyed["_fk"] == pkeys["_pk"], "left_anti"
+        )
+        # lazy 1-row scalars (the q11/q22 lesson: never .count() at
+        # plan-build time — the audit stays one composable plan)
+        child_stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.sum(F.col(ccol).isNull().cast("long")).alias("n_null_fk"),
+        )
+        row = (
+            keyed.agg(
+                F.count(F.lit(1)).alias("n_distinct_fk"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).alias("n_orphan_keys"),
+                        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphan_rows"),
+                    )
+                )
+            )
+            .crossJoin(F.broadcast(child_stats))
+            .select(
+                F.lit(fk_name).alias("fk"),
+                F.col("n_child_rows").cast("long"),
+                F.coalesce(F.col("n_null_fk"), F.lit(0)).cast("long").alias("n_null_fk"),
+                F.col("n_distinct_fk").cast("long"),
+                F.col("n_orphan_keys").cast("long"),
+                F.col("n_orphan_rows").cast("long"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("fk")
+
+
+_FK_AUDIT_BLOCKS = "\n    UNION ALL\n    ".join(
+    f"""SELECT '{fk_name}' AS fk,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} WHERE {ccol} IS NULL) AS n_null_fk,
+           (SELECT COUNT(DISTINCT {ccol}) FROM {child}
+            WHERE {ccol} IS NOT NULL) AS n_distinct_fk,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT {ccol} AS k FROM {child} WHERE {ccol} IS NOT NULL) c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pcol} = c.k))
+             AS n_orphan_keys,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE {ccol} IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM {parent} p WHERE p.{pcol} = c.{ccol}))
+             AS n_orphan_rows"""
+    for fk_name, child, ccol, parent, pcol in FK_SPECS
+)
+
+TBL_FK_AUDIT_SQL = f"""
+    {_FK_AUDIT_BLOCKS}
+    ORDER BY fk
+"""
+
+
+
 QUERIES = [
     QuerySpec(
         "tbl_profile_lineitem",
@@ -235,6 +334,13 @@ QUERIES = [
         DOC_PROFILE_TEXT_SQL,
         "String-column profile: rows/nulls/exact-distinct/length stats per column",
         ("profiling", "data-quality", "text"),
+    ),
+    QuerySpec(
+        "tbl_fk_audit",
+        tbl_fk_audit,
+        TBL_FK_AUDIT_SQL,
+        "referential-integrity audit: per-FK child/null/distinct/orphan counts",
+        ("profiling", "data-quality", "stats"),
     ),
     QuerySpec(
         "tbl_mcv_lineitem",

@@ -58,6 +58,8 @@ SCALAR_BROADCAST_OK = {
     # the filter size itself, ~1.2 bytes/build-key) broadcast to probe
     "win_balance_quartiles",
     "win_exact_percentiles",
+    "tbl_fk_audit",  # per-FK 1-row orphan/child-stats frames crossed into
+    # the 1-row audit output (all broadcast scalars, q11/q22 pattern)
     "ev_zorder_extents",  # 1-row min/max quantization stats frame crossed
     # into the dims projection (no equality predicate for Catalyst to
     # convert into a hash join, unlike dim_scd2_customer's month filter)
