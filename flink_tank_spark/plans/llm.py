@@ -2859,6 +2859,109 @@ DOC_PMI_PAIRS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# emb_split_drift — distribution-shift audit between train/val/test
+# --------------------------------------------------------------------------
+
+def emb_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift audit across the governance splits: the
+    centroid of each split's embeddings, compared pairwise by cosine —
+    the check that a train/test split did not land systematically
+    different content on each side (near-1 for i.i.d. splits of the
+    same corpus; a drop flags stratification bugs or temporal drift).
+
+    Exactness: per-(split, dim) centroid NUMERATORS are exact scaled-
+    integer sums (cosine is scale-invariant, so the 1/n never needs to
+    be applied); the only floats are the final sqrt/divide on
+    deterministic operands, mirrored verbatim in the oracle. Scale
+    shape: posexplode fans out dim-wise but collapses immediately into
+    a map-side-combinable (split, dim) sum — the shuffled state is
+    3 × dims rows no matter the corpus; the pairwise-centroid join is
+    on the 192-row sums table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        text.split_col(F.col("vec_id")).alias("split"),
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    sums = m.groupBy("split", "dim").agg(
+        F.sum(
+            F.floor(F.col("x") * F.lit(1_000_000.0) + F.lit(0.5)).cast(
+                "decimal(20,0)"
+            )
+        ).alias("s")
+    )
+    counts = emb.groupBy(text.split_col(F.col("vec_id")).alias("split")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = sums.select(
+        F.col("split").alias("split_a"), F.col("dim"), F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("split").alias("split_b"), F.col("dim"), F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    norms = sums.groupBy("split").agg(
+        F.sum(F.col("s") * F.col("s")).alias("n2")
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("split").alias("split_a"),
+                                     F.col("n2").alias("n2a"))), "split_a")
+        .join(
+            F.broadcast(norms.select(F.col("split").alias("split_b"),
+                                     F.col("n2").alias("n2b"))), "split_b")
+        .join(F.broadcast(counts.select(F.col("split").alias("split_a"),
+                                        F.col("n").alias("n_a"))), "split_a")
+        .join(F.broadcast(counts.select(F.col("split").alias("split_b"),
+                                        F.col("n").alias("n_b"))), "split_b")
+        .select(
+            "split_a", "split_b", "n_a", "n_b",
+            (
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2a").cast("double"))
+                   * F.sqrt(F.col("n2b").cast("double")))
+            ).alias("cos_centroid"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+EMB_SPLIT_DRIFT_SQL = dedent(f"""
+    WITH m AS (
+      SELECT {_split_case_sql('vec_id')} AS split, t.i AS dim,
+             CAST(FLOOR(CAST(list_extract(embedding, t.i) AS DOUBLE)
+                        * 1000000.0 + 0.5) AS BIGINT) AS xs
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    s AS (SELECT split, dim, SUM(CAST(xs AS HUGEINT)) AS s FROM m GROUP BY 1, 2),
+    n AS (
+      SELECT {_split_case_sql('vec_id')} AS split, COUNT(*) AS n
+      FROM embeddings GROUP BY 1
+    ),
+    p AS (
+      SELECT a.split AS split_a, b.split AS split_b, SUM(a.s * b.s) AS dot
+      FROM s a JOIN s b ON a.dim = b.dim AND a.split < b.split
+      GROUP BY 1, 2
+    ),
+    norms AS (SELECT split, SUM(s * s) AS n2 FROM s GROUP BY 1)
+    SELECT p.split_a, p.split_b, na.n AS n_a, nb.n AS n_b,
+           CAST(p.dot AS DOUBLE)
+             / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE)))
+             AS cos_centroid
+    FROM p JOIN norms x ON x.split = p.split_a
+           JOIN norms y ON y.split = p.split_b
+           JOIN n na ON na.split = p.split_a
+           JOIN n nb ON nb.split = p.split_b
+    ORDER BY split_a, split_b
+""")
+
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -2887,6 +2990,9 @@ QUERIES = [
     QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
               "deterministic hash-based stratified sampling (20% en / 50% rest)",
               ("llm", "curation")),
+    QuerySpec("emb_split_drift", emb_split_drift, EMB_SPLIT_DRIFT_SQL,
+              "pairwise split-centroid cosine — embedding distribution-shift audit",
+              ("llm", "governance", "embedding")),
     QuerySpec("doc_split_assign", doc_split_assign, DOC_SPLIT_ASSIGN_SQL,
               "deterministic md5 train/val/test split — per-(split, lang) accounting",
               ("llm", "governance")),

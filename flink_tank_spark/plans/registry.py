@@ -53,6 +53,7 @@ FRONT_OF_LINE = (
     "ev_hourly_top_users",
     "ev_session_stats",
     "tbl_fk_audit",
+    "emb_split_drift",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",
