@@ -54,6 +54,7 @@ FRONT_OF_LINE = (
     "ev_session_stats",
     "tbl_fk_audit",
     "emb_split_drift",
+    "ev_trimmed_mean",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

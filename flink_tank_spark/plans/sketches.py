@@ -561,6 +561,90 @@ EV_VALUE_DECILES_SQL = dedent("""
 
 
 
+# --------------------------------------------------------------------------
+# ev_trimmed_mean — robust (winsor-trimmed) mean via exact bin overlap
+# --------------------------------------------------------------------------
+
+def ev_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of value per event type (drop the bottom and
+    top 5% BY RANK, average the rest) — the robust center the plain
+    mean loses to the heavy tail ev_value_outliers flags.
+
+    Exact at any scale via the histogram counting-sort trick: ranks
+    come from the cumulative bin counts, each bin contributes
+    ``bin · |[cum−n+1, cum] ∩ (k_lo, k_hi]|`` — pure integer overlap
+    arithmetic, no sort of raw rows, no percentile estimate. The kept
+    range (k_lo, k_hi] = (ceil(0.05·N), floor(0.95·N)] is integer-exact
+    via 20·k bounds. One corpus groupBy; the trimming runs on the
+    bounded (type × bins) table; final mean = one int/int double
+    division mirrored verbatim in the oracle."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketch.fp_histogram(ev, "value", ["event_type"])
+    cum = hist.withColumn(
+        "cum", F.sum("n").over(W.partitionBy("event_type").orderBy("bin"))
+    ).withColumn("total", F.sum("n").over(W.partitionBy("event_type")))
+    # this bin holds ranks (cum-n, cum]; the kept window is
+    # (floor(N/20), floor(19N/20)] — pure integer division both sides,
+    # so the overlap is exact at any N
+    lo_excl = F.col("cum") - F.col("n")
+    hi_rank = F.expr("(total * 19) div 20")
+    lo_rank = F.expr("total div 20")
+    kept_int = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), hi_rank) - F.greatest(lo_excl, lo_rank),
+    )
+    out = (
+        cum.withColumn("kept", kept_int)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("kept") * F.col("bin")).alias("ksum"),
+            F.sum("kept").alias("kn"),
+        )
+        .select(
+            "event_type",
+            F.col("kn").cast("long").alias("n_kept"),
+            (
+                F.col("ksum").cast("double")
+                / F.col("kn").cast("double")
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+EV_TRIMMED_MEAN_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    b AS (
+      SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS bin
+      FROM events
+    ),
+    h AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ),
+    k AS (
+      SELECT event_type, bin,
+             GREATEST(0, LEAST(cum, (total * 19) // 20)
+                         - GREATEST(cum - n, total // 20)) AS kept
+      FROM c
+    )
+    SELECT event_type,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(kept * bin) AS DOUBLE) / CAST(SUM(kept) AS DOUBLE) / 100.0
+             AS trimmed_mean
+    FROM k GROUP BY event_type
+    ORDER BY event_type
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
               EV_CMS_HEAVY_HITTERS_SQL,
@@ -578,6 +662,9 @@ QUERIES = [
     QuerySpec("ev_value_quantiles", ev_value_quantiles, EV_VALUE_QUANTILES_SQL,
               "exact p50/p95/p99 per type from a fixed-precision histogram",
               ("sketch", "events")),
+    QuerySpec("ev_trimmed_mean", ev_trimmed_mean, EV_TRIMMED_MEAN_SQL,
+              "10%-trimmed robust mean via exact bin-rank overlap arithmetic",
+              ("sketch", "events", "quality")),
     QuerySpec("ev_value_deciles", ev_value_deciles, EV_VALUE_DECILES_SQL,
               "equi-depth within-type deciles assigned at the bin level "
               "(occupancy + exact bucket bounds)",

@@ -324,3 +324,29 @@ def test_value_deciles_corpus_equal_depth(spark, sf_dir):
         assert len(counts) == 10
         for c in counts:
             assert abs(c - total / 10) <= max_bin[et] + 1
+
+
+def test_trimmed_mean_fixture_semantics(spark, tmp_path):
+    """1..100 plus two wild outliers: the 10%-trimmed mean drops the
+    bottom/top 5% by rank (including the outliers) and equals the
+    arithmetic mean of the kept middle — cross-checked against a plain
+    Python trim of the sorted values."""
+    import datetime as dt
+
+    from flink_tank_spark.plans.sketches import ev_trimmed_mean
+
+    vals = [float(i) for i in range(1, 101)] + [10000.0, 20000.0]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "click", v, "{}") for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = ev_trimmed_mean(spark, str(tmp_path)).collect()[0]
+    n = len(vals)
+    lo, hi = n // 20, (n * 19) // 20  # kept ranks (lo, hi]
+    kept = sorted(vals)[lo:hi]
+    assert r["n_kept"] == len(kept)
+    assert abs(r["trimmed_mean"] - sum(kept) / len(kept)) < 1e-9
+    # the outliers moved the plain mean but not the trimmed one
+    assert abs(sum(vals) / n - r["trimmed_mean"]) > 1.0
