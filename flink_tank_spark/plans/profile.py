@@ -173,6 +173,8 @@ def mcv_numeric(
     partitions — which provably contains the global top-k (every global
     top-k member is top-k within its own salt); the final window then
     ranks ≤ k·salts survivors per column, a constant-size task."""
+    from flink_tank_spark.operators.rank import salted_topk
+
     counts = (
         melt_numeric(df, cols)
         .filter(F.col("val").isNotNull())
@@ -180,19 +182,9 @@ def mcv_numeric(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     order = [F.col("cnt").desc(), F.col("val").asc()]
-    w1 = Window.partitionBy("col_name", "salt").orderBy(*order)
-    survivors = (
-        counts.withColumn("salt", F.pmod(F.hash("val"), F.lit(salts)))
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= k)
-        .drop("salt", "rn")
-    )
-    w2 = Window.partitionBy("col_name").orderBy(*order)
-    return (
-        survivors.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .orderBy("col_name", "rank")
-    )
+    return salted_topk(
+        counts, ["col_name"], order, "val", k, salts=salts
+    ).orderBy("col_name", "rank")
 
 
 def tbl_mcv_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
