@@ -55,6 +55,7 @@ FRONT_OF_LINE = (
     "tbl_fk_audit",
     "emb_split_drift",
     "ev_trimmed_mean",
+    "ev_value_mad",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

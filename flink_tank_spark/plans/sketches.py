@@ -645,6 +645,107 @@ EV_TRIMMED_MEAN_SQL = dedent("""
 
 
 
+# --------------------------------------------------------------------------
+# ev_value_mad — median absolute deviation via two bounded bin passes
+# --------------------------------------------------------------------------
+
+def ev_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and median-absolute-deviation of value per event type —
+    the robust location/scale pair (MAD is what you calibrate outlier
+    thresholds with when the tail makes stddev lie).
+
+    Exact rank statistics at any scale, zero raw-row sorts: the median
+    is the smallest bin whose cumulative count reaches half (the
+    counting-sort trick, integer test 2·cum ≥ N); the deviation
+    distribution |bin − median| is then REBINNED from the histogram
+    itself (weights carry over — never a second corpus pass) and MAD is
+    the same rank rule on that bounded table. Both windows run over
+    ≤ bins-per-type rows."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = sketch.fp_histogram(ev, "value", ["event_type"])
+    w_cum = W.partitionBy("event_type").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(W.partitionBy("event_type"))
+    )
+    med = (
+        cum.filter(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    dev = (
+        hist.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("bin") - F.col("med_bin")).alias("d"),
+            "n",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_dcum = W.partitionBy("event_type").orderBy("d")
+    dcum = dev.withColumn("cum", F.sum("n").over(w_dcum)).withColumn(
+        "total", F.sum("n").over(W.partitionBy("event_type"))
+    )
+    mad = (
+        dcum.filter(F.lit(2) * F.col("cum") >= F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min("d").alias("mad_bin"), F.max("total").alias("n_events"))
+    )
+    return (
+        mad.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.col("n_events").cast("long"),
+            (F.col("med_bin") / F.lit(100.0)).alias("median"),
+            (F.col("mad_bin") / F.lit(100.0)).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_VALUE_MAD_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    b AS (
+      SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS bin
+      FROM events
+    ),
+    h AS (SELECT event_type, bin, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, bin,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM h
+    ),
+    med AS (
+      SELECT event_type, MIN(bin) AS med_bin
+      FROM c WHERE 2 * cum >= total GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, ABS(h.bin - m.med_bin) AS d, SUM(h.n) AS n
+      FROM h JOIN med m USING (event_type)
+      GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT event_type, d,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM dev
+    ),
+    mad AS (
+      SELECT event_type, MIN(d) AS mad_bin, CAST(MAX(total) AS BIGINT) AS n_events
+      FROM dc WHERE 2 * cum >= total GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_events,
+           e.med_bin / 100.0 AS median,
+           m.mad_bin / 100.0 AS mad
+    FROM mad m JOIN med e USING (event_type)
+    ORDER BY event_type
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_cms_heavy_hitters", ev_cms_heavy_hitters,
               EV_CMS_HEAVY_HITTERS_SQL,
@@ -662,6 +763,9 @@ QUERIES = [
     QuerySpec("ev_value_quantiles", ev_value_quantiles, EV_VALUE_QUANTILES_SQL,
               "exact p50/p95/p99 per type from a fixed-precision histogram",
               ("sketch", "events")),
+    QuerySpec("ev_value_mad", ev_value_mad, EV_VALUE_MAD_SQL,
+              "median + MAD per type via two bounded bin passes (exact rank stats)",
+              ("sketch", "events", "quality")),
     QuerySpec("ev_trimmed_mean", ev_trimmed_mean, EV_TRIMMED_MEAN_SQL,
               "10%-trimmed robust mean via exact bin-rank overlap arithmetic",
               ("sketch", "events", "quality")),

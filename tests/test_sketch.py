@@ -350,3 +350,28 @@ def test_trimmed_mean_fixture_semantics(spark, tmp_path):
     assert abs(r["trimmed_mean"] - sum(kept) / len(kept)) < 1e-9
     # the outliers moved the plain mean but not the trimmed one
     assert abs(sum(vals) / n - r["trimmed_mean"]) > 1.0
+
+
+def test_value_mad_fixture_semantics(spark, tmp_path):
+    """Known values: median and MAD equal the numpy rank statistics
+    (lower median convention), and MAD ignores the wild outlier."""
+    import datetime as dt
+
+    import numpy as np
+
+    from flink_tank_spark.plans.sketches import ev_value_mad
+
+    vals = [1.0, 2.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0, i, "click", v, "{}") for i, v in enumerate(vals)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = ev_value_mad(spark, str(tmp_path)).collect()[0]
+    v = np.array(vals)
+    med = np.sort(v)[(len(v) - 1) // 2]  # lower median (odd n: the middle)
+    mad = np.sort(np.abs(v - med))[(len(v) - 1) // 2]
+    assert r["n_events"] == len(vals)
+    assert r["median"] == med == 3.0
+    assert r["mad"] == mad == 1.0  # the 100.0 cannot move it
