@@ -331,6 +331,66 @@ EV_TYPE_TRANSITIONS_SQL = dedent("""
 # ev_value_outliers — exact-arithmetic z-score anomaly counts
 # --------------------------------------------------------------------------
 
+def value_hist_events(ev: DataFrame) -> DataFrame:
+    """Exact (type, day, scaled-value) counts — the micro-unit value
+    histogram. One map-side-combinable corpus scan; everything the
+    outlier monitor needs derives from this BOUNDED table (distinct
+    values per group, not rows), which is also the mergeable state the
+    streaming twin (streaming/anomaly.py) folds by SUM."""
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("decimal(20,0)")
+            .alias("v"),
+        )
+        .groupBy("event_type", "day", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def outliers_from_hist(hist: DataFrame) -> DataFrame:
+    """Finalize the value histogram to the per-(type, day) outlier
+    report — shared by the batch query and the streaming fold, so
+    parity is structural. The z² comparison is pure integer arithmetic
+    (see ev_value_outliers docstring)."""
+    stats = hist.groupBy("event_type", "day").agg(
+        F.sum("cnt").cast("decimal(12,0)").alias("n"),
+        F.sum(F.col("v") * F.col("cnt")).alias("s1"),
+        F.sum(F.col("v") * F.col("v") * F.col("cnt")).alias("s2"),
+    )
+    j = hist.join(F.broadcast(stats), ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("n") * F.col("v") - F.col("s1")).alias("diff"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("rhs"),
+    )
+    num = F.col("diff") * F.col("diff")
+    return (
+        j.select(
+            "event_type",
+            "day",
+            "cnt",
+            F.when(num > F.lit(9) * F.col("rhs"), F.col("cnt"))
+            .otherwise(F.lit(0))
+            .alias("out_cnt"),
+            F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("z2_ppm"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.sum("out_cnt").cast("long").alias("n_out3"),
+            F.max("z2_ppm").alias("z2_max_ppm"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(event_type, day) value-anomaly monitor: how many events sit
     beyond 3 population standard deviations of their group, plus the
@@ -348,51 +408,16 @@ def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``z2_max_ppm`` is exact floor division (z² ≤ n by Chebyshev, so the
     ppm value fits a BIGINT at any group size).
 
-    Scale shape: one map-side-combinable stats groupBy, one broadcast
-    join of the (type, day)-bounded stats table back onto events, one
-    counting groupBy. Precision envelope: products stay in
+    Scale shape: ONE corpus scan builds the exact (type, day, value)
+    histogram (map-side combinable); stats, the z-test, and the counts
+    all run on that bounded table — repeated values are tested once and
+    counted by weight. Precision envelope: products stay in
     DECIMAL(38,0); |n·v_s| < 1e18 holds for group counts up to ~1e9 at
     this value domain (≤ 5e8 micro-units) — beyond that, shrink the
     group grain (hourly) or drop the scale factor.
     """
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        F.floor(F.col("value") * F.lit(1_000_000.0) + F.lit(0.5))
-        .cast("decimal(20,0)")
-        .alias("v"),
-    )
-    stats = base.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
-        F.sum("v").alias("s1"),
-        F.sum(F.col("v") * F.col("v")).alias("s2"),
-    )
-    j = base.join(F.broadcast(stats), ["event_type", "day"]).select(
-        "event_type",
-        "day",
-        (F.col("n") * F.col("v") - F.col("s1")).alias("diff"),
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("rhs"),
-    )
-    num = F.col("diff") * F.col("diff")
-    return (
-        j.select(
-            "event_type",
-            "day",
-            (num > F.lit(9) * F.col("rhs")).cast("integer").alias("is_out"),
-            F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("z2_ppm"),
-        )
-        .groupBy("event_type", "day")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("is_out").cast("long").alias("n_out3"),
-            F.max("z2_ppm").alias("z2_max_ppm"),
-        )
-        .orderBy("event_type", "day")
-    )
+    return outliers_from_hist(value_hist_events(ev))
 
 
 EV_VALUE_OUTLIERS_SQL = dedent("""
