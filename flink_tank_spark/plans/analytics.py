@@ -447,6 +447,90 @@ EV_VALUE_OUTLIERS_SQL = dedent("""
 """)
 
 
+# --------------------------------------------------------------------------
+# ev_daily_trend — per-type OLS trend slope over daily activity
+# --------------------------------------------------------------------------
+
+def ev_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's daily volume trending up or down? Ordinary
+    least squares of daily count against day index, per type — the
+    regression primitive next to the Markov transitions and funnel.
+
+    Exactness: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with BOTH sides
+    exact integers (x = days since the corpus' first day, y = daily
+    count), so the only float is the final numerator/denominator
+    division — deterministic IEEE on identical operands in both
+    engines. Scale shape: one map-side-combinable (type, day) count
+    scan; the regression runs on the BOUNDED daily table (the one
+    unpartitioned window — min day — spans types×days rows, never the
+    corpus; the distributed_ntile precedent)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    d0 = F.min("day").over(W.partitionBy())
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), d0).cast("decimal(10,0)").alias("x"),
+        F.col("y").cast("decimal(20,0)").alias("y"),
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("nd"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    num = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("nd") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return (
+        agg.select(
+            "event_type",
+            F.col("nd").cast("long").alias("n_days"),
+            (F.col("sy").cast("double") / F.col("nd").cast("double")).alias(
+                "avg_daily"
+            ),
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_DAILY_TREND_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(date_diff('day', MIN(day) OVER (), day) AS HUGEINT) AS x,
+             CAST(y AS HUGEINT) AS y
+      FROM daily
+    ),
+    a AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS nd,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sx2
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(sy AS DOUBLE) / CAST(nd AS DOUBLE) AS avg_daily,
+           CASE WHEN nd * sx2 - sx * sx > 0
+                THEN CAST(nd * sxy - sx * sy AS DOUBLE)
+                     / CAST(nd * sx2 - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope
+    FROM a
+    ORDER BY event_type
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -454,6 +538,9 @@ QUERIES = [
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
               "first-seen cohorts x day-offset retention counts (0..7)",
               ("analytics", "events")),
+    QuerySpec("ev_daily_trend", ev_daily_trend, EV_DAILY_TREND_SQL,
+              "per-type OLS slope of daily volume (exact integer sums, one final division)",
+              ("analytics", "events", "regression")),
     QuerySpec("ev_value_outliers", ev_value_outliers, EV_VALUE_OUTLIERS_SQL,
               "per-(type, day) 3-sigma outlier counts + max z² (exact integer z-test)",
               ("analytics", "events", "quality")),

@@ -56,6 +56,7 @@ FRONT_OF_LINE = (
     "emb_split_drift",
     "ev_trimmed_mean",
     "ev_value_mad",
+    "ev_daily_trend",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

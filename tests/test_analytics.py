@@ -90,3 +90,35 @@ def test_value_outliers_constant_group_has_no_outliers(spark, tmp_path):
     r = ev_value_outliers(spark, str(tmp_path)).collect()[0]
     # zero variance: nothing beyond 3σ, z² guard yields 0 (no div-by-zero)
     assert (r["n_events"], r["n_out3"], r["z2_max_ppm"]) == (10, 0, 0)
+
+
+def test_daily_trend_matches_numpy_ols(spark, tmp_path):
+    """A type with linearly growing daily volume vs a flat one: slopes
+    equal numpy's polyfit to float precision; the flat type is ~0."""
+    import datetime as dt
+
+    import numpy as np
+
+    from flink_tank_spark.plans.analytics import ev_daily_trend
+
+    rows, eid = [], 0
+    t0 = dt.datetime(2024, 1, 1)
+    for d in range(10):
+        for _ in range(5 + 3 * d):  # growing: y = 5 + 3d
+            rows.append((eid, t0 + dt.timedelta(days=d), eid, "grow", 1.0, "{}"))
+            eid += 1
+        for _ in range(7):  # flat
+            rows.append((eid, t0 + dt.timedelta(days=d), eid, "flat", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["event_type"]: r for r in ev_daily_trend(spark, str(tmp_path)).collect()}
+    x = np.arange(10)
+    slope_grow = np.polyfit(x, 5 + 3 * x, 1)[0]
+    assert abs(got["grow"]["slope"] - slope_grow) < 1e-9
+    assert got["grow"]["slope"] == 3.0
+    assert got["flat"]["slope"] == 0.0
+    assert got["flat"]["avg_daily"] == 7.0
+    assert got["grow"]["n_days"] == 10
