@@ -346,6 +346,7 @@ QUERIES = [
         DOC_TRIANGLES_SQL,
         "per-doc triangle count + clustering coefficient (ppm) on the near-dup graph",
         ("llm", "graph", "dedup"),
+        bench=True,
     ),
     QuerySpec(
         "doc_kcore",
