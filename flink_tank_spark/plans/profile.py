@@ -311,6 +311,115 @@ TBL_FK_AUDIT_SQL = f"""
 
 
 
+# --------------------------------------------------------------------------
+# tbl_corr_lineitem — pairwise Pearson correlation of the measure columns
+# --------------------------------------------------------------------------
+
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def tbl_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the lineitem MEASURE
+    columns — the dependency half of ANALYZE-style statistics (the
+    optimizer's independence assumption is exactly what this falsifies)
+    and the feature-redundancy screen a training pipeline runs.
+
+    Measures only, deliberately: key-like columns track the corpus size
+    itself, so their "correlation" is meaningless AND their scaled
+    cross-products outgrow any fixed precision at lake scale; the
+    measure domains are scale-free. Exactness: all sums are scaled
+    integers (values have ≤ 2 decimals → ×100 is lossless), r's
+    numerator and both variance terms are exact, and the final
+    divide/sqrt runs on identical operands in both engines. Scale
+    shape: ONE corpus aggregate computes every Σx, Σx², Σxy (map-side
+    combinable, 15 expressions); the 6 output rows explode from that
+    single 1-row frame — the aggregate is never re-derived per pair.
+    Envelope: n·Σxy stays inside DECIMAL(38,0) to ~1e11 rows at this
+    domain; beyond that, re-center the measures first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sc = {
+        c: F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5)).cast("decimal(25,0)")
+        for c in CORR_COLS
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(15,0)").alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(sc[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(sc[c] * sc[c]).alias(f"q_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(CORR_COLS) for b in CORR_COLS[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(sc[a] * sc[b]).alias(f"p_{a}_{b}"))
+    one = li.agg(*aggs)
+    structs = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"p_{a}_{b}").alias("sxy"),
+            F.col(f"s_{a}").alias("sa"),
+            F.col(f"s_{b}").alias("sb"),
+            F.col(f"q_{a}").alias("qa"),
+            F.col(f"q_{b}").alias("qb"),
+        )
+        for a, b in pairs
+    ])
+    e = one.select("n", F.explode(structs).alias("p")).select("n", "p.*")
+    num = F.col("n") * F.col("sxy") - F.col("sa") * F.col("sb")
+    da = F.col("n") * F.col("qa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("qb") - F.col("sb") * F.col("sb")
+    return (
+        e.select(
+            "col_a",
+            "col_b",
+            F.col("n").cast("long").alias("n_rows"),
+            F.when(
+                (da > 0) & (db > 0),
+                num.cast("double")
+                / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("corr"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_sql() -> str:
+    cols = CORR_COLS
+    scs = {c: f"CAST(FLOOR({c} * 100.0 + 0.5) AS HUGEINT)" for c in cols}
+    aggs = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for c in cols:
+        aggs.append(f"SUM({scs[c]}) AS s_{c}")
+        aggs.append(f"SUM({scs[c]} * {scs[c]}) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(f"SUM({scs[a]} * {scs[b]}) AS p_{a}_{b}")
+    sel = ",\n             ".join(aggs)
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+           CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n * q_{a} - s_{a} * s_{a} > 0
+                 AND n * q_{b} - s_{b} * s_{b} > 0
+                THEN CAST(n * p_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                     / (sqrt(CAST(n * q_{a} - s_{a} * s_{a} AS DOUBLE))
+                        * sqrt(CAST(n * q_{b} - s_{b} * s_{b} AS DOUBLE)))
+                ELSE 0.0 END AS corr
+    FROM agg"""
+        for a, b in pairs
+    )
+    return (
+        "\n    WITH agg AS MATERIALIZED (\n      SELECT "
+        + sel
+        + "\n      FROM lineitem\n    )\n    "
+        + rows
+        + "\n    ORDER BY col_a, col_b\n"
+    )
+
+
+TBL_CORR_LINEITEM_SQL = _corr_sql()
+
+
+
 QUERIES = [
     QuerySpec(
         "tbl_profile_lineitem",
@@ -332,6 +441,13 @@ QUERIES = [
         tbl_fk_audit,
         TBL_FK_AUDIT_SQL,
         "referential-integrity audit: per-FK child/null/distinct/orphan counts",
+        ("profiling", "data-quality", "stats"),
+    ),
+    QuerySpec(
+        "tbl_corr_lineitem",
+        tbl_corr_lineitem,
+        TBL_CORR_LINEITEM_SQL,
+        "pairwise Pearson correlation of measure columns (exact sums, one scan)",
         ("profiling", "data-quality", "stats"),
     ),
     QuerySpec(

@@ -57,6 +57,7 @@ FRONT_OF_LINE = (
     "ev_trimmed_mean",
     "ev_value_mad",
     "ev_daily_trend",
+    "tbl_corr_lineitem",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

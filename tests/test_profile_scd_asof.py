@@ -122,3 +122,57 @@ def test_asof_boundary_is_half_open(spark):
     assert got[eff - datetime.timedelta(seconds=1)] is False, (
         "before the boundary: the CLOSED version"
     )
+
+
+def test_corr_matches_numpy(spark, sf_dir):
+    """Pearson r equals numpy.corrcoef on the raw columns (values have
+    <=2 decimals so the x100 scaling is lossless) for every pair."""
+    import numpy as np
+
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.plans.profile import CORR_COLS, tbl_corr_lineitem
+
+    pdf = load_table(spark, sf_dir, "lineitem").select(*CORR_COLS).toPandas()
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in tbl_corr_lineitem(spark, sf_dir).collect()}
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        expect = np.corrcoef(pdf[a], pdf[b])[0, 1]
+        assert abs(r - expect) < 1e-9, (a, b, r, expect)
+
+
+def test_corr_pinned_pair_semantics(spark, tmp_path):
+    """Perfectly correlated / anti-correlated / independent planted
+    columns land at r = 1, -1, ~0."""
+    import numpy as np
+
+    from flink_tank_spark.plans.profile import tbl_corr_lineitem
+
+    n = 1000
+    rng = np.random.RandomState(7)
+    q = rng.randint(1, 100, n).astype(float)
+    rows = [
+        # l_extendedprice = 2*q (r=1 with quantity), l_discount = (100-q)/100
+        # (r=-1), l_tax independent
+        (i, 1, 1, 1, float(q[i]), float(2 * q[i]),
+         float((100 - q[i]) / 100.0), float(rng.randint(0, 9)) / 100.0)
+        for i in range(n)
+    ]
+    import datetime as dt
+    full = [r + ("N", "O", dt.datetime(1995, 1, 1)) for r in rows]
+    spark.createDataFrame(
+        full,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in tbl_corr_lineitem(spark, str(tmp_path)).collect()}
+
+    def r_of(a, b):
+        return got[(a, b)] if (a, b) in got else got[(b, a)]
+
+    assert abs(r_of("l_quantity", "l_extendedprice") - 1.0) < 1e-12
+    assert abs(r_of("l_quantity", "l_discount") + 1.0) < 1e-12
+    assert abs(r_of("l_quantity", "l_tax")) < 0.1
