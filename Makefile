@@ -78,6 +78,10 @@ bench-streaming-sketch: sf1
 bench-streaming-matview: sf1
 	python scripts/bench_streaming_matview.py data/sf1 16 8 2>/dev/null | tail -1
 
+# windowed Top-N + anomaly-monitor drains (ev/sec + exact batch parity)
+bench-streaming-quality: sf1
+	python scripts/bench_streaming_quality.py data/sf1 16 8 2>/dev/null | tail -1
+
 # multi-probe IVF recall/cost curve (probes 1/2/4 vs exact top-5).
 # sf0.1 is the meaningful corpus: sfN replicas put a query's exact
 # duplicates in its own cell, pinning recall at 1.0
