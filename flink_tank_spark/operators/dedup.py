@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from flink_tank_spark.operators.text import (
     lsh_band_buckets,
@@ -405,4 +406,81 @@ def simhash_bits(
                 for i in range(bits)
             ]
         ).alias("simhash"),
+    )
+
+
+def ppjoin_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    AllPairs/PPJoin family — Bayardo et al. WWW'07, Chaudhuri et al.
+    SSJoin; public algorithms): every pair with Jaccard ≥ t_num/t_den,
+    with COMPLETENESS guaranteed — the recall-1.0 sibling of the
+    MinHash/LSH blocking (measured 0.994): slower per doc, but the
+    right tool when a miss is a correctness bug (split-leakage audits,
+    legal dedup).
+
+    Prefix principle: under one GLOBAL token order (rarest first —
+    df, then token, a total order), J(a,b) ≥ t forces an overlap of at
+    least ceil(t·|x|) for each side, so a shared token must appear in
+    both docs' first |x| − ceil(t·|x|) + 1 tokens. Blocking on those
+    PREFIX tokens is therefore lossless, and because prefixes hold each
+    doc's RAREST tokens, the candidate join is naturally skew-free —
+    the hot tokens that would blow up an inverted-index join never
+    enter a prefix. A size filter (t·|a| ≤ |b| ≤ |a|/t) prunes
+    length-incompatible candidates in the same join.
+
+    Scale shape: one token df groupBy, per-doc rank windows (doc-sized
+    partitions, high-cardinality key), one equi-join on prefix tokens,
+    exact verification restricted to candidates. Integer prefix
+    arithmetic: ceil(t·n) = (t_num·n + t_den − 1) div t_den.
+    """
+    tok = shingled.select(F.col(id_col), F.explode("shingles").alias("tok"))
+    df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = tok.join(df_tbl, "tok")
+    w_rank = W.partitionBy(id_col).orderBy("tdf", "tok")
+    w_all = W.partitionBy(id_col)
+    sorted_ = ranked.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    prefix = sorted_.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "tok", F.col("n").alias("na"))
+    b = prefix.select(F.col(id_col).alias("id_b"), "tok", F.col("n").alias("nb"))
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nb") * t_den >= F.col("na") * t_num)
+            & (F.col("na") * t_den >= F.col("nb") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingled.select(F.col(id_col), "shingles")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - n_common
+    )
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
     )

@@ -2962,6 +2962,63 @@ EMB_SPLIT_DRIFT_SQL = dedent(f"""
 
 
 
+# --------------------------------------------------------------------------
+# doc_ppjoin_near_dups — EXACT set-similarity join (prefix filtering)
+# --------------------------------------------------------------------------
+
+def doc_ppjoin_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair with shingle-Jaccard ≥ 0.8, found EXACTLY via prefix
+    filtering (operators/dedup.ppjoin_pairs) — the completeness-
+    guaranteed sibling of doc_lsh_near_dups (LSH blocking recall:
+    measured 0.994). When a missed near-dup is a correctness bug
+    (split-leakage audits), this is the join to run; when ~0.6% recall
+    loss is acceptable, LSH is cheaper. Shares the session shingle
+    stage — pair detection cost on top is the df groupBy + prefix
+    join."""
+    shingled = _shingled_docs(spark, sf_dir)
+    pairs = dedup.ppjoin_pairs(shingled)
+    return pairs.select("id_a", "id_b", "n_common", "jaccard").orderBy(
+        "id_a", "id_b"
+    )
+
+
+DOC_PPJOIN_SQL = dedent(f"""
+    WITH {SHINGLES_CTE},
+    tok AS (SELECT doc_id, unnest(shingles) AS tok FROM shingled),
+    dfq AS (SELECT tok, COUNT(*) AS tdf FROM tok GROUP BY tok),
+    sorted_ AS (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.tdf, t.tok) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM tok t JOIN dfq d USING (tok)
+    ),
+    prefix AS (
+      SELECT doc_id, tok, n FROM sorted_
+      WHERE rn <= n - (4 * n + 4) // 5 + 1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.tok = b.tok
+           AND a.doc_id < b.doc_id
+           AND 5 * b.n >= 4 * a.n AND 5 * a.n >= 4 * b.n
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cands c
+    JOIN shingled sa ON sa.doc_id = c.id_a
+    JOIN shingled sb ON sb.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+    ORDER BY id_a, id_b
+""")
+
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -2990,6 +3047,10 @@ QUERIES = [
     QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
               "deterministic hash-based stratified sampling (20% en / 50% rest)",
               ("llm", "curation")),
+    QuerySpec("doc_ppjoin_near_dups", doc_ppjoin_near_dups, DOC_PPJOIN_SQL,
+              "EXACT Jaccard>=0.8 pairs via prefix filtering (completeness-"
+              "guaranteed sibling of the LSH blocking)",
+              ("llm", "dedup")),
     QuerySpec("emb_split_drift", emb_split_drift, EMB_SPLIT_DRIFT_SQL,
               "pairwise split-centroid cosine — embedding distribution-shift audit",
               ("llm", "governance", "embedding")),

@@ -58,6 +58,7 @@ FRONT_OF_LINE = (
     "ev_value_mad",
     "ev_daily_trend",
     "tbl_corr_lineitem",
+    "doc_ppjoin_near_dups",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

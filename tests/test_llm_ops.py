@@ -567,3 +567,53 @@ def test_mix_reweight_balances_token_shares(spark, tmp_path):
     ])
     w = {r.lang: r for r in doc_mix_reweight(spark, lopsided).collect()}
     assert w["de"].weight == 3.0  # cap binds
+
+
+# --------------------------------------------------------------------------
+# ppjoin_pairs — exact prefix-filtered set-similarity join
+# --------------------------------------------------------------------------
+
+def test_ppjoin_equals_brute_force_on_corpus(spark, sf_dir):
+    """Completeness: prefix filtering finds EXACTLY the pairs the
+    all-pairs inverted-index join finds at the same threshold — on the
+    real corpus, values included."""
+    from flink_tank_spark.io.tables import load_table
+    from flink_tank_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = dedup.shingle_sets(docs)
+    pp = {
+        (r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+        for r in dedup.ppjoin_pairs(shingled).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["n_common"], r["jaccard"])
+        for r in dedup.jaccard_pairs(shingled).filter("jaccard >= 0.8").collect()
+    }
+    assert pp == brute
+    assert brute, "corpus has no qualifying pairs — vacuous check"
+
+
+def test_ppjoin_prefix_blocks_hot_tokens(spark):
+    """A stop-shingle shared by every doc never enters a prefix: two
+    docs related ONLY through it produce no candidate pair, while a
+    true near-dup pair (sharing rare shingles) is found with exact
+    jaccard."""
+    from flink_tank_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " one two three"),
+        (2, base + " one two four"),      # near-dup of 1
+        (3, "completely different words here but common tail " + base[:11]),
+        (4, "another unrelated document sharing nothing at all xyzzy"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    shingled = dedup.shingle_sets(docs)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ppjoin_pairs(shingled, t_num=1, t_den=2).collect()}
+    assert (1, 2) in got
+    brute = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.jaccard_pairs(shingled)
+             .filter("jaccard >= 0.5").collect()}
+    assert got == brute
