@@ -124,6 +124,29 @@ def main() -> int:
         "candidate_pairs_generated": cand_pairs.count(),
         "per_true_jaccard_band": per_band,
     }), flush=True)
+    # ---------------- documents: exact PPJoin vs planted truth --------
+    # the completeness check: prefix filtering must find EVERY planted
+    # pair whose true Jaccard clears the threshold — recall exactly 1.0
+    # (anything less is an algorithm bug, not a tuning trade)
+    pp_pairs = dedup.ppjoin_pairs(shingled).select("id_a", "id_b").persist()
+    n_pp_hit = (
+        planted_j.filter(F.col("jaccard") >= threshold)
+        .join(pp_pairs, ["id_a", "id_b"], "semi")
+        .count()
+    )
+    n_pp_total = pp_pairs.count()
+    print(json.dumps({
+        "section": "documents_ppjoin_exact",
+        "sf": sf_tag,
+        "threshold": threshold,
+        "planted_above_threshold": n_elig_total,
+        "detection_recall": round(n_pp_hit / n_elig_total, 3)
+        if n_elig_total else None,
+        "detected_total": n_pp_total,
+        "lsh_detected_total": n_detected,
+        "recall_delta_vs_lsh": n_pp_total - n_detected,
+    }), flush=True)
+
     # ---------------- governance: split-leakage audit vs planted truth
     # doc_split_leakage = detected pairs whose endpoints straddle the
     # deterministic md5 train/val/test split. Ground truth: planted
