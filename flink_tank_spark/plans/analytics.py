@@ -531,6 +531,111 @@ EV_DAILY_TREND_SQL = dedent("""
 
 
 
+# --------------------------------------------------------------------------
+# ev_anomaly_days — volume-level anomaly: which DAYS are off per type
+# --------------------------------------------------------------------------
+
+def ev_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-volume anomaly per event type: days whose event COUNT
+    sits beyond 3 population standard deviations of that type's daily
+    distribution — the spike/outage monitor next to ev_value_outliers'
+    per-event value check. Same exact integer z-test
+    ((n·y − s1)² > 9·(n·s2 − s1²), n over DAYS), run entirely on the
+    bounded (type, day) count table after one corpus scan. Reports the
+    anomalous-day count and the worst day (ties break earliest)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("y")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        (F.col("n") * F.col("y") - F.col("s1")).alias("diff"),
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("rhs"),
+    )
+    scored = j.select(
+        "event_type",
+        "day",
+        "y",
+        (F.col("diff") * F.col("diff") > F.lit(9) * F.col("rhs"))
+        .cast("integer")
+        .alias("is_anom"),
+        F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("z2_ppm"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy(
+        F.col("z2_ppm").desc(), F.col("day").asc()
+    )
+    worst = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("worst_day"),
+            F.col("y").cast("long").alias("worst_day_events"),
+            F.col("z2_ppm").alias("worst_z2_ppm"),
+        )
+    )
+    counts = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("is_anom").cast("long").alias("n_anomalous_days"),
+    )
+    return counts.join(worst, "event_type").orderBy("event_type")
+
+
+EV_ANOMALY_DAYS_SQL = dedent("""
+    WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS HUGEINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(y) AS s1, SUM(y * y) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, d.y,
+             CASE WHEN (s.n * d.y - s.s1) * (s.n * d.y - s.s1)
+                       > 9 * (s.n * s.s2 - s.s1 * s.s1)
+                  THEN 1 ELSE 0 END AS is_anom,
+             CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0
+                  THEN CAST(((s.n * d.y - s.s1) * (s.n * d.y - s.s1) * 1000000)
+                            // (s.n * s.s2 - s.s1 * s.s1) AS BIGINT)
+                  ELSE 0 END AS z2_ppm
+      FROM daily d JOIN st s USING (event_type)
+    ),
+    worst AS (
+      SELECT event_type, day AS worst_day, CAST(y AS BIGINT) AS worst_day_events,
+             z2_ppm AS worst_z2_ppm,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY z2_ppm DESC, day ASC) AS rk
+      FROM scored
+    )
+    SELECT s.event_type,
+           COUNT(*) AS n_days,
+           CAST(SUM(s.is_anom) AS BIGINT) AS n_anomalous_days,
+           MAX(w.worst_day) AS worst_day,
+           MAX(w.worst_day_events) AS worst_day_events,
+           MAX(w.worst_z2_ppm) AS worst_z2_ppm
+    FROM scored s JOIN worst w ON w.event_type = s.event_type AND w.rk = 1
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+""")
+
+
+
 QUERIES = [
     QuerySpec("ev_funnel_conversion", ev_funnel_conversion, EV_FUNNEL_SQL,
               "ordered signup→view→purchase funnel, first-touch attribution",
@@ -538,6 +643,9 @@ QUERIES = [
     QuerySpec("ev_retention_cohorts", ev_retention_cohorts, EV_RETENTION_SQL,
               "first-seen cohorts x day-offset retention counts (0..7)",
               ("analytics", "events")),
+    QuerySpec("ev_anomaly_days", ev_anomaly_days, EV_ANOMALY_DAYS_SQL,
+              "per-type anomalous traffic days (exact integer z-test on daily counts)",
+              ("analytics", "events", "quality")),
     QuerySpec("ev_daily_trend", ev_daily_trend, EV_DAILY_TREND_SQL,
               "per-type OLS slope of daily volume (exact integer sums, one final division)",
               ("analytics", "events", "regression")),

@@ -60,6 +60,7 @@ FRONT_OF_LINE = (
     "tbl_corr_lineitem",
     "doc_ppjoin_near_dups",
     "doc_split_ks",
+    "ev_anomaly_days",
     "dim_scd2_asof_join",
     "tbl_profile_lineitem",
     "doc_profile_text",
