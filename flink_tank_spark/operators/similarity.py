@@ -671,9 +671,15 @@ def srp_band_keys(
     vec_col: Column, n_planes: int = 24, n_bands: int = 6, dim: int = 64
 ) -> Column:
     """The banded SRP keys of an embedding: array of ``n_bands`` BIGINTs,
-    band b's key = ``(b << 20) + value of its rows' sign bits``
+    band b's key = ``(b << 56) + value of its rows' sign bits``
     (disjoint bit ranges, so ``+`` is the band tag — no cross-engine
-    bitwise-or semantics to match).
+    bitwise-or semantics to match). The tag sits at bit 56 so the
+    disjointness invariant holds for every supported width (data bits
+    0..55, tag 56..61); the guards below fail loudly instead of letting
+    wide-band data bits silently carry into the tag and collide
+    ACROSS bands — output would stay correct (exact rescore follows)
+    but candidate volume would inflate exactly at the corpus sizes
+    where the docstrings recommend widening the bands.
 
     Banding is MinHash-LSH's OR-amplification applied to hyperplane
     signs: two vectors are candidates iff ANY band agrees on all its
@@ -689,7 +695,16 @@ def srp_band_keys(
     """
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by n_bands={n_bands}: "
+            "leftover planes would be silently dropped"
+        )
     rows = n_planes // n_bands
+    if rows > 56:
+        raise ValueError(f"rows-per-band {rows} > 56: data bits would hit the band tag")
+    if n_bands > 63:
+        raise ValueError(f"n_bands {n_bands} > 63: band tag would overflow int64")
     w_t = srp_weights(n_planes, dim).T  # (dim, n_planes)
     shifts = np.arange(rows, dtype=np.int64)
 
@@ -701,7 +716,7 @@ def srp_band_keys(
         keys = np.stack(
             [
                 (bits[:, b * rows : (b + 1) * rows] << shifts).sum(axis=1)
-                + (b << 20)
+                + (b << 56)
                 for b in range(n_bands)
             ],
             axis=1,

@@ -350,6 +350,33 @@ def value_hist_events(ev: DataFrame) -> DataFrame:
     )
 
 
+def _z2_ppm_sql(num: str, rhs: str) -> str:
+    """Exact ``floor(num * 1e6 / rhs)`` staged so no intermediate exceeds
+    ``max(num, rhs * 1000)`` — the naive ``num * 1000000`` overflows
+    DECIMAL(38,0)/HUGEINT once ``rhs`` passes ~1e32, well inside the
+    n ≤ 1e9 group envelope (rhs = n²σ² reaches ~6e34 there). Identity:
+    with q = num div rhs, r0 = num mod rhs, q1 = r0·1000 div rhs,
+    r1 = r0·1000 mod rhs,  floor(num·10⁶/rhs) = q·10⁶ + q1·10³ +
+    (r1·1000 div rhs); every remainder is < rhs so each staged product
+    is < rhs·1000 < 1e38 whenever rhs < 1e35. Same text runs verbatim
+    in Spark SQL (DECIMAL(38,0), `div`/`%`) and DuckDB (HUGEINT,
+    `//`/`%` — the caller substitutes operators)."""
+    return (
+        f"(({num}) div ({rhs})) * 1000000"
+        f" + (((({num}) % ({rhs})) * 1000) div ({rhs})) * 1000"
+        f" + (((({num}) % ({rhs})) * 1000 % ({rhs})) * 1000) div ({rhs})"
+    )
+
+
+def _z2_ppm_duck(num: str, rhs: str) -> str:
+    """DuckDB spelling of :func:`_z2_ppm_sql` (// for integer div)."""
+    return (
+        f"(({num}) // ({rhs})) * 1000000"
+        f" + (((({num}) % ({rhs})) * 1000) // ({rhs})) * 1000"
+        f" + (((({num}) % ({rhs})) * 1000 % ({rhs})) * 1000) // ({rhs})"
+    )
+
+
 def outliers_from_hist(hist: DataFrame) -> DataFrame:
     """Finalize the value histogram to the per-(type, day) outlier
     report — shared by the batch query and the streaming fold, so
@@ -376,7 +403,7 @@ def outliers_from_hist(hist: DataFrame) -> DataFrame:
             F.when(num > F.lit(9) * F.col("rhs"), F.col("cnt"))
             .otherwise(F.lit(0))
             .alias("out_cnt"),
-            F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
+            F.when(F.col("rhs") > 0, F.expr(_z2_ppm_sql("diff * diff", "rhs")))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("z2_ppm"),
@@ -414,13 +441,16 @@ def ev_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted by weight. Precision envelope: products stay in
     DECIMAL(38,0); |n·v_s| < 1e18 holds for group counts up to ~1e9 at
     this value domain (≤ 5e8 micro-units) — beyond that, shrink the
-    group grain (hourly) or drop the scale factor.
+    group grain (hourly) or drop the scale factor. The z2_ppm report
+    uses the staged multiply-divide of :func:`_z2_ppm_sql`, so it is
+    exact over the SAME envelope (no intermediate exceeds rhs·1000 ≈
+    6e37) — the naive diff²·10⁶ would overflow at rhs ≳ 1e32.
     """
     ev = load_table(spark, sf_dir, "events")
     return outliers_from_hist(value_hist_events(ev))
 
 
-EV_VALUE_OUTLIERS_SQL = dedent("""
+EV_VALUE_OUTLIERS_SQL = dedent(f"""
     WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
     e AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -441,7 +471,7 @@ EV_VALUE_OUTLIERS_SQL = dedent("""
     SELECT event_type, day,
            COUNT(*) AS n_events,
            CAST(SUM(CASE WHEN num > 9 * rhs THEN 1 ELSE 0 END) AS BIGINT) AS n_out3,
-           CAST(MAX(CASE WHEN rhs > 0 THEN (num * 1000000) // rhs ELSE 0 END) AS BIGINT) AS z2_max_ppm
+           CAST(MAX(CASE WHEN rhs > 0 THEN {_z2_ppm_duck('num', 'rhs')} ELSE 0 END) AS BIGINT) AS z2_max_ppm
     FROM j GROUP BY event_type, day
     ORDER BY event_type, day
 """)
@@ -566,7 +596,7 @@ def ev_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("diff") * F.col("diff") > F.lit(9) * F.col("rhs"))
         .cast("integer")
         .alias("is_anom"),
-        F.when(F.col("rhs") > 0, F.expr("(diff * diff * 1000000) div rhs"))
+        F.when(F.col("rhs") > 0, F.expr(_z2_ppm_sql("diff * diff", "rhs")))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("z2_ppm"),
@@ -593,7 +623,7 @@ def ev_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(worst, "event_type").orderBy("event_type")
 
 
-EV_ANOMALY_DAYS_SQL = dedent("""
+EV_ANOMALY_DAYS_SQL = dedent(f"""
     WITH events AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM main.events),
     daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -611,8 +641,8 @@ EV_ANOMALY_DAYS_SQL = dedent("""
                        > 9 * (s.n * s.s2 - s.s1 * s.s1)
                   THEN 1 ELSE 0 END AS is_anom,
              CASE WHEN s.n * s.s2 - s.s1 * s.s1 > 0
-                  THEN CAST(((s.n * d.y - s.s1) * (s.n * d.y - s.s1) * 1000000)
-                            // (s.n * s.s2 - s.s1 * s.s1) AS BIGINT)
+                  THEN CAST({_z2_ppm_duck('(s.n * d.y - s.s1) * (s.n * d.y - s.s1)',
+                                          's.n * s.s2 - s.s1 * s.s1')} AS BIGINT)
                   ELSE 0 END AS z2_ppm
       FROM daily d JOIN st s USING (event_type)
     ),

@@ -36,7 +36,9 @@ def ev_zorder_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     raw = ev.select(
         F.col("user_id").alias("u"),
-        (F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("h"),
+        # floor, not cast-truncation: matches the oracle's FLOOR(epoch/3600)
+        # for negative epochs too (pre-1970 timestamps round toward -inf)
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("h"),
     )
     stats = raw.agg(
         F.min("u").alias("umin"), F.max("u").alias("umax"),

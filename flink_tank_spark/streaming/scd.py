@@ -97,7 +97,15 @@ def scd2_view(spark: SparkSession, dim_dir: str) -> DataFrame:
     row per update (valid_from = eff_ts); valid_to = lead(valid_from)
     within the key's timeline, is_current ⇔ no successor. The window
     partitions on custkey over per-key version counts — bounded state,
-    no global sort."""
+    no global sort.
+
+    Contract enforcement: version chaining relies on the documented
+    update contract (at most one update per key per micro-batch,
+    non-decreasing eff_ts) — a duplicate (custkey, valid_from) would
+    make the lead() chain nondeterministic and yield zero-length or
+    inverted intervals SILENTLY. A count over the same window
+    partition (no extra shuffle — same key prefix) feeds
+    ``raise_error`` so violations fail loudly at read instead."""
     dim = spark.read.parquet(os.path.join(dim_dir, BASE_SUBDIR))
     changes = _read_changes(spark, dim_dir)
     versions = dim.select(
@@ -115,8 +123,22 @@ def scd2_view(spark: SparkSession, dim_dir: str) -> DataFrame:
         )
         versions = versions.unionByName(upd_versions)
     w = W.partitionBy("custkey").orderBy("valid_from")
-    return versions.withColumn("valid_to", F.lead("valid_from").over(w)).withColumn(
-        "is_current", F.col("valid_to").isNull()
+    n_at_ts = F.count(F.lit(1)).over(W.partitionBy("custkey", "valid_from"))
+    # the guard is FUSED into valid_from (not a dropped side column, which
+    # Catalyst would prune away along with the check)
+    guarded_vf = F.when(n_at_ts <= 1, F.col("valid_from")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_view: duplicate (custkey, valid_from) version for key "),
+                F.col("custkey").cast("string"),
+                F.lit(" — update contract violated (one update per key per batch)"),
+            )
+        )
+    )
+    return (
+        versions.withColumn("valid_from", guarded_vf)
+        .withColumn("valid_to", F.lead("valid_from").over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
     )
 
 

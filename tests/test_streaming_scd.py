@@ -121,3 +121,32 @@ def test_compact_preserves_history(spark, tmp_path):
 
     assert compaction.parts(os.path.join(dim_dir, "changes")) == ["ingest_batch=-1"]
     assert _history(spark, dim_dir) == before
+
+
+def test_duplicate_version_timestamp_fails_loudly(spark, tmp_path):
+    # the update contract (one update per key per batch, distinct
+    # eff_ts) is ENFORCED, not assumed: a duplicate (custkey, eff_ts)
+    # would make the lead() chain nondeterministic, so the view must
+    # raise instead of silently emitting a zero-length version interval
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    dim_dir = str(tmp_path / "dim")
+    scd.init_dim(_dim(spark), dim_dir)
+    dup = spark.createDataFrame(
+        [(1, 150.0), (1, 160.0)], "custkey long, new_acctbal double"
+    ).withColumn("eff_ts", F.lit("1995-03-01").cast("timestamp"))
+    scd.incremental_scd_sink(dim_dir)(dup, 0)
+    with pytest.raises((Py4JJavaError, Exception), match="duplicate \\(custkey, valid_from\\)"):
+        scd.scd2_view(spark, dim_dir).collect()
+
+
+def test_contract_guard_passes_clean_history(spark, tmp_path):
+    dim_dir = str(tmp_path / "dim")
+    scd.init_dim(_dim(spark), dim_dir)
+    ok = spark.createDataFrame(
+        [(1, 150.0), (2, 250.0)], "custkey long, new_acctbal double"
+    ).withColumn("eff_ts", F.lit("1995-03-01").cast("timestamp"))
+    scd.incremental_scd_sink(dim_dir)(ok, 0)
+    hist = _history(spark, dim_dir)
+    assert len(hist) == 5  # 3 base + 2 updates
