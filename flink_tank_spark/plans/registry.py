@@ -39,71 +39,20 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-9
-# rotation: the driver emitted NO CORRECTNESS_r08.json, so the round-8
-# head (r8 additions + the r7 red + config/semantic re-certs) keeps its
-# place with the round-9 additions prepended; the tail remains the
-# queries whose newest driver cert is round 6.
+# run FIRST (order is otherwise meaningless to the gate). Round-10
+# rotation: head = the six queries the advisory fixes touched this
+# round (re-certify), then the 39 queries whose newest cert is round 6,
+# then the 47 whose newest cert is round 7; the 44 remaining round-9
+# certs sit at the tail. Round-10 additions are prepended as they land.
 FRONT_OF_LINE = (
-    # new in round 9 — no driver cert yet
-    "doc_triangles",
-    "doc_kcore",
-    "ev_value_outliers",
-    "ev_value_deciles",
-    "ev_hourly_top_users",
-    "ev_session_stats",
-    "tbl_fk_audit",
-    "emb_split_drift",
-    "ev_trimmed_mean",
-    "ev_value_mad",
-    "ev_daily_trend",
-    "tbl_corr_lineitem",
-    "doc_ppjoin_near_dups",
-    "doc_split_ks",
-    "ev_anomaly_days",
-    "dim_scd2_asof_join",
-    "tbl_profile_lineitem",
-    "doc_profile_text",
-    "tbl_mcv_lineitem",
+    # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
-    "doc_canonical_by_pr",
-    "ev_type_transitions",
-    "ev_zorder_extents",
-    "doc_pagerank",
-    "doc_bpe_merges",
-    "doc_bpe_tokens",
     "emb_srp_topk",
     "emb_srp_recall",
-    "dim_scd2_customer",
-    # new in round 8 — no driver cert yet (r8 driver run never landed)
-    "emb_pq_topk",
-    "doc_bigram_fluency",
-    "part_skyline",
-    "mm_audio_decimate",
-    "ev_kmv_overlap_types",
-    "join_bloom_prune",
-    "doc_fuzzy_near_dups",
-    "doc_pmi_pairs",
-    "doc_clean_boilerplate",
-    "doc_minhash_est",
-    "doc_zipf_ranks",
-    "doc_span_dedup",
-    "doc_mix_reweight",
-    # red in round 7 (HUGEINT oracle dtype, fixed in sketches.py) —
-    # must re-certify
-    "ev_cms_merge_days",
-    # re-registered at the measured recall knee (32-dim/C=200) in r8 —
-    # config change must re-certify
-    "emb_two_stage_topk",
-    # r8: staged pii counts (no double-count of overlapping patterns) —
-    # semantic change must re-certify
-    "doc_pii_scrub",
-    # newest cert is round 6
-    "agg_cube_status_priority",
-    "agg_rollup_region_nation",
-    "doc_dedup_stats",
-    "doc_fingerprint",
-    "doc_idf_rarity",
+    "ev_value_outliers",
+    "ev_anomaly_days",
+    "ev_zorder_extents",
+    # newest driver cert is round 6 — stalest, run first
     "doc_jaccard_topk",
     "doc_lang_id",
     "doc_lsh_near_dups",
@@ -143,6 +92,54 @@ FRONT_OF_LINE = (
     "win_moving_avg",
     "win_order_gaps",
     "win_price_position",
+    # newest driver cert is round 7
+    "agg_grouping_sets",
+    "doc_bm25_topk",
+    "doc_bm25_wand",
+    "doc_bm25_wand_batch64",
+    "doc_contamination",
+    "doc_dedup_corpus",
+    "doc_dedup_groups",
+    "doc_ngram_freq",
+    "doc_pack_chunks",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_split_assign",
+    "doc_split_leakage",
+    "doc_token_stats",
+    "doc_top_terms",
+    "emb_ivf_kmeans_topk",
+    "emb_ivf_recall",
+    "emb_quantize_int8",
+    "emb_semantic_dedup",
+    "ev_cep_match",
+    "ev_funnel_conversion",
+    "ev_gap_fill",
+    "ev_hll_merge_days",
+    "ev_hll_user_days",
+    "ev_pivot_type_counts",
+    "ev_retention_cohorts",
+    "ev_value_quantiles",
+    "ev_value_quantiles_merged",
+    "mm_frame_stats",
+    "mm_resize",
+    "mm_wav_roundtrip",
+    "q11_important_stock",
+    "q16_parts_suppliers",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q20_excess_shipments",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "win_running_total",
+    "win_top_orders_per_cust",
 )
 
 
