@@ -1,0 +1,145 @@
+"""SimHash Hamming-ball near-duplicate detection (Manku et al.,
+WWW 2007 — the public Google near-dup construction).
+
+Completes the repo's SimHash family: doc_simhash (plans/llm.py) emits
+the 64-bit signatures; this module finds all pairs within Hamming
+distance K of each other WITHOUT an all-pairs scan, via the pigeonhole
+block decomposition: split each signature into K+1 equal blocks — two
+signatures at distance ≤ K must agree EXACTLY on at least one block
+(K differing bits cannot touch all K+1 blocks). Candidates are
+therefore an equi-join on (block index, block value); the exact popcount
+verify runs only on candidates.
+
+Unlike MinHash-LSH (doc_lsh_near_dups) this blocking is EXACT by
+construction — recall is 1.0 at the configured radius, not a banding
+probability. The trade is the radius is small and fixed (K=3 here, the
+published operating point for 64-bit web dedup).
+
+Scale shape at 100 TB: the per-block candidate volume is Σ bucket² over
+2^16 buckets per block — bounded as long as block values spread; a
+degenerate corpus (billions of docs sharing a 16-bit block, e.g.
+boilerplate-dominated signatures) calls for Manku's table scheme:
+more/permuted blocks with wider prefixes (e.g. 6 blocks, candidates on
+2-block conjunctions) to cut bucket occupancy, at the cost of more
+index tables. All joins here are hash equi-joins; the verify is four
+codegen'd bit_count(xor) terms — no Python, no floats.
+
+Reference parity note: the reference engine has no simhash operator;
+this is part of the training-data-pipeline extension surface
+(dedup family) the build brief names as first-class.
+"""
+
+from __future__ import annotations
+
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import dedup
+from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark.plans.llm import SIMHASH_SIG_CTES
+from flink_tank_spark.plans.registry import QuerySpec
+
+HAMMING_K = 3          # radius; pigeonhole needs K+1 blocks
+N_BLOCKS = HAMMING_K + 1
+BLOCK_BITS = 64 // N_BLOCKS  # 16
+
+
+def _block_int(sig_col: str, b: int):
+    """Block b of a '0'/'1' signature string as an integer (codegen
+    conv, base 2 → 10); always non-negative at 16 bits."""
+    return F.conv(
+        F.substring(sig_col, 1 + BLOCK_BITS * b, BLOCK_BITS), 2, 10
+    ).cast("long")
+
+
+def simhash_near_dup_pairs(sigs: DataFrame, k: int = HAMMING_K) -> DataFrame:
+    """All (id_a < id_b) pairs of ``sigs`` (doc_id, simhash) within
+    Hamming distance ``k``, blocked by the K+1-block pigeonhole."""
+    blocks = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.substring("simhash", 1 + BLOCK_BITS * b, BLOCK_BITS))
+                    for b in range(N_BLOCKS)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "block_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    x = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    y = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    hamming = sum(
+        F.bit_count(_block_int("sig_a", b).bitwiseXOR(_block_int("sig_b", b)))
+        for b in range(N_BLOCKS)
+    ).cast("long")
+    return (
+        cand.join(x, "id_a")
+        .join(y, "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manku-style SimHash near-dup pairs over documents at Hamming
+    radius 3 (64-bit signatures, 4×16-bit pigeonhole blocks). Exact:
+    blocking recall is 1.0 by construction; the popcount verify is the
+    only filter."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    sigs = dedup.simhash_bits(docs)
+    return simhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+
+
+DOC_SIMHASH_NEAR_DUPS_SQL = dedent(f"""
+    WITH {SIMHASH_SIG_CTES},
+    blocks AS (
+      SELECT doc_id, CAST(b.b AS INTEGER) AS blk,
+             substr(simhash, {BLOCK_BITS} * b.b + 1, {BLOCK_BITS}) AS bstr
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {N_BLOCKS})) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bstr = b.bstr
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(({' + '.join(
+                 f"bit_count(xor("
+                 f"CAST(CAST(substr(x.simhash, {BLOCK_BITS} * {b} + 1, {BLOCK_BITS}) AS BIT) AS BIGINT), "
+                 f"CAST(CAST(substr(y.simhash, {BLOCK_BITS} * {b} + 1, {BLOCK_BITS}) AS BIT) AS BIGINT)))"
+                 for b in range(N_BLOCKS))}) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sigs x ON x.doc_id = c.id_a
+      JOIN sigs y ON y.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming
+    FROM scored
+    WHERE hamming <= {HAMMING_K}
+    ORDER BY id_a, id_b
+""")
+
+
+QUERIES = [
+    QuerySpec(
+        "doc_simhash_near_dups",
+        doc_simhash_near_dups,
+        DOC_SIMHASH_NEAR_DUPS_SQL,
+        "SimHash Hamming-ball near-dup pairs (Manku pigeonhole blocks, "
+        "radius 3, recall 1.0 by construction)",
+        ("llm", "dedup"),
+    ),
+]

@@ -536,8 +536,11 @@ def doc_bm25_wand_batch64(
     ).orderBy("query_id", "rk")
 
 
-DOC_SIMHASH_SQL = dedent("""
-    WITH w AS (
+# the signature derivation as a reusable CTE block — doc_simhash reads
+# it directly; plans/hamming.py builds the Hamming-ball near-dup join
+# on top of the same `sigs` table
+SIMHASH_SIG_CTES = dedent("""\
+    w AS (
       SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h FROM documents
     ),
     per_bit AS (
@@ -547,12 +550,17 @@ DOC_SIMHASH_SQL = dedent("""
                       THEN 1 ELSE -1 END) AS vote
       FROM w CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
       GROUP BY doc_id, b.bit
-    )
-    SELECT doc_id,
-           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
-    FROM per_bit
-    GROUP BY doc_id
-    ORDER BY doc_id
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+      FROM per_bit
+      GROUP BY doc_id
+    )""")
+
+DOC_SIMHASH_SQL = dedent(f"""
+    WITH {SIMHASH_SIG_CTES}
+    SELECT doc_id, simhash FROM sigs ORDER BY doc_id
 """)
 
 

@@ -45,6 +45,8 @@ class QuerySpec:
 # then the 47 whose newest cert is round 7; the 44 remaining round-9
 # certs sit at the tail. Round-10 additions are prepended as they land.
 FRONT_OF_LINE = (
+    # new in round 10 — no driver cert yet
+    "doc_simhash_near_dups",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
@@ -149,6 +151,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytics,
         bpe,
         graph,
+        hamming,
         llm,
         layout,
         profile,
@@ -163,7 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
-        srp, scd, layout, profile,
+        srp, scd, layout, profile, hamming,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:
