@@ -47,6 +47,7 @@ class QuerySpec:
 FRONT_OF_LINE = (
     # new in round 10 — no driver cert yet
     "doc_simhash_near_dups",
+    "doc_weighted_sample",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
@@ -155,6 +156,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         layout,
         profile,
+        sampling,
         scd,
         sketches,
         srp,
@@ -166,7 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
-        srp, scd, layout, profile, hamming,
+        srp, scd, layout, profile, hamming, sampling,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:
