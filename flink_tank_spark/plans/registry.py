@@ -48,6 +48,7 @@ FRONT_OF_LINE = (
     # new in round 10 — no driver cert yet
     "doc_simhash_near_dups",
     "doc_weighted_sample",
+    "doc_vocab_coverage",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
@@ -161,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sketches,
         srp,
         streaming_batch,
+        vocab,
         tpch,
         windows,
     )
@@ -168,7 +170,7 @@ def all_queries() -> dict[str, QuerySpec]:
     registry: dict[str, QuerySpec] = {}
     for module in (
         tpch, windows, streaming_batch, sketches, analytics, llm, graph, bpe,
-        srp, scd, layout, profile, hamming, sampling,
+        srp, scd, layout, profile, hamming, sampling, vocab,
     ):
         for spec in module.QUERIES:
             if spec.name in registry:
