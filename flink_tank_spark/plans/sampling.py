@@ -131,6 +131,150 @@ DOC_WEIGHTED_SAMPLE_SQL = dedent(f"""
 """)
 
 
+# --------------------------------------------------------------------------
+# doc_dsir_weights — hashed-n-gram importance weights (DSIR-style)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # 2 hex chars of the bigram md5
+DSIR_TARGET_LANG = "en"
+
+
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023 — the public DSIR construction), exact-integer form: score
+    every document by how much its hashed-bigram distribution looks
+    like the TARGET distribution (here lang='en') relative to the raw
+    corpus. DSIR proper uses log-likelihood ratios; ln() is
+    libm-divergent across engines (the doc_bigram_fluency lesson), so
+    the score is the mean per-bigram importance RATIO in exact ppm
+    fixed point — add-1 smoothed,
+
+        w_b = (n_target_b + 1)(N_raw + B) · 10⁶
+              div (n_raw_b + 1)(N_target + B)
+
+    — rank-equivalent for selection and bit-identical under any
+    partitioning. Reported per language: the mean/max/min document
+    score, so the target language's self-similarity (highest mean)
+    is visible in the output.
+
+    Scale shape: one bigram explode; bucket = 2 hex chars of the
+    bigram md5 (B=256 — the bucketed feature space is what makes DSIR
+    corpus-size-free); the weight table is ≤ B rows (broadcast); the
+    per-doc pass is groupBy(doc, bucket) → broadcast join → one agg.
+    Single-token documents carry no bigram evidence and are excluded
+    (both engines). Precision: products ≤ (counts+B)² · 10⁶ stay in
+    DECIMAL(38,0)/HUGEINT for corpora to ~10¹⁵ bigrams."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = docs.select(
+        "doc_id", "lang", ws.alias("_ws"), F.explode(idx).alias("_i")
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("_ws", F.col("_i")),
+                    F.element_at("_ws", F.col("_i") + 1),
+                ).cast("binary")
+            ),
+            1,
+            2,
+        ).alias("bkt"),
+    )
+    raw_b = bg.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_r")
+    )
+    tgt_b = (
+        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("n_t"))
+    )
+    totals = raw_b.agg(
+        F.sum("n_r").cast("decimal(20,0)").alias("nr_tot")
+    ).crossJoin(
+        tgt_b.agg(F.sum("n_t").cast("decimal(20,0)").alias("nt_tot"))
+    )
+    w = (
+        raw_b.join(tgt_b, "bkt", "left")
+        .na.fill({"n_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            F.expr(
+                f"((n_t + 1) * (nr_tot + {DSIR_BUCKETS}) * 1000000)"
+                f" div ((n_r + 1) * (nt_tot + {DSIR_BUCKETS}))"
+            ).alias("w_ppm"),
+        )
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c"))
+        .join(F.broadcast(w), "bkt")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr("sum(c * w_ppm) div sum(c)").cast("long").alias("score_ppm")
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(score_ppm) div count(1)").cast("long").alias("avg_score_ppm"),
+            F.max("score_ppm").alias("max_score_ppm"),
+            F.min("score_ppm").alias("min_score_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_DSIR_WEIGHTS_SQL = dedent(f"""
+    WITH bg AS MATERIALIZED (
+      SELECT doc_id, lang,
+             substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 2) AS bkt
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+    ),
+    raw_b AS (
+      SELECT bkt, CAST(COUNT(*) AS HUGEINT) AS n_r FROM bg GROUP BY bkt
+    ),
+    tgt_b AS (
+      SELECT bkt, CAST(COUNT(*) AS HUGEINT) AS n_t
+      FROM bg WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bkt
+    ),
+    totals AS (
+      SELECT (SELECT SUM(n_r) FROM raw_b) AS nr_tot,
+             (SELECT SUM(n_t) FROM tgt_b) AS nt_tot
+    ),
+    w AS (
+      SELECT r.bkt,
+             ((COALESCE(t.n_t, 0) + 1) * (tt.nr_tot + {DSIR_BUCKETS}) * 1000000)
+             // ((r.n_r + 1) * (tt.nt_tot + {DSIR_BUCKETS})) AS w_ppm
+      FROM raw_b r LEFT JOIN tgt_b t ON t.bkt = r.bkt CROSS JOIN totals tt
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(SUM(d.c * w.w_ppm) // SUM(d.c) AS BIGINT) AS score_ppm
+      FROM (SELECT doc_id, lang, bkt, CAST(COUNT(*) AS HUGEINT) AS c
+            FROM bg GROUP BY 1, 2, 3) d
+      JOIN w ON w.bkt = d.bkt
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm,
+           CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm,
+           CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+""")
+
+
 QUERIES = [
     QuerySpec(
         "doc_weighted_sample",
@@ -138,6 +282,14 @@ QUERIES = [
         DOC_WEIGHTED_SAMPLE_SQL,
         "ticket-ballot weighted bottom-k corpus sample (exact md5 "
         "priorities, PPS-style inclusion, TakeOrderedAndProject)",
+        ("llm", "curation"),
+    ),
+    QuerySpec(
+        "doc_dsir_weights",
+        doc_dsir_weights,
+        DOC_DSIR_WEIGHTS_SQL,
+        "DSIR-style hashed-bigram importance weights vs the 'en' target "
+        "(exact ppm ratios, 256-bucket broadcast weight table)",
         ("llm", "curation"),
     ),
 ]
