@@ -147,6 +147,76 @@ def main() -> int:
         "recall_delta_vs_lsh": n_pp_total - n_detected,
     }), flush=True)
 
+    # ---------------- documents: SimHash Hamming-ball vs planted truth
+    # doc_simhash_near_dups is an EXACT-RADIUS detector: recall is 1.0
+    # at Hamming <= 3 by pigeonhole, but 64-bit SimHash distance rises
+    # with edit rate — so the honest metric is the CAPTURE RATE of the
+    # radius-3 ball by planted edit-rate band (its operating curve),
+    # plus the planted pairs' Hamming distribution for calibration.
+    from flink_tank_spark.plans import hamming as _hm
+
+    sh_sigs = dedup.simhash_bits(docs).persist()
+    sh_pairs = _hm.simhash_near_dup_pairs(sh_sigs).select("id_a", "id_b").persist()
+    near_pairs_sh = (
+        truth.filter(F.col("relation") == "near")
+        .select(
+            F.least("doc_id", "origin_doc_id").alias("id_a"),
+            F.greatest("doc_id", "origin_doc_id").alias("id_b"),
+            "edit_rate",
+        )
+    )
+    xa = sh_sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    xb = sh_sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    hdist = sum(
+        F.bit_count(
+            _hm._block_int("sa", b).bitwiseXOR(_hm._block_int("sb", b))
+        )
+        for b in range(_hm.N_BLOCKS)
+    ).cast("long")
+    planted_h = (
+        near_pairs_sh.join(xa, "id_a").join(xb, "id_b")
+        .withColumn("hamming", hdist)
+        .persist()
+    )
+    sh_bands = [(0.00, 0.06), (0.06, 0.09), (0.09, 0.13)]
+    sh_per_band = {}
+    for lo, hi in sh_bands:
+        band = planted_h.filter(
+            (F.col("edit_rate") >= lo) & (F.col("edit_rate") < hi)
+        )
+        n_band = band.count()
+        n_hit = band.filter(F.col("hamming") <= _hm.HAMMING_K).count()
+        sh_per_band[f"[{lo:.2f},{hi:.2f})"] = {
+            "planted": n_band,
+            "capture_rate": round(n_hit / n_band, 3) if n_band else None,
+        }
+    h_quantiles = (
+        planted_h.groupBy().agg(
+            *[F.expr(f"percentile(hamming, {q})").alias(f"p{int(q*100)}")
+              for q in (0.25, 0.5, 0.75, 0.9)]
+        ).first()
+    )
+    n_sh_total = sh_pairs.count()
+    n_sh_planted = planted_h.filter(
+        F.col("hamming") <= _hm.HAMMING_K
+    ).count()
+    print(json.dumps({
+        "section": "documents_simhash_hamming3",
+        "sf": sf_tag,
+        "radius": _hm.HAMMING_K,
+        "planted_near_pairs": planted_h.count(),
+        "planted_within_radius": n_sh_planted,
+        "capture_by_edit_rate_band": sh_per_band,
+        "planted_hamming_quantiles": {
+            "p25": float(h_quantiles["p25"]), "p50": float(h_quantiles["p50"]),
+            "p75": float(h_quantiles["p75"]), "p90": float(h_quantiles["p90"]),
+        },
+        "detected_total": n_sh_total,
+        "detected_background": n_sh_total - n_sh_planted,
+        "note": "recall at the radius is 1.0 by pigeonhole; the curve "
+                "shows how much planted mutation the radius-3 ball covers",
+    }), flush=True)
+
     # ---------------- governance: split-leakage audit vs planted truth
     # doc_split_leakage = detected pairs whose endpoints straddle the
     # deterministic md5 train/val/test split. Ground truth: planted
