@@ -141,5 +141,6 @@ QUERIES = [
         "SimHash Hamming-ball near-dup pairs (Manku pigeonhole blocks, "
         "radius 3, recall 1.0 by construction)",
         ("llm", "dedup"),
+        bench=True,
     ),
 ]
