@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup
 from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.llm import SIMHASH_SIG_CTES
 from flink_tank_spark.plans.registry import QuerySpec
 
@@ -93,14 +94,30 @@ def simhash_near_dup_pairs(sigs: DataFrame, k: int = HAMMING_K) -> DataFrame:
     )
 
 
+def simhash_sigs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64-bit signature table as a session-shared persisted stage:
+    referenced THREE times inside the near-dup query (block emitter +
+    both verify sides) and again by doc_simhash — without the stage the
+    md5-explode + 64-sum signature computation re-runs per reference
+    (the round-6 multi-branch-DAG lesson)."""
+    return shared.stage(
+        spark,
+        "simhash_sigs",
+        sf_dir,
+        lambda: dedup.simhash_bits(
+            spread_partitions(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+
+
 def doc_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manku-style SimHash near-dup pairs over documents at Hamming
     radius 3 (64-bit signatures, 4×16-bit pigeonhole blocks). Exact:
     blocking recall is 1.0 by construction; the popcount verify is the
     only filter."""
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    sigs = dedup.simhash_bits(docs)
-    return simhash_near_dup_pairs(sigs).orderBy("id_a", "id_b")
+    return simhash_near_dup_pairs(
+        simhash_sigs_stage(spark, sf_dir)
+    ).orderBy("id_a", "id_b")
 
 
 DOC_SIMHASH_NEAR_DUPS_SQL = dedent(f"""

@@ -495,8 +495,10 @@ DOC_IDF_RARITY_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    return dedup.simhash_bits(docs).orderBy("doc_id")
+    # signature table shared with doc_simhash_near_dups (plans/hamming.py)
+    from flink_tank_spark.plans.hamming import simhash_sigs_stage
+
+    return simhash_sigs_stage(spark, sf_dir).orderBy("doc_id")
 
 
 def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
