@@ -50,6 +50,7 @@ FRONT_OF_LINE = (
     "doc_weighted_sample",
     "doc_vocab_coverage",
     "doc_dsir_weights",
+    "doc_chunk_windows",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",

@@ -132,6 +132,91 @@ DOC_WEIGHTED_SAMPLE_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# doc_chunk_windows — overlapping token-window chunking (stride < window)
+# --------------------------------------------------------------------------
+
+CHUNK_W = 64   # window size, tokens
+CHUNK_S = 48   # stride (overlap = W - S = 16)
+
+
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context chunking — the training-example constructor that
+    cuts each document into overlapping token windows (size 64, stride
+    48), the standard long-document treatment where a hard split would
+    orphan context at every boundary. Complements doc_pack_chunks
+    (plans/llm.py), which solves the opposite problem (packing SHORT
+    docs up to a budget).
+
+    Per source: documents, windows produced, window-token volume, and
+    the exact duplication overhead (window tokens − corpus tokens — the
+    storage/compute price of the overlap, the number a pipeline owner
+    budgets against). Scale shape: one bounded explode per doc
+    (⌈n/S⌉ window STARTS — never materializes window text), exact
+    integer arithmetic throughout."""
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    starts = docs.select(
+        "doc_id",
+        "source",
+        n_tok.cast("long").alias("n_tok"),
+        F.explode(
+            F.sequence(F.lit(0), n_tok - 1, F.lit(CHUNK_S))
+        ).alias("start"),
+    ).withColumn(
+        "chunk_len",
+        F.least(F.lit(CHUNK_W), F.col("n_tok") - F.col("start")).cast("long"),
+    )
+    per_doc = starts.groupBy("doc_id", "source", "n_tok").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_len").alias("chunk_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("chunk_tokens"),
+            F.sum("n_tok").cast("long").alias("corpus_tokens"),
+            (F.sum("chunk_tokens") - F.sum("n_tok"))
+            .cast("long")
+            .alias("overlap_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_CHUNK_WINDOWS_SQL = dedent(f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, source, n_tok, CAST(t.s AS BIGINT) AS start,
+             LEAST({CHUNK_W}, n_tok - t.s) AS chunk_len
+      FROM d CROSS JOIN LATERAL
+        (SELECT unnest(range(0, n_tok, {CHUNK_S})) AS s) t
+    ),
+    per_doc AS (
+      SELECT doc_id, source, n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(chunk_len) AS BIGINT) AS chunk_tokens
+      FROM starts
+      GROUP BY doc_id, source, n_tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(chunk_tokens) - SUM(n_tok) AS BIGINT) AS overlap_tokens
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_dsir_weights — hashed-n-gram importance weights (DSIR-style)
 # --------------------------------------------------------------------------
 
@@ -282,6 +367,14 @@ QUERIES = [
         DOC_WEIGHTED_SAMPLE_SQL,
         "ticket-ballot weighted bottom-k corpus sample (exact md5 "
         "priorities, PPS-style inclusion, TakeOrderedAndProject)",
+        ("llm", "curation"),
+    ),
+    QuerySpec(
+        "doc_chunk_windows",
+        doc_chunk_windows,
+        DOC_CHUNK_WINDOWS_SQL,
+        "overlapping token-window chunking (64/48 stride) with exact "
+        "overlap-overhead accounting per source",
         ("llm", "curation"),
     ),
     QuerySpec(
