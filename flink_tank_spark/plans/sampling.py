@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
 SAMPLE_K = 50      # winning tickets per draw
@@ -224,6 +225,40 @@ DSIR_BUCKETS = 256  # 2 hex chars of the bigram md5
 DSIR_TARGET_LANG = "en"
 
 
+def _dsir_doc_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, lang, bucket) bigram counts as a session-shared
+    persisted stage: one corpus explode, referenced by three branches."""
+
+    def build() -> DataFrame:
+        docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+        ws = F.split(F.col("text"), " ")
+        idx = F.when(
+            F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bg = docs.select(
+            "doc_id", "lang", ws.alias("_ws"), F.explode(idx).alias("_i")
+        ).select(
+            "doc_id",
+            "lang",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("_ws", F.col("_i")),
+                        F.element_at("_ws", F.col("_i") + 1),
+                    ).cast("binary")
+                ),
+                1,
+                2,
+            ).alias("bkt"),
+        )
+        return bg.groupBy("doc_id", "lang", "bkt").agg(
+            F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+        )
+
+    return shared.stage(spark, "dsir_doc_bucket_counts", sf_dir, build)
+
+
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023 — the public DSIR construction), exact-integer form: score
@@ -242,42 +277,25 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, so the target language's self-similarity (highest mean)
     is visible in the output.
 
-    Scale shape: one bigram explode; bucket = 2 hex chars of the
-    bigram md5 (B=256 — the bucketed feature space is what makes DSIR
-    corpus-size-free); the weight table is ≤ B rows (broadcast); the
-    per-doc pass is groupBy(doc, bucket) → broadcast join → one agg.
+    Scale shape: ONE bigram explode feeds a persisted (doc, bucket)
+    count stage and every branch — the raw distribution, the target
+    distribution, the per-doc rescore — derives from that bounded
+    table (≤ docs×256 rows; re-deriving each branch from the raw
+    bigram stream would re-run the corpus explode three times, the
+    multi-branch-DAG lesson); bucket = 2 hex chars of the bigram md5
+    (B=256 — the bucketed feature space is what makes DSIR
+    corpus-size-free); the weight table is ≤ B rows (broadcast).
     Single-token documents carry no bigram evidence and are excluded
     (both engines). Precision: products ≤ (counts+B)² · 10⁶ stay in
     DECIMAL(38,0)/HUGEINT for corpora to ~10¹⁵ bigrams."""
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    ws = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-    ).otherwise(F.array().cast("array<int>"))
-    bg = docs.select(
-        "doc_id", "lang", ws.alias("_ws"), F.explode(idx).alias("_i")
-    ).select(
-        "doc_id",
-        "lang",
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at("_ws", F.col("_i")),
-                    F.element_at("_ws", F.col("_i") + 1),
-                ).cast("binary")
-            ),
-            1,
-            2,
-        ).alias("bkt"),
-    )
-    raw_b = bg.groupBy("bkt").agg(
-        F.count(F.lit(1)).cast("decimal(20,0)").alias("n_r")
+    dbc = _dsir_doc_bucket_counts(spark, sf_dir)
+    raw_b = dbc.groupBy("bkt").agg(
+        F.sum("c").cast("decimal(20,0)").alias("n_r")
     )
     tgt_b = (
-        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        dbc.filter(F.col("lang") == DSIR_TARGET_LANG)
         .groupBy("bkt")
-        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("n_t"))
+        .agg(F.sum("c").cast("decimal(20,0)").alias("n_t"))
     )
     totals = raw_b.agg(
         F.sum("n_r").cast("decimal(20,0)").alias("nr_tot")
@@ -297,9 +315,7 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        bg.groupBy("doc_id", "lang", "bkt")
-        .agg(F.count(F.lit(1)).cast("decimal(20,0)").alias("c"))
-        .join(F.broadcast(w), "bkt")
+        dbc.join(F.broadcast(w), "bkt")
         .groupBy("doc_id", "lang")
         .agg(
             F.expr("sum(c * w_ppm) div sum(c)").cast("long").alias("score_ppm")

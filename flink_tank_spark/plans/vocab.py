@@ -28,23 +28,41 @@ from pyspark.sql import functions as F
 
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
 VOCAB_V = 256  # vocabulary size
 
 
-def _tokens(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, tok, c) — the per-doc token bag as a
+    session-shared persisted stage: ONE corpus explode feeds both the
+    vocabulary frequency branch and the membership/OOV branch
+    (re-deriving each from the raw token stream would re-run the
+    explode per branch), and the distinct-per-doc table it produces is
+    strictly smaller than the token stream."""
+    return shared.stage(
+        spark,
+        "vocab_doc_token_counts",
+        sf_dir,
+        lambda: spread_partitions(load_table(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c")),
     )
 
 
-def top_vocab(tokens: DataFrame, v: int = VOCAB_V) -> DataFrame:
+def top_vocab(doc_token_counts: DataFrame, v: int = VOCAB_V) -> DataFrame:
     """Top-v tokens by corpus frequency, ties broken by token string —
-    a total order, so the vocabulary is deterministic."""
+    a total order, so the vocabulary is deterministic. orderBy+limit
+    lowers to TakeOrderedAndProject."""
     return (
-        tokens.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        doc_token_counts.groupBy("tok")
+        .agg(F.sum("c").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(v)
         .select("tok")
@@ -53,13 +71,12 @@ def top_vocab(tokens: DataFrame, v: int = VOCAB_V) -> DataFrame:
 
 def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source OOV audit against the top-256 corpus vocabulary."""
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    toks = _tokens(docs)
-    vocab = top_vocab(toks).withColumn("_inv", F.lit(1))
-    j = toks.join(F.broadcast(vocab), "tok", "left")
+    dtc = _doc_token_counts(spark, sf_dir)
+    vocab = top_vocab(dtc).withColumn("_inv", F.lit(1))
+    j = dtc.join(F.broadcast(vocab), "tok", "left")
     per_doc = j.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        F.sum("c").alias("n_tok"),
+        F.sum(F.when(F.col("_inv").isNull(), F.col("c")).otherwise(0)).alias("n_oov"),
     )
     return (
         per_doc.groupBy("source")
