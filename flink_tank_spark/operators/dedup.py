@@ -484,3 +484,82 @@ def ppjoin_pairs(
         )
         .filter(F.col("jaccard") >= F.lit(t_num) / F.lit(t_den))
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT set-containment self-join: every ORDERED pair (a, b),
+    a ≠ b, with |A∩B| / |A| ≥ t — the SUBSET-duplicATE detector.
+    Jaccard dedup goes blind exactly where containment matters: a short
+    document fully quoted inside a much longer one has
+    J = |A|/|B| → 0 while C(a→b) = 1.0, so it survives every
+    Jaccard-threshold pass (LSH and PPJoin alike). This is the
+    asymmetric sibling of :func:`ppjoin_pairs`, same prefix-filter
+    family (SSJoin, Chaudhuri et al. ICDE'06 — public algorithm).
+
+    Prefix principle, containment form: C(a→b) ≥ t forces
+    |A∩B| ≥ ceil(t·|A|) — a bound on the CONTAINED side only — so a's
+    first |A| − ceil(t·|A|) + 1 tokens (global rarest-first order, a
+    total order on (df, token)) must hold at least one common token.
+    The contained side is therefore prefix-pruned; the container side
+    indexes ALL its tokens (its size yields no prefix bound, only the
+    size filter |B| ≥ ceil(t·|A|)). Completeness is exact: recall 1.0
+    at the threshold, by the same pigeonhole as PPJoin.
+
+    Scale shape: the join keys on the contained side are each doc's
+    RAREST tokens, so the candidate join inherits PPJoin's skew
+    immunity — hot tokens enter only on the container side, where they
+    meet near-zero prefix rows. Verification (one array_intersect per
+    candidate) is integer-exact: t_den·|A∩B| ≥ t_num·|A|."""
+    tok = shingled.select(F.col(id_col), F.explode("shingles").alias("tok"))
+    df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
+    ranked = tok.join(df_tbl, "tok")
+    w_rank = W.partitionBy(id_col).orderBy("tdf", "tok")
+    w_all = W.partitionBy(id_col)
+    sorted_ = ranked.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    prefix = sorted_.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
+    )
+    a = prefix.select(F.col(id_col).alias("id_a"), "tok", F.col("n").alias("na"))
+    ball = sorted_.select(
+        F.col(id_col).alias("id_b"), "tok", F.col("n").alias("nb")
+    )
+    cands = (
+        a.join(ball, "tok")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") * t_den >= F.col("na") * t_num)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = shingled.select(F.col(id_col), "shingles")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cands.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(n_common * t_den >= F.size("sh_a") * t_num)
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / F.size("sh_a")).alias("containment"),
+            (
+                n_common.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
+        )
+    )

@@ -3030,6 +3030,62 @@ DOC_PPJOIN_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# doc_containment_dups — EXACT set-containment join (subset duplicates)
+# --------------------------------------------------------------------------
+
+def doc_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every ORDERED pair with shingle-containment |A∩B|/|A| ≥ 0.9 —
+    the subset-duplicate detector (operators/dedup.containment_pairs).
+    Jaccard dedup is blind to a short doc quoted inside a much longer
+    one (J = |A|/|B| → 0 while containment = 1.0); this asymmetric
+    prefix-filter join catches exactly those, with completeness
+    guaranteed at the threshold (recall 1.0 by pigeonhole, like
+    PPJoin). Shares the session shingle stage."""
+    shingled = _shingled_docs(spark, sf_dir)
+    pairs = dedup.containment_pairs(shingled)
+    return pairs.select(
+        "id_a", "id_b", "n_common", "containment", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+DOC_CONTAINMENT_SQL = dedent(f"""
+    WITH {SHINGLES_CTE},
+    tok AS (SELECT doc_id, unnest(shingles) AS tok FROM shingled),
+    dfq AS (SELECT tok, COUNT(*) AS tdf FROM tok GROUP BY tok),
+    sorted_ AS MATERIALIZED (
+      SELECT t.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.tdf, t.tok) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM tok t JOIN dfq d USING (tok)
+    ),
+    prefix AS (
+      SELECT doc_id, tok, n FROM sorted_
+      WHERE rn <= n - (9 * n + 9) // 10 + 1
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN sorted_ b ON a.tok = b.tok
+           AND a.doc_id <> b.doc_id
+           AND 10 * b.n >= 9 * a.n
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(sa.shingles) AS containment,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cands c
+    JOIN shingled sa ON sa.doc_id = c.id_a
+    JOIN shingled sb ON sb.doc_id = c.id_b
+    WHERE 10 * len(list_intersect(sa.shingles, sb.shingles))
+            >= 9 * len(sa.shingles)
+    ORDER BY id_a, id_b
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_split_ks — exact two-sample KS distance between train and test
 # --------------------------------------------------------------------------
 
@@ -3156,6 +3212,10 @@ QUERIES = [
               "exact two-sample KS distance (ppm) of doc length between "
               "train/test, per lang",
               ("llm", "governance", "quality")),
+    QuerySpec("doc_containment_dups", doc_containment_dups, DOC_CONTAINMENT_SQL,
+              "EXACT asymmetric set-containment join >= 0.9 (subset "
+              "duplicates Jaccard dedup misses; prefix-filter, recall 1.0)",
+              ("llm", "dedup")),
     QuerySpec("doc_ppjoin_near_dups", doc_ppjoin_near_dups, DOC_PPJOIN_SQL,
               "EXACT Jaccard>=0.8 pairs via prefix filtering (completeness-"
               "guaranteed sibling of the LSH blocking)",

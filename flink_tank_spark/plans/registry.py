@@ -51,6 +51,7 @@ FRONT_OF_LINE = (
     "doc_vocab_coverage",
     "doc_dsir_weights",
     "doc_chunk_windows",
+    "doc_containment_dups",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
