@@ -420,7 +420,74 @@ TBL_CORR_LINEITEM_SQL = _corr_sql()
 
 
 
+# --------------------------------------------------------------------------
+# emb_profile_dims — per-dimension embedding-column profile (vector QA)
+# --------------------------------------------------------------------------
+
+def emb_profile_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANALYZE surface for a vector column: per-dimension
+    rows / zero-count / min / max / mean over the embeddings table —
+    the QA pass that catches dead dimensions (all-zero), clipped or
+    exploding ranges, and train/serve scale drift before they poison
+    an ANN index.
+
+    Exactness: components are floor-scaled to micro-unit BIGINTs (the
+    numeric.py recipe) so min/max/sum are pure integer aggregates and
+    the mean is ONE floor division — reported in micro-units, no float
+    merges anywhere. Scale shape: one posexplode (×dims, bounded
+    fanout), groupBy on the 64-value dim key — map-side combinable,
+    output bounded by dims, never by corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "dim",
+        F.floor(F.col("x").cast("double") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("u"),
+    )
+    return (
+        comp.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("u") == 0).cast("long")).alias("n_zero"),
+            F.min("u").alias("min_u"),
+            F.max("u").alias("max_u"),
+            F.expr("sum(u) div count(1)").alias("mean_u"),
+        )
+        .orderBy("dim")
+    )
+
+
+EMB_PROFILE_DIMS_SQL = dedent("""
+    WITH comp AS (
+      SELECT CAST(i AS INTEGER) AS dim,
+             CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS u
+      FROM (SELECT unnest(embedding) AS x,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN u = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(MIN(u) AS BIGINT) AS min_u,
+           CAST(MAX(u) AS BIGINT) AS max_u,
+           CAST(SUM(u) // COUNT(*) AS BIGINT) AS mean_u
+    FROM comp
+    GROUP BY dim
+    ORDER BY dim
+""")
+
+
 QUERIES = [
+    QuerySpec(
+        "emb_profile_dims",
+        emb_profile_dims,
+        EMB_PROFILE_DIMS_SQL,
+        "per-dimension embedding profile: zeros/min/max/mean in exact "
+        "micro-units (dead-dimension and scale-drift QA)",
+        ("profiling", "data-quality", "similarity"),
+    ),
     QuerySpec(
         "tbl_profile_lineitem",
         tbl_profile_lineitem,

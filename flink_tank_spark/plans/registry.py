@@ -52,6 +52,7 @@ FRONT_OF_LINE = (
     "doc_dsir_weights",
     "doc_chunk_windows",
     "doc_containment_dups",
+    "emb_profile_dims",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
