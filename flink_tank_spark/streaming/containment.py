@@ -1,0 +1,242 @@
+"""Streaming-incremental EXACT set-containment dedup — subset
+duplicates detected at ingest.
+
+Completes the streaming dedup family (exact → streaming/dedup.py,
+MinHash-LSH → streaming/neardup.py, SRP embedding → srp_neardup.py)
+with the asymmetric detector: every arriving document is checked both
+ways against the ACCUMULATED corpus — does it contain an old doc, is
+it contained in one — at containment |A∩B|/|A| ≥ 0.9, recall 1.0 at
+the threshold.
+
+The one semantic twist vs the batch operator
+(operators/dedup.containment_pairs): prefix filtering is lossless
+under ANY fixed total token order — rarest-first is only the
+candidate-volume optimization — but a df-derived order DRIFTS as the
+corpus grows, which would silently invalidate previously-indexed
+prefixes. The streaming variant therefore freezes a CONTENT-ADDRESSED
+order (md5(token), token): prefixes computed at ingest stay valid
+forever, the index is append-only, and exactness is unconditional. The
+honest trade: prefix tokens are no longer corpus-rare, so candidate
+volume is higher than the batch operator's at the same threshold (the
+verify step keeps precision exact either way); the batch-equality
+test holds because both blockings are lossless and verification is
+identical. At 100 TB, a periodic index rebuild during a maintenance
+window can re-rank prefixes under current df to reclaim the candidate
+savings — the stored shingle sets suffice to rebuild.
+
+Shape per micro-batch (foreachBatch, batch id ``b``):
+
+1. shingle the batch, rank tokens per doc under the frozen md5 order,
+   flag the containment prefix (first n − ceil(t·n) + 1 tokens);
+2. candidates, both directions, each unordered arrival pair exactly
+   once (when its LATER doc arrives):
+   new-contained: batch PREFIX × (index ∪ batch) full tokens;
+   old-contained: index PREFIX × batch full tokens (batch side
+   broadcast — one scan of the accumulated index per micro-batch);
+3. exact verify on the shingle arrays (integer threshold compare);
+4. append the batch's token rows (with prefix flags) and shingle sets
+   as ``ingest_batch=b`` partitions; verdicts land under the same
+   partition scheme — every write an idempotent per-batch overwrite,
+   reads filter ``ingest_batch < b`` (the neardup.py replay argument).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_tank_spark.operators.dedup import shingle_sets
+from flink_tank_spark.streaming import compaction
+from flink_tank_spark.streaming.neardup import _read_index
+
+TOKENS_SUBDIR = "ctokens"
+SHINGLES_SUBDIR = "cshingles"
+T_NUM, T_DEN = 9, 10  # containment threshold 0.9
+
+
+def ranked_tokens(shingled: DataFrame) -> DataFrame:
+    """(doc_id, tok, n, is_prefix) under the frozen (md5(tok), tok)
+    total order — stable under ingest by construction."""
+    tok = shingled.select("doc_id", F.explode("shingles").alias("tok"))
+    w_rank = W.partitionBy("doc_id").orderBy(F.md5("tok"), "tok")
+    w_all = W.partitionBy("doc_id")
+    return (
+        tok.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "is_prefix",
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}") + 1,
+        )
+        .select("doc_id", "tok", "n", "is_prefix")
+    )
+
+
+def containment_batch(
+    batch_docs: DataFrame,
+    index_tokens: DataFrame | None,
+    index_shingles: DataFrame | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Pure-DataFrame core of one incremental step: returns
+    (verified_pairs, batch_tokens, batch_shingles). ``verified_pairs``
+    are the NEW ordered (contained, container) verdicts this batch
+    creates. Doc ids must be globally unique across the stream."""
+    batch_shingles = shingle_sets(batch_docs)
+    batch_tokens = ranked_tokens(batch_shingles)
+
+    all_tokens = (
+        batch_tokens if index_tokens is None
+        else index_tokens.unionByName(batch_tokens)
+    )
+    b_prefix = batch_tokens.filter("is_prefix").select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na")
+    )
+    # new-contained direction: batch prefixes (small — broadcast) probe
+    # the accumulated-plus-batch full token rows in one scan
+    d1 = (
+        all_tokens.select(F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb"))
+        .join(F.broadcast(b_prefix), "tok")
+    )
+    pairs = [d1]
+    if index_tokens is not None:
+        i_prefix = index_tokens.filter("is_prefix").select(
+            F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na")
+        )
+        b_full = batch_tokens.select(
+            F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb")
+        )
+        # old-contained direction: accumulated prefixes scanned once,
+        # probed by the broadcast batch full-token side
+        d2 = i_prefix.join(F.broadcast(b_full), "tok")
+        pairs.append(d2)
+    cands = None
+    for d in pairs:
+        c = d.filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.col("nb") * T_DEN >= F.col("na") * T_NUM)
+        ).select("id_a", "id_b")
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.distinct()
+
+    all_shingles = (
+        batch_shingles if index_shingles is None
+        else index_shingles.unionByName(batch_shingles)
+    )
+    sh = all_shingles.select("doc_id", "shingles")
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .filter(n_common * T_DEN >= F.size("sh_a") * T_NUM)
+        .select(
+            "id_a",
+            "id_b",
+            n_common.alias("n_common"),
+            (n_common.cast("double") / F.size("sh_a")).alias("containment"),
+            (
+                n_common.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_common)
+            ).alias("jaccard"),
+        )
+    )
+    return verified, batch_tokens, batch_shingles
+
+
+def incremental_containment_sink(index_dir: str, pairs_dir: str):
+    """foreachBatch writer: verdicts under ``pairs_dir/ingest_batch=<b>``,
+    token/shingle index growth under ``index_dir/{ctokens,cshingles}/
+    ingest_batch=<b>`` — idempotent per-batch-partition overwrites."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idx_tok = _read_index(spark, index_dir, TOKENS_SUBDIR, batch_id)
+        idx_sh = _read_index(spark, index_dir, SHINGLES_SUBDIR, batch_id)
+        persisted = []
+        if idx_tok is not None:
+            idx_tok = idx_tok.persist()
+            persisted.append(idx_tok)
+        if idx_sh is not None:
+            idx_sh = idx_sh.persist()
+            persisted.append(idx_sh)
+        try:
+            pairs, b_tok, b_sh = containment_batch(batch_df, idx_tok, idx_sh)
+            b_tok, b_sh = b_tok.persist(), b_sh.persist()
+            persisted += [b_tok, b_sh]
+            part = f"ingest_batch={batch_id}"
+            pairs.write.mode("overwrite").parquet(os.path.join(pairs_dir, part))
+            b_tok.write.mode("overwrite").parquet(
+                os.path.join(index_dir, TOKENS_SUBDIR, part)
+            )
+            b_sh.write.mode("overwrite").parquet(
+                os.path.join(index_dir, SHINGLES_SUBDIR, part)
+            )
+        finally:
+            for df in persisted:
+                df.unpersist()
+
+    return write
+
+
+def load_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    compaction.check_readable(pairs_dir)
+    return (
+        spark.read.option("basePath", pairs_dir).parquet(pairs_dir)
+        .drop("ingest_batch")
+    )
+
+
+def compact(spark: SparkSession, index_dir: str) -> None:
+    """Fold each index table's batch partitions into one merged
+    partition via the crash-safe hide → commit → clean swap (stream
+    must be stopped). Token prefixes are order-stable (frozen md5
+    order), so compaction is a pure concatenation — no re-ranking
+    needed for correctness."""
+    for sub in (TOKENS_SUBDIR, SHINGLES_SUBDIR):
+        base = os.path.join(index_dir, sub)
+        compaction.recover(base)
+        merged = (
+            spark.read.option("basePath", base).parquet(base)
+            .drop("ingest_batch")
+        )
+        parts = compaction.parts(base)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, compaction.TMP_NAME)
+        )
+        compaction.commit_swap(base, parts)
+
+
+def start_containment_job(
+    spark: SparkSession,
+    source_dir: str,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming containment-dedup job over a jsonl document stream
+    (doc_id, text)."""
+    os.makedirs(source_dir, exist_ok=True)
+    reader = spark.readStream.schema("doc_id bigint, text string")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            incremental_containment_sink(index_dir, pairs_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("incremental-containment")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,117 @@
+"""Streaming-incremental containment dedup (streaming/containment.py):
+the union of per-batch verdicts must equal the batch operator's pair
+set bit-exactly (both blockings are lossless, verification identical),
+each unordered arrival pair must be emitted exactly once, replay must
+be idempotent, and the subset pair Jaccard misses must surface at
+ingest time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from flink_tank_spark.io.tables import load_table
+from flink_tank_spark.operators import dedup
+from flink_tank_spark.streaming import containment as ct
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _write_jsonl(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+
+def _drain(q):
+    q.awaitTermination(180)
+    assert not q.isActive
+
+
+def _batch_pairs(spark):
+    sh = dedup.shingle_sets(_docs(spark))
+    return {
+        (r.id_a, r.id_b, r.n_common, r.containment, r.jaccard)
+        for r in dedup.containment_pairs(sh).collect()
+    }
+
+
+def _streamed_pairs(spark, pairs_dir):
+    return [
+        (r.id_a, r.id_b, r.n_common, r.containment, r.jaccard)
+        for r in ct.load_pairs(spark, pairs_dir).collect()
+    ]
+
+
+def test_streamed_union_equals_batch_and_each_pair_once(spark, tmp_path):
+    rows = [r.asDict() for r in _docs(spark).collect()]
+    expected = _batch_pairs(spark)
+    assert expected, "fixture produced no containment pairs"
+
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    for i in range(3):
+        _write_jsonl(src, f"b{i}.jsonl", rows[i::3])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck,
+                                    max_files_per_trigger=1))
+    got = _streamed_pairs(spark, pd_)
+    assert set(got) == expected
+    assert len(got) == len(set(got)), "a pair was emitted more than once"
+
+
+def test_replay_is_idempotent_and_compaction_preserves(spark, tmp_path):
+    rows = [r.asDict() for r in _docs(spark).collect()]
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    _write_jsonl(src, "b0.jsonl", rows[0::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    _write_jsonl(src, "b1.jsonl", rows[1::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    before = sorted(_streamed_pairs(spark, pd_))
+    assert set(before) == _batch_pairs(spark)
+
+    replay = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows[1::2]], "doc_id long, text string"
+    )
+    ct.incremental_containment_sink(idx, pd_)(replay, 1)
+    assert sorted(_streamed_pairs(spark, pd_)) == before
+
+    ct.compact(spark, idx)
+    # further ingest against the compacted index still works
+    extra = spark.createDataFrame(
+        [(999001, rows[0]["text"])], "doc_id long, text string"
+    )
+    ct.incremental_containment_sink(idx, pd_)(extra, 2)
+    after = _streamed_pairs(spark, pd_)
+    assert set(before) <= set(after)
+    assert any(r[1] == 999001 or r[0] == 999001 for r in after), (
+        "re-ingested duplicate text must pair with the compacted corpus"
+    )
+
+
+def test_subset_pair_surfaces_at_arrival(spark, tmp_path):
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"pad{i}" for i in range(300))
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    # small doc arrives first; the containing doc arrives a batch later
+    _write_jsonl(src, "b0.jsonl", [{"doc_id": 1, "text": small}])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    assert _streamed_pairs(spark, pd_) == []
+    _write_jsonl(src, "b1.jsonl", [{"doc_id": 2, "text": big}])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    got = _streamed_pairs(spark, pd_)
+    assert [(r[0], r[1]) for r in got] == [(1, 2)]
+    assert got[0][3] == 1.0 and got[0][4] < 0.2
