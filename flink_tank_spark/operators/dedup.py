@@ -510,10 +510,32 @@ def containment_pairs(
     size filter |B| ≥ ceil(t·|A|)). Completeness is exact: recall 1.0
     at the threshold, by the same pigeonhole as PPJoin.
 
-    Scale shape: the join keys on the contained side are each doc's
-    RAREST tokens, so the candidate join inherits PPJoin's skew
-    immunity — hot tokens enter only on the container side, where they
-    meet near-zero prefix rows. Verification (one array_intersect per
+    Two further LOSSLESS prunes, needed on shingle-collision-dense
+    corpora (the sf5 stress corpus has 29,791 distinct shingles over
+    13M occurrences — NO rare tokens, so the bare prefix join
+    degenerates to 318M candidate pairs):
+
+    - POSITIONAL filter: common tokens after the g-th one (global
+      order) rank after it in BOTH docs, so
+      |A∩B| ≤ g + min(na − rn_a, nb − rn_b) at the g-th common token;
+      with |A∩B| ≥ ceil(t·na) required, container rows with
+      rn_b > nb − ceil(t·na) + SLACK can be dropped (the g ≤ SLACK
+      common-token rows of a qualifying pair all survive the laxer
+      g = SLACK bound).
+    - MULTI-MATCH requirement: extend the prefix by SLACK−1 extra
+      tokens; pigeonhole then guarantees a qualifying pair shares
+      ≥ SLACK tokens inside the extended prefix (missing tokens
+      ≤ na − ceil(t·na)), so candidates = pairs with ≥ SLACK matching
+      prefix rows (groupBy count, not distinct). Random single-token
+      collisions — the entire degenerate mass — die quadratically:
+      measured at sf5, 318M distinct pairs → ~1M candidates, same
+      verified output. (na = 1 docs fall back to ≥ 1, where
+      ceil(t·na) = 1 < SLACK makes the guarantee vacuous.)
+
+    Scale shape: on natural corpora the contained side's join keys are
+    its RAREST tokens (PPJoin's skew immunity); on vocabulary-dense
+    corpora the positional + multi-match prunes bound the candidate
+    set near the true-pair set. Verification (one array_intersect per
     candidate) is integer-exact: t_den·|A∩B| ≥ t_num·|A|."""
     tok = shingled.select(F.col(id_col), F.explode("shingles").alias("tok"))
     df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
@@ -523,22 +545,34 @@ def containment_pairs(
     sorted_ = ranked.withColumn("rn", F.row_number().over(w_rank)).withColumn(
         "n", F.count(F.lit(1)).over(w_all)
     )
+    slack = 2  # extended-prefix slack = required matching prefix rows
     prefix = sorted_.filter(
         F.col("rn")
-        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
+        <= F.col("n")
+        - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+        + slack
     )
     a = prefix.select(F.col(id_col).alias("id_a"), "tok", F.col("n").alias("na"))
     ball = sorted_.select(
-        F.col(id_col).alias("id_b"), "tok", F.col("n").alias("nb")
+        F.col(id_col).alias("id_b"),
+        "tok",
+        F.col("n").alias("nb"),
+        F.col("rn").alias("rn_b"),
     )
+    req = F.expr(f"({t_num} * na + {t_den} - 1) div {t_den}")  # ceil(t·|A|)
     cands = (
         a.join(ball, "tok")
         .filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("nb") * t_den >= F.col("na") * t_num)
+            & (F.col("rn_b") <= F.col("nb") - req + slack)
+        )
+        .groupBy("id_a", "id_b", "na")
+        .agg(F.count(F.lit(1)).alias("_npref"))
+        .filter(
+            (F.col("_npref") >= slack) | (F.col("na") < slack)
         )
         .select("id_a", "id_b")
-        .distinct()
     )
     sh = shingled.select(F.col(id_col), "shingles")
     n_common = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1333,6 +1333,64 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_topk(spark, sf_dir).orderBy("query_id", "rk")
 
 
+def emb_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label purity — the supervised embedding-quality eval: for
+    each standard query vector, what fraction of its exact top-5
+    neighbors share its label? The metric that says whether the
+    embedding space respects the labeling (near 1/|labels| ⇒ the
+    space carries no label signal; the synthetic corpus is expected
+    near chance — the query is the measurement instrument, pinned
+    exact). Reuses the session-shared exact top-k stage, so the
+    full-corpus scoring pass is not re-run; the label joins are
+    broadcast-scale (10 queries × 5 neighbors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    topk = _exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    j = (
+        topk.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    return (
+        j.groupBy("query_id", "q_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum((F.col("n_label") == F.col("q_label")).cast("long"))
+            .alias("n_same"),
+            F.expr(
+                "sum(cast(n_label = q_label as long)) * 1000000 div count(1)"
+            ).alias("purity_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+EMB_KNN_LABEL_PURITY_SQL_TEMPLATE = """
+    WITH exact AS ({topk_sql}),
+    lbl AS (SELECT vec_id, label FROM embeddings)
+    SELECT e.query_id, q.label AS q_label,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN n.label = q.label THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS purity_ppm
+    FROM exact e
+    JOIN lbl q ON q.vec_id = e.query_id
+    JOIN lbl n ON n.vec_id = e.neighbor_id
+    GROUP BY e.query_id, q.label
+    ORDER BY e.query_id
+"""
+
+
 EMB_COSINE_TOPK_SQL = dedent(f"""
     WITH {_EMB_NZ_CTE},
     scored AS (
@@ -3061,13 +3119,16 @@ DOC_CONTAINMENT_SQL = dedent(f"""
     ),
     prefix AS (
       SELECT doc_id, tok, n FROM sorted_
-      WHERE rn <= n - (9 * n + 9) // 10 + 1
+      WHERE rn <= n - (9 * n + 9) // 10 + 2
     ),
     cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN sorted_ b ON a.tok = b.tok
            AND a.doc_id <> b.doc_id
            AND 10 * b.n >= 9 * a.n
+           AND b.rn <= b.n - (9 * a.n + 9) // 10 + 2
+      GROUP BY a.doc_id, b.doc_id, a.n
+      HAVING COUNT(*) >= CASE WHEN a.n >= 2 THEN 2 ELSE 1 END
     )
     SELECT id_a, id_b,
            len(list_intersect(sa.shingles, sb.shingles)) AS n_common,

@@ -55,11 +55,18 @@ from flink_tank_spark.streaming.neardup import _read_index
 TOKENS_SUBDIR = "ctokens"
 SHINGLES_SUBDIR = "cshingles"
 T_NUM, T_DEN = 9, 10  # containment threshold 0.9
+SLACK = 2  # extended-prefix slack = required matching prefix rows
+           # (the batch operator's multi-match prune — see
+           # operators/dedup.containment_pairs docstring)
 
 
 def ranked_tokens(shingled: DataFrame) -> DataFrame:
-    """(doc_id, tok, n, is_prefix) under the frozen (md5(tok), tok)
-    total order — stable under ingest by construction."""
+    """(doc_id, tok, rn, n, is_prefix) under the frozen (md5(tok), tok)
+    total order — stable under ingest by construction. ``rn`` is kept
+    in the index so probes can apply the lossless POSITIONAL filter
+    (see operators/dedup.containment_pairs: the first common token of a
+    qualifying pair must sit within the container's first
+    nb − ceil(t·na) + 1 positions)."""
     tok = shingled.select("doc_id", F.explode("shingles").alias("tok"))
     w_rank = W.partitionBy("doc_id").orderBy(F.md5("tok"), "tok")
     w_all = W.partitionBy("doc_id")
@@ -69,9 +76,11 @@ def ranked_tokens(shingled: DataFrame) -> DataFrame:
         .withColumn(
             "is_prefix",
             F.col("rn")
-            <= F.col("n") - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}") + 1,
+            <= F.col("n")
+            - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}")
+            + SLACK,
         )
-        .select("doc_id", "tok", "n", "is_prefix")
+        .select("doc_id", "tok", "rn", "n", "is_prefix")
     )
 
 
@@ -97,7 +106,10 @@ def containment_batch(
     # new-contained direction: batch prefixes (small — broadcast) probe
     # the accumulated-plus-batch full token rows in one scan
     d1 = (
-        all_tokens.select(F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb"))
+        all_tokens.select(
+            F.col("doc_id").alias("id_b"), "tok",
+            F.col("n").alias("nb"), F.col("rn").alias("rn_b"),
+        )
         .join(F.broadcast(b_prefix), "tok")
     )
     pairs = [d1]
@@ -106,20 +118,32 @@ def containment_batch(
             F.col("doc_id").alias("id_a"), "tok", F.col("n").alias("na")
         )
         b_full = batch_tokens.select(
-            F.col("doc_id").alias("id_b"), "tok", F.col("n").alias("nb")
+            F.col("doc_id").alias("id_b"), "tok",
+            F.col("n").alias("nb"), F.col("rn").alias("rn_b"),
         )
         # old-contained direction: accumulated prefixes scanned once,
         # probed by the broadcast batch full-token side
         d2 = i_prefix.join(F.broadcast(b_full), "tok")
         pairs.append(d2)
-    cands = None
+    req = F.expr(f"({T_NUM} * na + {T_DEN} - 1) div {T_DEN}")  # ceil(t·|A|)
+    rows = None
     for d in pairs:
         c = d.filter(
             (F.col("id_a") != F.col("id_b"))
             & (F.col("nb") * T_DEN >= F.col("na") * T_NUM)
-        ).select("id_a", "id_b")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.distinct()
+            & (F.col("rn_b") <= F.col("nb") - req + SLACK)  # positional
+        ).select("id_a", "id_b", "na")
+        rows = c if rows is None else rows.unionByName(c)
+    # multi-match prune (exact, see batch operator): a qualifying pair
+    # shares >= SLACK tokens inside the extended prefix. The two
+    # directions are disjoint row sets (a new vs a old), so the union
+    # groupBy counts each direction's matches correctly.
+    cands = (
+        rows.groupBy("id_a", "id_b", "na")
+        .agg(F.count(F.lit(1)).alias("_npref"))
+        .filter((F.col("_npref") >= SLACK) | (F.col("na") < SLACK))
+        .select("id_a", "id_b")
+    )
 
     all_shingles = (
         batch_shingles if index_shingles is None
