@@ -3339,6 +3339,10 @@ QUERIES = [
               "token-budget chunk packing per lang (window cumsum)", ("llm", "curation")),
     QuerySpec("emb_quantize_int8", emb_quantize_int8, EMB_QUANTIZE_INT8_SQL,
               "deterministic symmetric int8 quantization checksums", ("llm", "similarity")),
+    QuerySpec("emb_knn_label_purity", emb_knn_label_purity,
+              EMB_KNN_LABEL_PURITY_SQL_TEMPLATE.format(topk_sql=EMB_COSINE_TOPK_SQL),
+              "kNN label purity of the exact top-5 (supervised embedding "
+              "quality; exact ppm)", ("llm", "similarity")),
     QuerySpec("emb_cosine_topk", emb_cosine_topk, EMB_COSINE_TOPK_SQL,
               "exact cosine top-5 for 10 queries (fixed-point dot)", ("llm", "similarity"), bench=True),
     QuerySpec("emb_ivf_topk", emb_ivf_topk, EMB_IVF_TOPK_SQL,

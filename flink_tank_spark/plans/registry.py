@@ -53,6 +53,7 @@ FRONT_OF_LINE = (
     "doc_chunk_windows",
     "doc_containment_dups",
     "emb_profile_dims",
+    "emb_knn_label_purity",
     # changed in round 10 (advisory fixes) — must re-certify
     "emb_srp_near_dups",
     "emb_srp_topk",
