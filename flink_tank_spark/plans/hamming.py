@@ -58,7 +58,16 @@ def _block_int(sig_col: str, b: int):
 
 def simhash_near_dup_pairs(sigs: DataFrame, k: int = HAMMING_K) -> DataFrame:
     """All (id_a < id_b) pairs of ``sigs`` (doc_id, simhash) within
-    Hamming distance ``k``, blocked by the K+1-block pigeonhole."""
+    Hamming distance ``k``, blocked by the K+1-block pigeonhole.
+
+    Blocking is fixed at ``N_BLOCKS = HAMMING_K + 1``: the pigeonhole
+    guarantee (some block is EQUAL when distance ≤ k) needs k+1 blocks,
+    so any ``k > HAMMING_K`` would silently lose recall. Refuse it."""
+    if k > HAMMING_K:
+        raise ValueError(
+            f"k={k} exceeds HAMMING_K={HAMMING_K}: pigeonhole blocking with "
+            f"{N_BLOCKS} blocks only guarantees recall 1.0 for k <= {HAMMING_K}"
+        )
     blocks = sigs.select(
         "doc_id",
         F.explode(

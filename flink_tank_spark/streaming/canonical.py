@@ -23,8 +23,9 @@ keep/drop materialization would lose.
 Scale shape: connected_components runs on the accumulated pairs (the
 checkpoint-truncated counted-fixpoint loop from operators/dedup); the
 doc universe comes from the shingle index's id column (column-pruned
-parquet scan); the drop list is the small side of one broadcastable
-anti-join — exactly the batch doc_dedup_corpus shape.
+parquet scan); the drop list feeds one anti-join whose strategy is
+left to AQE (broadcast when small, shuffle when duplicate-heavy) —
+exactly the batch doc_dedup_corpus shape.
 """
 
 from __future__ import annotations
@@ -70,6 +71,8 @@ def kept_corpus_view(
     the corpus a downstream training job reads NOW."""
     canon = dedup_groups_view(spark, pairs_dir)
     dropped = canon.filter(F.col("canon_id") < F.col("doc_id")).select("doc_id")
-    return _all_doc_ids(spark, index_dir).join(
-        F.broadcast(dropped), "doc_id", "left_anti"
-    )
+    # No broadcast hint: the drop list is every non-canonical duplicate,
+    # which on a duplicate-heavy corpus is unbounded — forcing broadcast
+    # could blow the driver/broadcast limit. AQE picks broadcast itself
+    # whenever the materialized side is actually small.
+    return _all_doc_ids(spark, index_dir).join(dropped, "doc_id", "left_anti")

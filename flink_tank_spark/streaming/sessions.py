@@ -79,13 +79,18 @@ def merge_summaries(summaries: DataFrame) -> DataFrame:
     prev_max_end = F.max("s_end").over(
         order.rowsBetween(W.unboundedPreceding, -1)
     )
+    # Compare at FULL timestamp precision (unix_micros), never cast("long"):
+    # second-truncation would wrongly merge two sessions whose true gap is
+    # in (GAP, GAP + 1s) when the endpoints carry sub-second components
+    # (e.g. prev_end=X.1, s_start=X+1800.9 → truncated diff 1800, true
+    # gap 1800.8s), breaking bit-exact parity with ev_sessionize.
     flagged = summaries.withColumn(
         "_new",
         F.when(
             prev_max_end.isNull()
             | (
-                F.col("s_start").cast("long") - prev_max_end.cast("long")
-                > GAP_SECONDS
+                F.unix_micros(F.col("s_start")) - F.unix_micros(prev_max_end)
+                > GAP_SECONDS * 1_000_000
             ),
             1,
         ).otherwise(0),

@@ -62,3 +62,15 @@ def test_block_int_parses_signature_bits(spark):
         hamming._block_int("simhash", 2).alias("b2"),
     ).first()
     assert (row.b0, row.b1, row.b2) == (1, 1 << 15, 0)
+
+
+def test_k_beyond_blocking_guarantee_is_refused(spark):
+    # N_BLOCKS is fixed at HAMMING_K+1; a larger radius would silently
+    # lose recall (pigeonhole needs k+1 blocks), so it must raise.
+    import pytest
+
+    sigs = spark.createDataFrame(
+        [(1, "0" * 64), (2, "0" * 64)], "doc_id long, simhash string"
+    )
+    with pytest.raises(ValueError, match="exceeds HAMMING_K"):
+        hamming.simhash_near_dup_pairs(sigs, k=hamming.HAMMING_K + 1)

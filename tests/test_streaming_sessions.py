@@ -134,3 +134,25 @@ def test_native_session_window_emits_closed_sessions_once(spark, tmp_path):
         spark.read.parquet(out).select("user_id", "session_start", "n_events")
     )
     assert got == [("1", "2024-01-01 01:00:00", "2")]
+
+
+def test_subsecond_gap_boundary_not_truncated(spark, tmp_path):
+    # True gap 1800.8s (> 30 min) with sub-second endpoints: whole-second
+    # truncation would compute 1800 and wrongly merge. Must stay TWO
+    # sessions — and the 1799.8s twin must stay ONE.
+    def ev(i, ts):
+        return {"event_id": i, "ts": ts, "user_id": 7,
+                "event_type": "click", "value": 1.0}
+
+    src = str(tmp_path / "in")
+    sd, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    _write_jsonl(src, "b0.jsonl", [ev(1, "2024-01-01 10:00:00.100")])
+    _drain(ss.start_sessions_job(spark, src, sd, ck))
+    _write_jsonl(src, "b1.jsonl", [ev(2, "2024-01-01 10:30:00.900"),
+                                   ev(3, "2024-01-01 10:59:59.700")])
+    _drain(ss.start_sessions_job(spark, src, sd, ck))
+    got = _rows(ss.load_sessions(spark, sd))
+    # 10:00:00.100 alone (gap to next = 1800.8s); the next two merge
+    # (gap 1798.8s)
+    assert got == [("7", "2024-01-01 10:00:00.100000", "1"),
+                   ("7", "2024-01-01 10:30:00.900000", "2")]
