@@ -141,6 +141,174 @@ def train_merges(segmented: DataFrame, n_merges: int) -> list[Merge]:
     return merges
 
 
+def train_merges_incremental(
+    segmented: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 16,
+) -> list[Merge]:
+    """Learn ``n_merges`` BPE merges with INCREMENTAL pair-count deltas —
+    the scale path past the naive loop's O(n_merges) full recounts.
+
+    State split (the standard trick public BPE trainers use, adapted to
+    a distributed word table):
+
+    - **Driver**: the pair-count dict. Bounded by the number of distinct
+      ADJACENT symbol pairs in the segmented vocabulary — at most the
+      total symbol positions of the distinct-word table (~1e7 for a 1e6
+      -word web vocabulary), independent of corpus size. The argmax per
+      step is a pure in-memory scan: ZERO Spark jobs.
+    - **Executors**: the segmented word table. Per step exactly ONE
+      Spark job runs: filter to the words that CONTAIN the merged pair
+      (only those change — Sennrich's incremental observation), compute
+      their pair bags before and after the rewrite in one projection,
+      and collect the (small) net delta, which updates the driver dict.
+
+    Lineage control: the rewrite is one chained ``replace`` projection
+    per step over the persisted base; every ``checkpoint_every`` steps
+    the chain is truncated with ``localCheckpoint(eager=True)`` so the
+    per-job evaluation depth — and Catalyst's analysis time — stays
+    bounded (the k-means/CC lesson from operators/similarity.py). On a
+    real cluster swap in reliable ``checkpoint()`` exactly as GraphX
+    does.
+
+    Bit-identical to :func:`train_merges` (pinned in tests/test_bpe.py):
+    same counts, same max-count-then-lexicographic tie-break (pure ASCII
+    byte order — Python tuple compare == Spark/DuckDB binary collation
+    for the [a-z</>]-only symbol alphabet).
+    """
+    pc: dict[tuple[str, str], int] = {
+        (r["l"], r["r"]): r["pair_cnt"] for r in _pair_counts(segmented).collect()
+    }
+    merges: list[Merge] = []
+    cur = segmented
+    for step in range(1, n_merges + 1):
+        if not pc:  # vocabulary fully merged — nothing left to learn
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(Merge(step, left, right, cnt))
+        pattern = "{" + left + "}{" + right + "}"
+        new_syms = merge_expr(F.col("syms"), left, right)
+        affected = cur.filter(F.contains("syms", F.lit(pattern))).select(
+            "cnt", F.col("syms").alias("syms_old"), new_syms.alias("syms_new")
+        )
+        # one bag: old pairs weighted -cnt, new pairs weighted +cnt →
+        # groupBy nets out the unchanged ones map-side
+        both = affected.select(
+            (-F.col("cnt")).alias("cnt"), F.col("syms_old").alias("syms")
+        ).unionAll(affected.select("cnt", F.col("syms_new").alias("syms")))
+        for d in _pair_counts(both).filter(F.col("pair_cnt") != 0).collect():
+            k = (d["l"], d["r"])
+            nv = pc.get(k, 0) + d["pair_cnt"]
+            if nv < 0:
+                raise AssertionError(
+                    f"negative pair count for {k!r} at step {step}: {nv}"
+                )
+            if nv == 0:
+                pc.pop(k, None)
+            else:
+                pc[k] = nv
+        cur = cur.withColumn("syms", new_syms)
+        if step % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return merges
+
+
+def _merge_symbol_list(sl: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (left, right) in a
+    symbol list — the list twin of merge_expr's single-pass replace."""
+    out: list[str] = []
+    i, n = 0, len(sl)
+    while i < n:
+        if i + 1 < n and sl[i] == left and sl[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sl[i])
+            i += 1
+    return out
+
+
+def train_merges_local(
+    word_freqs: list[tuple[list[str], int]], n_merges: int
+) -> list[Merge]:
+    """Driver-local incremental BPE over a collected word-frequency
+    table — the production fast path (what public tokenizer trainers
+    run once the corpus is collapsed to its bounded vocabulary).
+
+    Pure in-memory pair-count maintenance: a pair→count dict plus a
+    pair→{word index} inverted index so each merge touches only the
+    words that CONTAIN the pair. Bit-equal to train_merges /
+    train_merges_incremental: same counts, same max-count-then-
+    lexicographically-smallest tie-break."""
+    words: list[list[str]] = [list(sl) for sl, _ in word_freqs]
+    counts: list[int] = [c for _, c in word_freqs]
+    pc: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, sl in enumerate(words):
+        c = counts[idx]
+        for a, b in zip(sl, sl[1:]):
+            pc[(a, b)] = pc.get((a, b), 0) + c
+            occ.setdefault((a, b), set()).add(idx)
+    merges: list[Merge] = []
+    for step in range(1, n_merges + 1):
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append(Merge(step, left, right, cnt))
+        for idx in sorted(occ.get((left, right), ())):
+            old = words[idx]
+            new = _merge_symbol_list(old, left, right)
+            c = counts[idx]
+            for a, b in zip(old, old[1:]):  # counts: per OCCURRENCE
+                nv = pc[(a, b)] - c
+                if nv:
+                    pc[(a, b)] = nv
+                else:
+                    del pc[(a, b)]
+            for p in set(zip(old, old[1:])):  # index: per DISTINCT pair
+                s = occ[p]
+                s.discard(idx)
+                if not s:
+                    del occ[p]
+            for a, b in zip(new, new[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+                occ.setdefault((a, b), set()).add(idx)
+            words[idx] = new
+    return merges
+
+
+# Above this many distinct words the word-frequency table stays on the
+# executors (train_merges_incremental); below, it collapses to the
+# driver and trains at memory speed. Web-scale natural-language
+# vocabularies are ~1e6-1e8 distinct [a-z]+ runs; 4M rows of short
+# symbol lists is well under a gigabyte of driver heap.
+DRIVER_VOCAB_LIMIT = 4_000_000
+
+
+def train_merges_auto(
+    segmented: DataFrame,
+    n_merges: int,
+    driver_vocab_limit: int = DRIVER_VOCAB_LIMIT,
+) -> list[Merge]:
+    """Dispatch on the (bounded) vocabulary size: collect-and-train
+    locally when the word table fits the driver — one Spark job total,
+    the standard public-tokenizer shape — else run the distributed
+    incremental-delta loop. All three trainers are bit-equal (pinned in
+    tests/test_bpe.py)."""
+    if segmented.count() <= driver_vocab_limit:
+        rows = segmented.select(
+            F.expr(_SYMS_EXPR).alias("sl"), "cnt"
+        ).collect()
+        return train_merges_local(
+            [(r["sl"], r["cnt"]) for r in rows], n_merges
+        )
+    return train_merges_incremental(segmented, n_merges)
+
+
 def apply_merges(segmented: DataFrame, merges: list[Merge]) -> DataFrame:
     """Re-segment a seeded word table with an already-learned merge
     list: one chained-replace projection, pure codegen, no actions."""

@@ -726,6 +726,111 @@ def srp_band_keys(
     return _keys(vec_col)
 
 
+def _probe_combos(n_bands: int, rows: int) -> list[tuple[int, int, int]]:
+    """The fixed perturbation universe for multi-probe SRP: every 1-bit
+    and 2-bit flip WITHIN a band, pre-sorted by (band, r1, r2) so a
+    stable sort on margin gives the same tie order as the oracle's
+    ORDER BY margin, band, r1, r2. Returns (band, r1, r2) with r2 = -1
+    for single flips."""
+    combos: list[tuple[int, int, int]] = []
+    for b in range(n_bands):
+        for r1 in range(rows):
+            combos.append((b, r1, -1))
+        for r1 in range(rows):
+            for r2 in range(r1 + 1, rows):
+                combos.append((b, r1, r2))
+    combos.sort()
+    return combos
+
+
+def srp_probe_keys(
+    vec_col: Column,
+    n_planes: int = 24,
+    n_bands: int = 6,
+    dim: int = 64,
+    n_probes: int = 8,
+) -> Column:
+    """Multi-probe SRP query keys: the ``n_bands`` base band keys PLUS
+    the ``n_probes`` perturbed keys most likely to hold missed
+    neighbors — the standard multi-probe LSH construction (Lv et al.
+    2007, public) adapted to banded hyperplane signs.
+
+    A sign bit is uncertain exactly when the projection lands near the
+    hyperplane, and the probability a true neighbor sits on the other
+    side decays with the margin |s|. So the probe sequence enumerates
+    1-bit and 2-bit flips within each band, ranked by the SUM of the
+    flipped planes' |margins| ascending (exact int64 sums — the ranking
+    is bit-reproducible and mirrored verbatim in the DuckDB oracle),
+    deterministically tie-broken by (band, r1, r2). Flipping is XOR on
+    the band key's data bits; the band tag (bit 56+) is untouched, so
+    probes only ever match candidates hashed into the SAME band's
+    table.
+
+    Query-side only: the corpus keeps one key per band (the index is
+    unchanged); multi-probe trades a few extra lookups per query for
+    the recall that would otherwise need more tables (bands). Applied
+    to the same Arrow-batched integer pipeline as srp_band_keys.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if n_planes % n_bands != 0:
+        raise ValueError(
+            f"n_planes={n_planes} not divisible by n_bands={n_bands}"
+        )
+    rows = n_planes // n_bands
+    if rows > 56:
+        raise ValueError(f"rows-per-band {rows} > 56: data bits would hit the band tag")
+    combos = _probe_combos(n_bands, rows)
+    if n_probes > len(combos):
+        raise ValueError(
+            f"n_probes={n_probes} exceeds the {len(combos)} 1/2-bit flips"
+        )
+    w_t = srp_weights(n_planes, dim).T  # (dim, n_planes)
+    shifts = np.arange(rows, dtype=np.int64)
+    combo_band = np.array([b for b, _, _ in combos], dtype=np.int64)
+    combo_p1 = np.array([b * rows + r1 for b, r1, _ in combos], dtype=np.int64)
+    combo_p2 = np.array(
+        [b * rows + r2 if r2 >= 0 else -1 for b, _, r2 in combos],
+        dtype=np.int64,
+    )
+    combo_mask = np.array(
+        [
+            (1 << r1) | ((1 << r2) if r2 >= 0 else 0)
+            for _, r1, r2 in combos
+        ],
+        dtype=np.int64,
+    )
+
+    @pandas_udf("array<long>")
+    def _keys(xs: pd.Series) -> pd.Series:
+        xa = np.stack(xs.to_numpy()).astype(np.float64)
+        xi = np.floor(xa * SRP_SCALE + 0.5).astype(np.int64)
+        s = xi @ w_t  # (n, n_planes) exact int64 margins
+        bits = (s >= 0).astype(np.int64)
+        base = np.stack(
+            [
+                (bits[:, b * rows : (b + 1) * rows] << shifts).sum(axis=1)
+                + (b << 56)
+                for b in range(n_bands)
+            ],
+            axis=1,
+        )  # (n, n_bands)
+        a = np.abs(s)
+        margins = a[:, combo_p1] + np.where(
+            combo_p2 >= 0, a[:, np.maximum(combo_p2, 0)], 0
+        )  # (n, n_combos)
+        # stable sort + combos pre-ordered by (band, r1, r2) == the
+        # oracle's ORDER BY margin, band, r1, r2
+        order = np.argsort(margins, axis=1, kind="stable")[:, :n_probes]
+        probe = (
+            np.take_along_axis(base[:, combo_band], order, axis=1)
+            ^ combo_mask[order]
+        )
+        return pd.Series(list(np.concatenate([base, probe], axis=1)))
+
+    return _keys(vec_col)
+
+
 def srp_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -735,6 +840,7 @@ def srp_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Banded SRP-LSH approximate cosine top-k with exact rerank.
 
@@ -780,12 +886,14 @@ def srp_topk(
             "band_key"
         ),
     )
-    q_keys = q.select(
-        "query_id",
-        F.explode(srp_band_keys(F.col("qv"), n_planes, n_bands, dim)).alias(
-            "band_key"
-        ),
+    q_key_col = (
+        srp_probe_keys(F.col("qv"), n_planes, n_bands, dim, n_probes)
+        if n_probes > 0
+        else srp_band_keys(F.col("qv"), n_planes, n_bands, dim)
     )
+    # all keys are pairwise distinct by construction: probes differ from
+    # their band's base key by 1-2 data bits, bands by the tag bits
+    q_keys = q.select("query_id", F.explode(q_key_col).alias("band_key"))
     cand = (
         c_keys.join(F.broadcast(q_keys), "band_key")
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -30,10 +30,11 @@ from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
 N_MERGES = 8
+N_MERGES_BIG = 256  # the realistic-scale trainer (incremental deltas)
 
 # learned merges are driver-side scalars; memoized per app/sf/n so
 # doc_bpe_tokens reuses doc_bpe_merges' training pass within a session
-_MERGES_CACHE: dict[tuple[str, str, int], list[bpe.Merge]] = {}
+_MERGES_CACHE: dict[tuple[str, str, int, bool], list[bpe.Merge]] = {}
 
 
 def _seeded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,13 +49,15 @@ def _seeded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trained_merges(
-    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = N_MERGES,
+    incremental: bool = False,
 ) -> list[bpe.Merge]:
-    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    key = (spark.sparkContext.applicationId, sf_dir, n_merges, incremental)
     if key not in _MERGES_CACHE:
-        _MERGES_CACHE[key] = bpe.train_merges(
-            _seeded_words(spark, sf_dir), n_merges
-        )
+        train = bpe.train_merges_auto if incremental else bpe.train_merges
+        _MERGES_CACHE[key] = train(_seeded_words(spark, sf_dir), n_merges)
     return _MERGES_CACHE[key]
 
 
@@ -102,6 +105,126 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def doc_bpe_merges256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic-scale vocabulary: up to 256 BPE merges in training
+    order (the small-SF corpus may exhaust its pair vocabulary earlier —
+    both engines break identically), learned by the AUTO trainer
+    (operators/bpe.py): collect-and-train over the bounded
+    word-frequency table when it fits the driver (the public-tokenizer
+    production shape — ONE Spark job), falling back to the distributed
+    incremental-delta loop (driver-held pair counts updated by per-step
+    affected-word delta jobs, lineage checkpointed) past
+    DRIVER_VOCAB_LIMIT. All trainers are bit-equal (tests/test_bpe.py);
+    the oracle learns the same merges through a recursive incremental
+    CTE rather than 256 unrolled full recounts."""
+    rows = [
+        (m.step, m.left, m.right, m.merged, m.count)
+        for m in _trained_merges(
+            spark, sf_dir, N_MERGES_BIG, incremental=True
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, merged string, pair_count long",
+    ).orderBy("step")
+
+
+def _bpe_train_recursive_sql(n_merges: int) -> str:
+    """Oracle mirror of the INCREMENTAL training loop as one recursive
+    CTE — the same algorithm train_merges_incremental runs: the working
+    set carries kind-tagged rows ('w' = segmented words, 'p' = live pair
+    counts, 'm' = the merge chosen that step); each iteration takes the
+    argmax from the 'p' rows, rewrites only the words that CONTAIN the
+    merged pair, and nets the pair-count delta from those affected words
+    alone. An unrolled per-step chain at 256 steps both exceeds DuckDB
+    1.0's max_expression_depth (1000) and pays 256 full pair recounts
+    (~35 s for 64 steps at sf0.01); this runs in under a second."""
+    return dedent(f"""\
+        WITH RECURSIVE
+        w0 AS MATERIALIZED (
+          SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                 array_to_string(list_transform(range(1, len(word) + 1),
+                                 i -> '{{' || substr(word, i, 1) || '}}'), '')
+                   || '{{</w>}}' AS syms
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word
+                FROM documents)
+          GROUP BY word
+        ),
+        p0 AS MATERIALIZED (
+          SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_cnt FROM (
+            SELECT cnt, list_extract(sl, i) AS l, list_extract(sl, i + 1) AS r
+            FROM (SELECT cnt, regexp_extract_all(syms, '\\{{([^}}]*)\\}}', 1) AS sl
+                  FROM w0),
+                 unnest(range(1, len(sl))) AS t(i)
+            WHERE len(sl) >= 2
+          ) GROUP BY l, r
+        ),
+        st AS (
+          SELECT 0 AS step, 'w' AS kind, cnt, syms,
+                 CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+                 CAST(NULL AS BIGINT) AS pair_cnt
+          FROM w0
+          UNION ALL
+          SELECT 0, 'p', NULL, NULL, l, r, pair_cnt FROM p0
+          UNION ALL
+          (
+            WITH b AS (
+              SELECT l, r, pair_cnt FROM st WHERE kind = 'p'
+              ORDER BY pair_cnt DESC, l, r LIMIT 1
+            ),
+            aff AS (
+              SELECT s.cnt, s.syms AS syms_old,
+                     replace(s.syms, '{{' || b.l || '}}{{' || b.r || '}}',
+                             '{{' || b.l || b.r || '}}') AS syms_new
+              FROM st s, b
+              WHERE s.kind = 'w'
+                AND contains(s.syms, '{{' || b.l || '}}{{' || b.r || '}}')
+            ),
+            delta AS (
+              SELECT l, r, CAST(SUM(c) AS BIGINT) AS d FROM (
+                SELECT sgn * cnt AS c,
+                       list_extract(sl, i) AS l, list_extract(sl, i + 1) AS r
+                FROM (
+                  SELECT cnt, 1 AS sgn,
+                         regexp_extract_all(syms_new, '\\{{([^}}]*)\\}}', 1) AS sl
+                  FROM aff
+                  UNION ALL
+                  SELECT cnt, -1,
+                         regexp_extract_all(syms_old, '\\{{([^}}]*)\\}}', 1)
+                  FROM aff
+                ), unnest(range(1, len(sl))) AS t(i)
+                WHERE len(sl) >= 2
+              ) GROUP BY l, r
+            )
+            SELECT s.step + 1, 'w', s.cnt,
+                   CASE WHEN b.l IS NULL THEN s.syms
+                        ELSE replace(s.syms, '{{' || b.l || '}}{{' || b.r || '}}',
+                                     '{{' || b.l || b.r || '}}') END,
+                   NULL, NULL, NULL
+            FROM st s LEFT JOIN b ON TRUE
+            WHERE s.kind = 'w' AND s.step < {n_merges}
+            UNION ALL
+            SELECT s.step + 1, 'p', NULL, NULL, m.l, m.r, m.pc
+            FROM (SELECT DISTINCT step FROM st WHERE step < {n_merges}) s,
+                 (SELECT COALESCE(p.l, d.l) AS l, COALESCE(p.r, d.r) AS r,
+                         CAST(COALESCE(p.pair_cnt, 0) + COALESCE(d.d, 0) AS BIGINT) AS pc
+                  FROM (SELECT l, r, pair_cnt FROM st WHERE kind = 'p') p
+                  FULL OUTER JOIN delta d ON p.l = d.l AND p.r = d.r) m
+            WHERE m.pc != 0
+            UNION ALL
+            SELECT s.step + 1, 'm', NULL, NULL, b.l, b.r, b.pair_cnt
+            FROM (SELECT DISTINCT step FROM st WHERE step < {n_merges}) s, b
+          )
+        )
+        SELECT CAST(step AS INTEGER) AS step, l AS left_sym, r AS right_sym,
+               l || r AS merged, pair_cnt AS pair_count
+        FROM st WHERE kind = 'm' ORDER BY step
+    """)
+
+
+DOC_BPE_MERGES256_SQL = _bpe_train_recursive_sql(N_MERGES_BIG)
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -192,6 +315,15 @@ QUERIES = [
         doc_bpe_merges,
         DOC_BPE_MERGES_SQL,
         "learn the top-8 BPE pair merges from the corpus word table",
+        ("llm", "text", "tokenizer"),
+    ),
+    QuerySpec(
+        "doc_bpe_merges256",
+        doc_bpe_merges256,
+        DOC_BPE_MERGES256_SQL,
+        "learn 256 BPE merges with the incremental-delta trainer "
+        "(driver pair counts + affected-word delta jobs + checkpointed "
+        "lineage); oracle = recursive incremental CTE",
         ("llm", "text", "tokenizer"),
     ),
     QuerySpec(

@@ -39,65 +39,17 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-10
-# rotation: head = the six queries the advisory fixes touched this
-# round (re-certify), then the 39 queries whose newest cert is round 6,
-# then the 47 whose newest cert is round 7; the 44 remaining round-9
-# certs sit at the tail. Round-10 additions are prepended as they land.
+# run FIRST (order is otherwise meaningless to the gate). Round-11
+# rotation (computed from the union of all CORRECTNESS_r*.json): head =
+# round-11 additions as they land (zero certs), then the 3 queries whose
+# newest cert is round 6, then the 47 whose newest cert is round 7 —
+# exactly the ~50-query driver budget. The 44 round-9 and 50 round-10
+# certs sit at the tail.
 FRONT_OF_LINE = (
-    # new in round 10 — no driver cert yet
-    "doc_simhash_near_dups",
-    "doc_weighted_sample",
-    "doc_vocab_coverage",
-    "doc_dsir_weights",
-    "doc_chunk_windows",
-    "doc_containment_dups",
-    "emb_profile_dims",
-    "emb_knn_label_purity",
-    # changed in round 10 (advisory fixes) — must re-certify
-    "emb_srp_near_dups",
-    "emb_srp_topk",
-    "emb_srp_recall",
-    "ev_value_outliers",
-    "ev_anomaly_days",
-    "ev_zorder_extents",
+    # new in round 11 — no driver cert yet
+    "doc_bpe_merges256",
+    "emb_srp_topk_mp",
     # newest driver cert is round 6 — stalest, run first
-    "doc_jaccard_topk",
-    "doc_lang_id",
-    "doc_lsh_near_dups",
-    "doc_minhash",
-    "doc_quality",
-    "doc_simhash",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_matryoshka_topk",
-    "emb_near_dup_pairs",
-    "ev_asof_login",
-    "ev_cms_heavy_hitters",
-    "ev_enrich",
-    "ev_error_routing",
-    "ev_interval_clicks",
-    "ev_json_extract",
-    "ev_parse_route",
-    "ev_salted_counts",
-    "ev_sequence",
-    "ev_sessionize",
-    "ev_sliding_peak",
-    "ev_tumbling_hourly",
-    "ev_type_counts",
-    "mm_decode",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "set_churned_customers",
-    "set_loyal_customers",
-    "win_balance_quartiles",
-    "win_exact_percentiles",
     "win_moving_avg",
     "win_order_gaps",
     "win_price_position",

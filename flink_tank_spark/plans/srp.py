@@ -82,6 +82,32 @@ def emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+# multi-probe: extra query-side probe keys from flipping the
+# lowest-|margin| sign bits (Lv et al. 2007). Measured frontier on the
+# near-isotropic synthetic corpus (true neighbors at cos ≈ 0.3 — the
+# hostile case; SRP_RECALL_r11.jsonl has the full curve): P=6 lifts
+# recall@5 0.48 → 0.82 at candidate fraction 0.33 → 0.57, and at the
+# UNCHANGED 0.35 fraction budget a 5×5 banding with P=8 reaches 0.64 —
+# multi-probe strictly dominates adding bands at equal volume.
+N_PROBES = 6
+
+
+def emb_srp_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP cosine top-5: the emb_srp_topk index (6 bands ×
+    4 bits, corpus side unchanged) probed at the 6 lowest-margin 1/2-bit
+    flips per query, exact fixed-point rerank."""
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    return similarity.srp_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_planes=N_PLANES,
+        n_bands=N_BANDS,
+        dim=DIM,
+        n_probes=N_PROBES,
+    ).orderBy("query_id", "rk")
+
+
 def emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the SRP search vs the exact top-5 — the quality side
     of the hash-blocking trade, measured inside the engine (same shape
@@ -188,6 +214,62 @@ EMB_SRP_TOPK_SQL = dedent(f"""
     ORDER BY query_id, rk
 """)
 
+# Multi-probe oracle: same weights/sp/bands CTEs; probe keys = the base
+# band key XOR the flip mask, for the N_PROBES lowest-|margin| 1/2-bit
+# flips (exact-integer margins from sp, deterministic ties by
+# (band, r1, r2) with r2 = -1 on singles — the engine's stable argsort
+# over the identically pre-sorted combo list).
+EMB_SRP_TOPK_MP_SQL = dedent(f"""
+    WITH {_SRP_BUCKET_CTES},
+    qm AS MATERIALIZED (
+      SELECT vec_id, p // {_ROWS} AS band, p % {_ROWS} AS r, ABS(s) AS ms
+      FROM sp WHERE p < {N_PLANES} AND vec_id < 10
+    ),
+    flips AS (
+      SELECT vec_id, band, ms, r AS r1, -1 AS r2,
+             CAST(1 AS BIGINT) << r AS mask
+      FROM qm
+      UNION ALL
+      SELECT a.vec_id, a.band, a.ms + b.ms, a.r, b.r,
+             (CAST(1 AS BIGINT) << a.r) | (CAST(1 AS BIGINT) << b.r)
+      FROM qm a JOIN qm b ON a.vec_id = b.vec_id AND a.band = b.band
+                         AND a.r < b.r
+    ),
+    probes AS (
+      SELECT vec_id, band, mask,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ms, band, r1, r2) AS rk
+      FROM flips
+    ),
+    qb_mp AS (
+      SELECT query_id, band_key FROM qb
+      UNION ALL
+      SELECT p.vec_id AS query_id, xor(bk.band_key, p.mask) AS band_key
+      FROM probes p
+      JOIN bands bk ON bk.vec_id = p.vec_id AND (bk.band_key >> 56) = p.band
+      WHERE p.rk <= {N_PROBES}
+    ),
+    cand_mp AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM qb_mp q JOIN bands c USING (band_key)
+      WHERE c.vec_id <> q.query_id
+    ),
+    scored_mp AS (
+      SELECT cand_mp.query_id, cand_mp.neighbor_id,
+             {_sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+      FROM cand_mp
+      JOIN emb_nz q ON q.vec_id = cand_mp.query_id
+      JOIN emb_nz c ON c.vec_id = cand_mp.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rk
+      FROM scored_mp
+    ) WHERE rk <= 5
+    ORDER BY query_id, rk
+""")
+
 EMB_SRP_RECALL_SQL = dedent(f"""
     WITH exact AS ({EMB_COSINE_TOPK_SQL}),
     approx AS ({EMB_SRP_TOPK_SQL})
@@ -255,6 +337,15 @@ QUERIES = [
         emb_srp_topk,
         EMB_SRP_TOPK_SQL,
         "banded SRP-LSH cosine top-5, OR-amplified bands, exact rerank",
+        ("llm", "embedding", "ann"),
+        bench=True,
+    ),
+    QuerySpec(
+        "emb_srp_topk_mp",
+        emb_srp_topk_mp,
+        EMB_SRP_TOPK_MP_SQL,
+        "multi-probe SRP cosine top-5: lowest-margin bit-flip probes "
+        "lift isotropic recall@5 0.48 -> 0.82 on the unchanged index",
         ("llm", "embedding", "ann"),
         bench=True,
     ),

@@ -27,7 +27,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CONFIGS = [(16, 4), (24, 6), (16, 8), (24, 4), (32, 4)]
+# (planes, bands, query-side probes) — probes=0 is the plain banded
+# search; probes>0 adds the lowest-margin 1/2-bit flip buckets
+# (multi-probe LSH, round 11)
+CONFIGS = [
+    (16, 4, 0), (24, 6, 0), (16, 8, 0), (24, 4, 0), (32, 4, 0),
+    (24, 6, 2), (24, 6, 6), (24, 6, 8),
+    (25, 5, 8), (25, 5, 24),
+    (24, 4, 16), (24, 4, 48),
+]
 
 
 def main() -> int:
@@ -58,9 +66,10 @@ def main() -> int:
     }
     n_queries = len({q for q, _ in exact})
 
-    for planes, bands in CONFIGS:
+    for planes, bands, probes in CONFIGS:
         got = similarity.srp_topk(
-            emb, queries, k=5, n_planes=planes, n_bands=bands
+            emb, queries, k=5, n_planes=planes, n_bands=bands,
+            n_probes=probes,
         ).collect()
         hits_per_q: dict[int, int] = {}
         for r in got:
@@ -80,9 +89,20 @@ def main() -> int:
                 )
             ).alias("band_key"),
         ).persist()
-        qk = keys.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("qid"), "band_key"
-        )
+        if probes > 0:
+            qk = queries.select(
+                F.col("vec_id").alias("qid"),
+                F.explode(
+                    similarity.srp_probe_keys(
+                        similarity.as_double_array(F.col("embedding")),
+                        planes, bands, 64, probes,
+                    )
+                ).alias("band_key"),
+            )
+        else:
+            qk = keys.filter(F.col("vec_id") < 10).select(
+                F.col("vec_id").alias("qid"), "band_key"
+            )
         n_cand = (
             qk.join(keys, "band_key")
             .filter(F.col("vec_id") != F.col("qid"))
@@ -97,6 +117,7 @@ def main() -> int:
             "planes": planes,
             "bands": bands,
             "rows_per_band": planes // bands,
+            "probes": probes,
             "recall_at_5_macro": round(macro, 4),
             "mean_candidate_fraction": round(
                 n_cand / (n_queries * max(n_corpus - 1, 1)), 4

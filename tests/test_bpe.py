@@ -66,3 +66,81 @@ def test_word_counts_is_weighted_and_lowercased(spark):
         r["word"]: r["cnt"] for r in bpe.word_counts(docs).collect()
     }
     assert got == {"the": 3, "cat": 2, "dog": 1}
+
+
+def _train_inc(spark, words_with_counts, n, ce=4):
+    df = spark.createDataFrame(words_with_counts, "word string, cnt long")
+    return bpe.train_merges_incremental(bpe.seed_symbols(df), n, checkpoint_every=ce)
+
+
+def test_incremental_equals_naive_on_toy(spark):
+    corpus = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2)]
+    naive = _train(spark, corpus, 6)
+    inc = _train_inc(spark, corpus, 6)
+    assert [(m.step, m.left, m.right, m.count) for m in inc] == [
+        (m.step, m.left, m.right, m.count) for m in naive
+    ]
+
+
+def test_incremental_equals_naive_on_corpus(spark, sf_dir):
+    # real documents table (sf0.001 fixture): 32 merges, bit-equal to
+    # the naive trainer — counts, order, tie-breaks
+    from flink_tank_spark.io.tables import load_table
+
+    words = bpe.seed_symbols(
+        bpe.word_counts(load_table(spark, sf_dir, "documents"))
+    ).persist()
+    try:
+        naive = bpe.train_merges(words, 32)
+        inc = bpe.train_merges_incremental(words, 32, checkpoint_every=8)
+        assert [(m.step, m.left, m.right, m.count) for m in inc] == [
+            (m.step, m.left, m.right, m.count) for m in naive
+        ]
+    finally:
+        words.unpersist()
+
+
+def test_incremental_exhaustion_breaks_early(spark):
+    # one single-letter word: seed is {a}{</w>} -> one pair, then none
+    merges = _train_inc(spark, [("a", 3)], 5)
+    assert [(m.left, m.right) for m in merges] == [("a", "</w>")]
+
+
+def test_local_trainer_equals_naive_on_corpus(spark, sf_dir):
+    from flink_tank_spark.io.tables import load_table
+
+    words = bpe.seed_symbols(
+        bpe.word_counts(load_table(spark, sf_dir, "documents"))
+    ).persist()
+    try:
+        naive = bpe.train_merges(words, 48)
+        auto = bpe.train_merges_auto(words, 48)
+        assert [(m.step, m.left, m.right, m.count) for m in auto] == [
+            (m.step, m.left, m.right, m.count) for m in naive
+        ]
+    finally:
+        words.unpersist()
+
+
+def test_local_trainer_greedy_overlap_and_ties(spark):
+    # 'aaa': (a,a) count 2 (overlapping), greedy merge leaves {aa}{a};
+    # next best is lexicographic min among remaining
+    merges = bpe.train_merges_local([(["a", "a", "a", "</w>"], 10)], 3)
+    assert [(m.left, m.right, m.count) for m in merges] == [
+        ("a", "a", 20),
+        ("a", "</w>", 10),
+        ("aa", "a</w>", 10),
+    ]
+
+
+def test_auto_dispatches_to_distributed_above_limit(spark):
+    df = spark.createDataFrame(
+        [("ab", 3), ("bc", 2)], "word string, cnt long"
+    )
+    seeded = bpe.seed_symbols(df)
+    # force the distributed path with a tiny limit
+    dist = bpe.train_merges_auto(seeded, 4, driver_vocab_limit=1)
+    naive = bpe.train_merges(seeded, 4)
+    assert [(m.step, m.left, m.right, m.count) for m in dist] == [
+        (m.step, m.left, m.right, m.count) for m in naive
+    ]

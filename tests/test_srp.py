@@ -62,3 +62,61 @@ def test_srp_pair_distinct_under_multi_band_collision(spark):
     out = similarity.srp_topk(df, df.filter(F.col("vec_id") == 0), k=5).collect()
     assert len(out) == 1
     assert out[0]["neighbor_id"] == 1 and out[0]["rk"] == 1
+
+
+def test_probe_keys_extend_base_keys(spark):
+    # probe output = base band keys (prefix) + n_probes flipped keys;
+    # each probe shares exactly its band's tag bits and differs in 1-2
+    # data bits
+    df = spark.createDataFrame(
+        [(1, [float(i % 7) - 3.0 for i in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    base = df.select(
+        similarity.srp_band_keys(F.col("embedding"), 24, 6, 64).alias("k")
+    ).first()["k"]
+    probed = df.select(
+        similarity.srp_probe_keys(F.col("embedding"), 24, 6, 64, 8).alias("k")
+    ).first()["k"]
+    assert probed[:6] == base
+    assert len(probed) == 6 + 8
+    for pk in probed[6:]:
+        tag = pk >> 56
+        assert 0 <= tag < 6
+        diff = pk ^ base[tag]
+        assert diff != 0 and diff < (1 << 4)  # data bits only
+        assert bin(diff).count("1") in (1, 2)
+
+
+def test_multi_probe_candidates_superset_lifts_recall(spark, sf_dir):
+    # probes only ADD buckets, so the probed top-k's hit set against
+    # the exact top-5 is a superset of the unprobed one
+    from flink_tank_spark.io.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.srp_topk(emb, q, k=5).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.srp_topk(emb, q, k=5, n_probes=8).collect()
+    }
+    assert len(probed & exact) >= len(plain & exact)
+    emb.unpersist()
+
+
+def test_probe_count_beyond_universe_is_refused(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    # 6 bands x 4 rows: 6*(4 + 6) = 60 flips max
+    with pytest.raises(ValueError, match="exceeds"):
+        df.select(
+            similarity.srp_probe_keys(F.col("embedding"), 24, 6, 64, 61)
+        ).collect()
