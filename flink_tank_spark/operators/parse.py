@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_tank_spark.schemas import CORRUPT_COL, INPUT_EVENT_SCHEMA
+from flink_tank_spark.schemas import (
+    CORRUPT_COL,
+    INPUT_EVENT_SCHEMA,
+    INPUT_EVENT_SCHEMA_VARIANT,
+)
 
 PARSE_ERROR = "PARSE_ERROR"
 
@@ -42,11 +46,20 @@ def iso_instant(ts: Column) -> Column:
     return F.date_format(ts, ISO_FMT)
 
 
-def parse_events(raw_df: DataFrame, value_col: str = "value") -> DataFrame:
-    """Single-pass parse projection; adds struct fields + corrupt marker."""
+def parse_events(
+    raw_df: DataFrame, value_col: str = "value", variant_data: bool = False
+) -> DataFrame:
+    """Single-pass parse projection; adds struct fields + corrupt marker.
+    ``variant_data=True`` parses the open ``data`` map into VariantType
+    in the same pass (SURVEY §7.4 pt 1 — typed access via variant_get,
+    no per-access JSON re-parse); the lenient contract is IDENTICAL on
+    both paths (pinned in tests/test_event_processor.py): malformed JSON
+    and field type mismatches set the corrupt marker, missing fields
+    stay null-then-defaulted."""
+    schema = INPUT_EVENT_SCHEMA_VARIANT if variant_data else INPUT_EVENT_SCHEMA
     parsed = F.from_json(
         F.col(value_col),
-        INPUT_EVENT_SCHEMA,
+        schema,
         {"columnNameOfCorruptRecord": CORRUPT_COL, "mode": "PERMISSIVE"},
     )
     return raw_df.withColumn("_parsed", parsed)
@@ -56,11 +69,14 @@ def parse_and_route(
     raw_df: DataFrame,
     value_col: str = "value",
     now: Column | None = None,
+    variant_data: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Route raw strings into (valid_df, error_df).
 
-    valid_df columns: id, type, timestamp (epoch ms), data (raw JSON
-    object string) — Kotlin defaults applied.
+    valid_df columns: id, type, timestamp (epoch ms), data — the open
+    map as a raw JSON object string, or as VariantType when
+    ``variant_data=True`` (default ``{}`` either way) — Kotlin defaults
+    applied.
     error_df columns: rawMessage, errorType, errorMessage, timestamp —
     the ErrorEvent shape (Events.kt:19-24).
 
@@ -69,7 +85,7 @@ def parse_and_route(
     """
     if now is None:
         now = F.current_timestamp()
-    p = parse_events(raw_df, value_col)
+    p = parse_events(raw_df, value_col, variant_data)
 
     # from_json leaves the corrupt marker unset for empty input and the
     # bare JSON literal `null` (it returns an all-null row instead), but
@@ -84,11 +100,14 @@ def parse_and_route(
     # Source metadata columns (e.g. the `arrival` offset) pass through the
     # valid branch — the stateful sequence operator needs the order.
     passthrough = [c for c in raw_df.columns if c != value_col]
+    empty_map = (
+        F.parse_json(F.lit("{}")) if variant_data else F.lit("{}")
+    )
     valid = p.filter(~is_error).select(
         F.coalesce(F.col("_parsed.id"), F.lit("")).alias("id"),
         F.coalesce(F.col("_parsed.type"), F.lit("")).alias("type"),
         F.coalesce(F.col("_parsed.timestamp"), F.lit(0).cast("long")).alias("timestamp"),
-        F.coalesce(F.col("_parsed.data"), F.lit("{}")).alias("data"),
+        F.coalesce(F.col("_parsed.data"), empty_map).alias("data"),
         *[F.col(c) for c in passthrough],
     )
 

@@ -49,6 +49,9 @@ FRONT_OF_LINE = (
     # new in round 11 — no driver cert yet
     "doc_bpe_merges256",
     "emb_srp_topk_mp",
+    # changed in round 11 (variant-typed open-map path) — re-certify
+    "ev_json_extract",
+    "ev_enrich",
     # newest driver cert is round 6 — stalest, run first
     "win_moving_avg",
     "win_order_gaps",

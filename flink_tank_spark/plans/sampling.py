@@ -225,38 +225,47 @@ DSIR_BUCKETS = 256  # 2 hex chars of the bigram md5
 DSIR_TARGET_LANG = "en"
 
 
+def dsir_bucket_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bkt, c) hashed-bigram counts of a document set —
+    the mergeable unit the streaming twin (streaming/dsir.py)
+    accumulates per micro-batch."""
+    ws = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = docs.select(
+        "doc_id", "lang", ws.alias("_ws"), F.explode(idx).alias("_i")
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at("_ws", F.col("_i")),
+                    F.element_at("_ws", F.col("_i") + 1),
+                ).cast("binary")
+            ),
+            1,
+            2,
+        ).alias("bkt"),
+    )
+    return bg.groupBy("doc_id", "lang", "bkt").agg(
+        F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
+    )
+
+
 def _dsir_doc_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (doc_id, lang, bucket) bigram counts as a session-shared
     persisted stage: one corpus explode, referenced by three branches."""
-
-    def build() -> DataFrame:
-        docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-        ws = F.split(F.col("text"), " ")
-        idx = F.when(
-            F.size(ws) >= 2, F.sequence(F.lit(1), F.size(ws) - 1)
-        ).otherwise(F.array().cast("array<int>"))
-        bg = docs.select(
-            "doc_id", "lang", ws.alias("_ws"), F.explode(idx).alias("_i")
-        ).select(
-            "doc_id",
-            "lang",
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at("_ws", F.col("_i")),
-                        F.element_at("_ws", F.col("_i") + 1),
-                    ).cast("binary")
-                ),
-                1,
-                2,
-            ).alias("bkt"),
-        )
-        return bg.groupBy("doc_id", "lang", "bkt").agg(
-            F.count(F.lit(1)).cast("decimal(20,0)").alias("c")
-        )
-
-    return shared.stage(spark, "dsir_doc_bucket_counts", sf_dir, build)
+    return shared.stage(
+        spark,
+        "dsir_doc_bucket_counts",
+        sf_dir,
+        lambda: dsir_bucket_counts(
+            spread_partitions(load_table(spark, sf_dir, "documents"))
+        ),
+    )
 
 
 def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +297,15 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single-token documents carry no bigram evidence and are excluded
     (both engines). Precision: products ≤ (counts+B)² · 10⁶ stay in
     DECIMAL(38,0)/HUGEINT for corpora to ~10¹⁵ bigrams."""
-    dbc = _dsir_doc_bucket_counts(spark, sf_dir)
+    return dsir_weights_from_counts(_dsir_doc_bucket_counts(spark, sf_dir))
+
+
+def dsir_weights_from_counts(dbc: DataFrame) -> DataFrame:
+    """The per-language DSIR score summary from an already-built
+    (doc_id, lang, bkt, c) table — shared verbatim by the batch query
+    and the streaming view (streaming/dsir.py): the ≤256-row weight
+    table and every aggregate are pure algebra over the mergeable
+    bucket counts."""
     raw_b = dbc.groupBy("bkt").agg(
         F.sum("c").cast("decimal(20,0)").alias("n_r")
     )

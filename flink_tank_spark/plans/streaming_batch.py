@@ -129,12 +129,20 @@ EV_SEQUENCE_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def ev_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 enrichment — VARIANT path (round 11): the open map rides the
+    single-pass parse as VariantType (typed, shredding-ready) and is
+    serialized back only at the enrichment splice. to_json(variant)
+    emits the variant format's sorted key order — on this wire the maps
+    are single-key so the serialized form is unchanged and the oracle
+    is untouched; the convention is pinned in schemas.py."""
     from flink_tank_spark.operators.enrich import enrich
 
     wire = _events_as_wire(spark, sf_dir)
-    valid, _ = parse_and_route(wire, now=F.to_timestamp(F.lit(FIXED_NOW)))
+    valid, _ = parse_and_route(
+        wire, now=F.to_timestamp(F.lit(FIXED_NOW)), variant_data=True
+    )
     out = enrich(
-        valid,
+        valid.withColumn("data", F.to_json("data")),
         now=F.to_timestamp(F.lit(FIXED_NOW)),
         order_by=["arrival"],
     )
@@ -298,8 +306,14 @@ EV_SESSIONIZE_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 scalar access into the open map — VARIANT path (round 11):
+    one parse_json per row builds the binary variant, then
+    try_variant_get reads '$.k' typed, with no JSON re-parse per access
+    (get_json_object re-walks the string per path; at many paths per
+    row the variant parse amortizes, and variant columns shred into
+    pushdown-friendly parquet subcolumns at rest on Spark 4.x)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
     return (
         ev.groupBy("event_type")
         .agg(

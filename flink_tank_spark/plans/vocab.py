@@ -45,14 +45,9 @@ def _doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "vocab_doc_token_counts",
         sf_dir,
-        lambda: spread_partitions(load_table(spark, sf_dir, "documents"))
-        .select(
-            "doc_id",
-            "source",
-            F.explode(F.split(F.col("text"), " ")).alias("tok"),
-        )
-        .groupBy("doc_id", "source", "tok")
-        .agg(F.count(F.lit(1)).alias("c")),
+        lambda: doc_token_counts(
+            spread_partitions(load_table(spark, sf_dir, "documents"))
+        ),
     )
 
 
@@ -69,10 +64,25 @@ def top_vocab(doc_token_counts: DataFrame, v: int = VOCAB_V) -> DataFrame:
     )
 
 
-def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source OOV audit against the top-256 corpus vocabulary."""
-    dtc = _doc_token_counts(spark, sf_dir)
-    vocab = top_vocab(dtc).withColumn("_inv", F.lit(1))
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, tok, c) token bag of a document set — the
+    mergeable unit the streaming twin accumulates per micro-batch."""
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def vocab_coverage_from_counts(dtc: DataFrame, v: int = VOCAB_V) -> DataFrame:
+    """The per-source OOV audit from an already-built token-count table
+    — shared verbatim by the batch query and the streaming view
+    (streaming/vocab_cov.py), so their parity is structural."""
+    vocab = top_vocab(dtc, v).withColumn("_inv", F.lit(1))
     j = dtc.join(F.broadcast(vocab), "tok", "left")
     per_doc = j.groupBy("doc_id", "source").agg(
         F.sum("c").alias("n_tok"),
@@ -93,6 +103,11 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OOV audit against the top-256 corpus vocabulary."""
+    return vocab_coverage_from_counts(_doc_token_counts(spark, sf_dir))
 
 
 DOC_VOCAB_COVERAGE_SQL = dedent(f"""

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    VariantType,
 )
 
 # Column that from_json populates with the raw record when parsing fails —
@@ -37,6 +38,24 @@ INPUT_EVENT_SCHEMA = StructType(
         StructField("type", StringType()),
         StructField("timestamp", LongType()),  # epoch millis
         StructField("data", StringType()),  # raw JSON object (open map)
+        StructField(CORRUPT_COL, StringType()),
+    ]
+)
+
+# Variant-typed twin (SURVEY §7.4 pt 1, Spark 4.x): the open map parsed
+# into VariantType in the SAME single from_json pass — typed access via
+# variant_get (no per-access JSON re-parse) with shredding-ready storage.
+# Canonicalization note: the variant binary format keeps object fields
+# in a SORTED key dictionary, so to_json(variant) emits keys sorted —
+# vs the raw-string carry, which preserves wire order. Either is a
+# faithful open-map carry; queries that compare serialized forms must
+# pick one convention (ev_enrich pins the sorted one on this path).
+INPUT_EVENT_SCHEMA_VARIANT = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("type", StringType()),
+        StructField("timestamp", LongType()),  # epoch millis
+        StructField("data", VariantType()),  # open map, variant-typed
         StructField(CORRUPT_COL, StringType()),
     ]
 )

@@ -20,9 +20,11 @@ honest trade: prefix tokens are no longer corpus-rare, so candidate
 volume is higher than the batch operator's at the same threshold (the
 verify step keeps precision exact either way); the batch-equality
 test holds because both blockings are lossless and verification is
-identical. At 100 TB, a periodic index rebuild during a maintenance
-window can re-rank prefixes under current df to reclaim the candidate
-savings — the stored shingle sets suffice to rebuild.
+identical. The reclaim path is :func:`compact_rerank` — a maintenance
+compaction that rebuilds the token index from the stored shingle sets
+under the accumulated-df rarest-first order (each row stores the odf
+it was ranked under, so readable states are never mixed-order and
+subsequent ingest picks the new order up from the index itself).
 
 Shape per micro-batch (foreachBatch, batch id ``b``):
 
@@ -60,15 +62,33 @@ SLACK = 2  # extended-prefix slack = required matching prefix rows
            # operators/dedup.containment_pairs docstring)
 
 
-def ranked_tokens(shingled: DataFrame) -> DataFrame:
-    """(doc_id, tok, rn, n, is_prefix) under the frozen (md5(tok), tok)
-    total order — stable under ingest by construction. ``rn`` is kept
-    in the index so probes can apply the lossless POSITIONAL filter
-    (see operators/dedup.containment_pairs: the first common token of a
-    qualifying pair must sit within the container's first
-    nb − ceil(t·na) + 1 positions)."""
+def ranked_tokens(
+    shingled: DataFrame, order_df: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, tok, odf, rn, n, is_prefix) under the CURRENT total
+    order ``(odf, md5(tok), tok)`` — ``odf`` is the token's document
+    frequency frozen at the last re-rank compaction (0 for tokens never
+    seen at a compaction, including the whole stream before the first
+    one, where the order degenerates to the original content-addressed
+    md5 order). Rarest-known-first: low-df tokens sort first, so
+    prefixes regain the batch operator's candidate-volume optimization
+    after each maintenance re-rank, while any FIXED total order keeps
+    the prefix filter lossless between compactions. The odf a row was
+    ranked under is STORED with the row, so every readable index state
+    is self-describing and single-table swaps stay crash-consistent.
+
+    ``rn`` is kept in the index so probes can apply the lossless
+    POSITIONAL filter (see operators/dedup.containment_pairs: the first
+    common token of a qualifying pair must sit within the container's
+    first nb − ceil(t·na) + 1 positions)."""
     tok = shingled.select("doc_id", F.explode("shingles").alias("tok"))
-    w_rank = W.partitionBy("doc_id").orderBy(F.md5("tok"), "tok")
+    if order_df is not None:
+        tok = tok.join(F.broadcast(order_df), "tok", "left").withColumn(
+            "odf", F.coalesce(F.col("odf"), F.lit(0)).cast("long")
+        )
+    else:
+        tok = tok.withColumn("odf", F.lit(0).cast("long"))
+    w_rank = W.partitionBy("doc_id").orderBy("odf", F.md5("tok"), "tok")
     w_all = W.partitionBy("doc_id")
     return (
         tok.withColumn("rn", F.row_number().over(w_rank))
@@ -80,7 +100,21 @@ def ranked_tokens(shingled: DataFrame) -> DataFrame:
             - F.expr(f"({T_NUM} * n + {T_DEN} - 1) div {T_DEN}")
             + SLACK,
         )
-        .select("doc_id", "tok", "rn", "n", "is_prefix")
+        .select("doc_id", "tok", "odf", "rn", "n", "is_prefix")
+    )
+
+
+def index_order(index_tokens: DataFrame | None) -> DataFrame | None:
+    """The (tok, odf) dictionary the CURRENT index was ranked under —
+    every row of a token carries the same odf by the ranking invariant,
+    so any aggregate works; tokens at odf 0 are the fallback order and
+    need no dictionary row (keeps the broadcast minimal)."""
+    if index_tokens is None:
+        return None
+    return (
+        index_tokens.filter(F.col("odf") > 0)
+        .groupBy("tok")
+        .agg(F.max("odf").alias("odf"))
     )
 
 
@@ -88,13 +122,17 @@ def containment_batch(
     batch_docs: DataFrame,
     index_tokens: DataFrame | None,
     index_shingles: DataFrame | None,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Pure-DataFrame core of one incremental step: returns
     (verified_pairs, batch_tokens, batch_shingles). ``verified_pairs``
     are the NEW ordered (contained, container) verdicts this batch
-    creates. Doc ids must be globally unique across the stream."""
+    creates. Doc ids must be globally unique across the stream. The
+    batch's tokens are ranked under the INDEX's current order
+    (index_order(index_tokens)) so prefix filtering stays lossless
+    across a re-rank compaction."""
     batch_shingles = shingle_sets(batch_docs)
-    batch_tokens = ranked_tokens(batch_shingles)
+    batch_tokens = ranked_tokens(batch_shingles, index_order(index_tokens))
 
     all_tokens = (
         batch_tokens if index_tokens is None
@@ -144,6 +182,11 @@ def containment_batch(
         .filter((F.col("_npref") >= SLACK) | (F.col("na") < SLACK))
         .select("id_a", "id_b")
     )
+    if stats is not None:
+        # instrumentation hook (scripts/containment_rerank_volume.py):
+        # the pre-verify candidate set — the quantity a re-rank shrinks
+        stats["prefix_rows"] = rows
+        stats["candidates"] = cands
 
     all_shingles = (
         batch_shingles if index_shingles is None
@@ -221,9 +264,9 @@ def load_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
 def compact(spark: SparkSession, index_dir: str) -> None:
     """Fold each index table's batch partitions into one merged
     partition via the crash-safe hide → commit → clean swap (stream
-    must be stopped). Token prefixes are order-stable (frozen md5
-    order), so compaction is a pure concatenation — no re-ranking
-    needed for correctness."""
+    must be stopped). Token prefixes are order-stable between re-ranks
+    (every row stores the odf it was ranked under), so this compaction
+    is a pure concatenation — no re-ranking needed for correctness."""
     for sub in (TOKENS_SUBDIR, SHINGLES_SUBDIR):
         base = os.path.join(index_dir, sub)
         compaction.recover(base)
@@ -236,6 +279,60 @@ def compact(spark: SparkSession, index_dir: str) -> None:
             os.path.join(base, compaction.TMP_NAME)
         )
         compaction.commit_swap(base, parts)
+
+
+def compact_rerank(spark: SparkSession, index_dir: str) -> None:
+    """Maintenance compaction that RE-RANKS the token order by the
+    accumulated document frequency — reclaiming the rarest-first
+    candidate-volume optimization the frozen content order forfeits
+    (the documented trade in this module's header). Stream must be
+    stopped.
+
+    Exactness: any single total order applied consistently to both join
+    sides keeps prefix filtering lossless, so the only invariant that
+    matters is NO MIXED ORDERS in a readable index. That holds by
+    construction: the shingle table is folded first (order-free), then
+    the token table is REBUILT from it under the new (df, md5, tok)
+    order and swapped in one crash-safe commit — a crash between the
+    two swaps leaves the old token table intact (old order, old odf
+    column, still self-consistent). Subsequent micro-batches pick the
+    new order up from the stored odf column via index_order().
+
+    Cost: one df aggregate + one re-rank over the shingle index —
+    O(index) during a maintenance window, the standard public
+    PPJoin-family stats-refresh shape.
+    """
+    sh_base = os.path.join(index_dir, SHINGLES_SUBDIR)
+    tok_base = os.path.join(index_dir, TOKENS_SUBDIR)
+    compaction.recover(sh_base)
+    compaction.recover(tok_base)
+
+    # 1. fold the shingle sets (pure concatenation)
+    all_sh = (
+        spark.read.option("basePath", sh_base).parquet(sh_base)
+        .drop("ingest_batch")
+    )
+    sh_parts = compaction.parts(sh_base)
+    all_sh.write.mode("overwrite").parquet(
+        os.path.join(sh_base, compaction.TMP_NAME)
+    )
+    compaction.commit_swap(sh_base, sh_parts)
+
+    # 2. rebuild the token index under the accumulated-df order
+    folded_sh = spark.read.option("basePath", sh_base).parquet(sh_base).drop(
+        "ingest_batch"
+    )
+    df_order = (
+        folded_sh.select(F.explode("shingles").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("odf"))
+    )
+    rebuilt = ranked_tokens(folded_sh, df_order)
+    tok_parts = compaction.parts(tok_base)
+    rebuilt.write.mode("overwrite").parquet(
+        os.path.join(tok_base, compaction.TMP_NAME)
+    )
+    compaction.commit_swap(tok_base, tok_parts)
 
 
 def start_containment_job(

@@ -180,3 +180,41 @@ def test_producer_distributions():
     # deterministic
     again = list(generate_messages(2000, seed=42))
     assert msgs == again
+
+
+# -- lenient-parse contract on the VARIANT path (SURVEY §7.4 pts 1+2):
+#    same routing as the string path, with the open map variant-typed
+def test_lenient_parse_contract_variant_path(spark):
+    from pyspark.sql import functions as F
+
+    from flink_tank_spark.operators.parse import parse_and_route
+
+    msgs = [
+        "{invalid json",  # malformed → error
+        "{}",  # valid, all defaults (data defaults to variant {})
+        '{"id": "user-1"}',  # valid, defaults
+        '{"id": "u2", "type": "t", "timestamp": 5, "data": {"k": 1, "s": "x"}}',
+        '{"id": "user-1", "type": "", "timestamp": "not-a-number"}',  # → error
+        "not valid json at all",  # → error
+        "garbage",  # → error
+    ]
+    raw = _raw_df(spark, msgs)
+    valid, errors = parse_and_route(
+        raw, now=fixed_now(), variant_data=True
+    )
+    assert errors.count() == 4
+    got = {
+        r["id"]: (r["timestamp"], r["dj"], r["k"])
+        for r in valid.select(
+            "id",
+            "timestamp",
+            F.to_json("data").alias("dj"),
+            F.try_variant_get("data", "$.k", "long").alias("k"),
+        ).collect()
+    }
+    # typed access works, defaults hold, missing data → variant {}
+    assert got == {
+        "": (0, "{}", None),
+        "user-1": (0, "{}", None),
+        "u2": (5, '{"k":1,"s":"x"}', 1),
+    }

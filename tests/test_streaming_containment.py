@@ -11,6 +11,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup
 from flink_tank_spark.streaming import containment as ct
@@ -115,3 +117,41 @@ def test_subset_pair_surfaces_at_arrival(spark, tmp_path):
     got = _streamed_pairs(spark, pd_)
     assert [(r[0], r[1]) for r in got] == [(1, 2)]
     assert got[0][3] == 1.0 and got[0][4] < 0.2
+
+
+def test_rerank_compaction_preserves_pairs_and_changes_order(spark, tmp_path):
+    # ingest half, RE-RANK (accumulated-df rarest-first order), ingest
+    # the rest: union of verdicts still equals the batch operator —
+    # prefix filtering is lossless under any consistently-applied total
+    # order — and the rebuilt index actually carries the new order
+    rows = [r.asDict() for r in _docs(spark).collect()]
+    expected = _batch_pairs(spark)
+
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    _write_jsonl(src, "b0.jsonl", rows[0::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+
+    import os as _os
+
+    tok_base = _os.path.join(idx, ct.TOKENS_SUBDIR)
+    before = spark.read.option("basePath", tok_base).parquet(tok_base)
+    assert before.filter("odf > 0").count() == 0  # frozen md5 order
+
+    ct.compact_rerank(spark, idx)
+    after = spark.read.option("basePath", tok_base).parquet(tok_base)
+    assert after.filter("odf > 0").count() > 0  # df order took effect
+    # every token carries ONE odf — the no-mixed-orders invariant
+    mixed = (
+        after.groupBy("tok").agg(F.countDistinct("odf").alias("k"))
+        .filter("k > 1").count()
+    )
+    assert mixed == 0
+
+    _write_jsonl(src, "b1.jsonl", rows[1::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    got = _streamed_pairs(spark, pd_)
+    assert set(got) == expected
+    assert len(got) == len(set(got))
