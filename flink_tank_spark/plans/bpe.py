@@ -1,19 +1,28 @@
 """BPE tokenizer-training queries over the documents corpus.
 
-doc_bpe_merges learns the vocabulary (the top-8 pair merges); doc_bpe_tokens
-re-tokenizes the corpus with the learned vocabulary and reports per-language
-compression stats. Both are oracle-gated: the DuckDB mirror re-derives the
-SAME merges through an unrolled MATERIALIZED CTE chain (one
+doc_bpe_merges learns the vocabulary (the top-8 pair merges, naive
+trainer — kept as the didactic baseline); doc_bpe_merges256 learns 256
+merges with the round-11 scale path (operators/bpe.train_merges_auto:
+collect-and-train over the bounded word table, distributed
+incremental-delta fallback); doc_bpe_tokens / doc_bpe_tokens256
+re-tokenize the corpus with the respective vocabulary and report
+per-language compression stats. All oracle-gated: the 8-merge mirror
+re-derives the merges through an unrolled MATERIALIZED CTE chain (one
 pairs→argmax→rewrite block per step — the k-means/PQ iterative-oracle
-pattern), so the gate certifies the full train→apply pipeline, not just the
-final aggregation.
+pattern); the 256-merge mirror uses ONE recursive CTE running the
+incremental algorithm itself (kind-tagged working set: 'w' word rows,
+'p' live pair counts, 'm' chosen merges; per iteration only the words
+containing the merged pair are recounted), because the unrolled chain
+at 256 steps exceeds DuckDB 1.0's max_expression_depth AND pays 256
+full recounts (~35 s for 64 steps vs <1 s recursive at sf0.01).
 
 Scale notes (see operators/bpe.py): training runs on the word-frequency
-table — one corpus scan, then vocabulary-sized iterations; the per-step
-argmax is a 1-row collect (the driver needs the winning pair to build the
-next plan, the same bounded scalar the Lloyd loop collects). The tokenize
-query joins per-(lang, word) counts against the learned vocab table — an
-equi-join on word, never a corpus-sized regex re-pass per merge.
+table — one corpus scan, then vocabulary-sized work; the tokenize
+queries join per-(lang, word) counts against the learned vocab table —
+an equi-join on word, never a corpus-sized regex re-pass per merge.
+Measured trainer curve (BPE_SCALE_r11.json, 20k-word synthetic vocab,
+256 merges): naive 192.9 s (superlinear — growing replace chain ×
+full recounts), incremental 73.6 s (flat per-merge), local 2.9 s.
 """
 
 from __future__ import annotations
@@ -131,6 +140,42 @@ def doc_bpe_merges256(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+def doc_bpe_tokens256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenization stats under the 256-merge vocabulary —
+    the doc_bpe_tokens finalize re-run at the realistic training scale
+    (apply_merges is one chained-replace projection: 256 codegen string
+    replaces over the vocabulary-sized word table, no corpus re-pass)."""
+    merges = _trained_merges(spark, sf_dir, N_MERGES_BIG, incremental=True)
+    vocab = bpe.apply_merges(_seeded_words(spark, sf_dir), merges).select(
+        "word", bpe.token_count_col().alias("n_tok")
+    )
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    lw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_REGEX}', 1)")
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        lw.join(vocab, "word")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "avg_tokens_per_word",
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _bpe_train_recursive_sql(n_merges: int) -> str:
     """Oracle mirror of the INCREMENTAL training loop as one recursive
     CTE — the same algorithm train_merges_incremental runs: the working
@@ -143,13 +188,16 @@ def _bpe_train_recursive_sql(n_merges: int) -> str:
     (~35 s for 64 steps at sf0.01); this runs in under a second."""
     return dedent(f"""\
         WITH RECURSIVE
+        words_all AS MATERIALIZED (
+          SELECT lang, unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word
+          FROM documents
+        ),
         w0 AS MATERIALIZED (
-          SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                  array_to_string(list_transform(range(1, len(word) + 1),
                                  i -> '{{' || substr(word, i, 1) || '}}'), '')
                    || '{{</w>}}' AS syms
-          FROM (SELECT unnest(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS word
-                FROM documents)
+          FROM words_all
           GROUP BY word
         ),
         p0 AS MATERIALIZED (
@@ -162,12 +210,12 @@ def _bpe_train_recursive_sql(n_merges: int) -> str:
           ) GROUP BY l, r
         ),
         st AS (
-          SELECT 0 AS step, 'w' AS kind, cnt, syms,
+          SELECT 0 AS step, 'w' AS kind, word, cnt, syms,
                  CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
                  CAST(NULL AS BIGINT) AS pair_cnt
           FROM w0
           UNION ALL
-          SELECT 0, 'p', NULL, NULL, l, r, pair_cnt FROM p0
+          SELECT 0, 'p', NULL, NULL, NULL, l, r, pair_cnt FROM p0
           UNION ALL
           (
             WITH b AS (
@@ -198,7 +246,7 @@ def _bpe_train_recursive_sql(n_merges: int) -> str:
                 WHERE len(sl) >= 2
               ) GROUP BY l, r
             )
-            SELECT s.step + 1, 'w', s.cnt,
+            SELECT s.step + 1, 'w', s.word, s.cnt,
                    CASE WHEN b.l IS NULL THEN s.syms
                         ELSE replace(s.syms, '{{' || b.l || '}}{{' || b.r || '}}',
                                      '{{' || b.l || b.r || '}}') END,
@@ -206,7 +254,7 @@ def _bpe_train_recursive_sql(n_merges: int) -> str:
             FROM st s LEFT JOIN b ON TRUE
             WHERE s.kind = 'w' AND s.step < {n_merges}
             UNION ALL
-            SELECT s.step + 1, 'p', NULL, NULL, m.l, m.r, m.pc
+            SELECT s.step + 1, 'p', NULL, NULL, NULL, m.l, m.r, m.pc
             FROM (SELECT DISTINCT step FROM st WHERE step < {n_merges}) s,
                  (SELECT COALESCE(p.l, d.l) AS l, COALESCE(p.r, d.r) AS r,
                          CAST(COALESCE(p.pair_cnt, 0) + COALESCE(d.d, 0) AS BIGINT) AS pc
@@ -214,17 +262,49 @@ def _bpe_train_recursive_sql(n_merges: int) -> str:
                   FULL OUTER JOIN delta d ON p.l = d.l AND p.r = d.r) m
             WHERE m.pc != 0
             UNION ALL
-            SELECT s.step + 1, 'm', NULL, NULL, b.l, b.r, b.pair_cnt
+            SELECT s.step + 1, 'm', NULL, NULL, NULL, b.l, b.r, b.pair_cnt
             FROM (SELECT DISTINCT step FROM st WHERE step < {n_merges}) s, b
           )
         )
-        SELECT CAST(step AS INTEGER) AS step, l AS left_sym, r AS right_sym,
-               l || r AS merged, pair_cnt AS pair_count
-        FROM st WHERE kind = 'm' ORDER BY step
+        SELECT 1 AS _done
     """)
 
 
-DOC_BPE_MERGES256_SQL = _bpe_train_recursive_sql(N_MERGES_BIG)
+# the shared trainer CTE block: everything between WITH RECURSIVE and
+# the final SELECT (strip the placeholder select on the last line)
+def _bpe_recursive_ctes(n_merges: int) -> str:
+    sql = _bpe_train_recursive_sql(n_merges)
+    return sql[: sql.rindex("SELECT 1 AS _done")].rstrip().rstrip(",")
+
+
+DOC_BPE_MERGES256_SQL = dedent(f"""
+    {_bpe_recursive_ctes(N_MERGES_BIG)}
+    SELECT CAST(step AS INTEGER) AS step, l AS left_sym, r AS right_sym,
+           l || r AS merged, pair_cnt AS pair_count
+    FROM st WHERE kind = 'm' ORDER BY step
+""")
+
+DOC_BPE_TOKENS256_SQL = dedent(f"""
+    {_bpe_recursive_ctes(N_MERGES_BIG)},
+    vocab256 AS MATERIALIZED (
+      SELECT word,
+             CAST(length(syms) - length(replace(syms, '{{', '')) AS BIGINT) AS n_tok
+      FROM st WHERE kind = 'w' AND step = {N_MERGES_BIG}
+    ),
+    lw256 AS MATERIALIZED (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM words_all GROUP BY lang, word
+    )
+    SELECT l.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(l.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(l.cnt * v.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.cnt * v.n_tok) AS DOUBLE) / CAST(SUM(l.cnt) AS DOUBLE)
+             AS avg_tokens_per_word
+    FROM lw256 l JOIN vocab256 v USING (word)
+    GROUP BY l.lang
+    ORDER BY l.lang
+""")
 
 
 def _bpe_train_ctes(n_merges: int) -> str:
@@ -324,6 +404,14 @@ QUERIES = [
         "learn 256 BPE merges with the incremental-delta trainer "
         "(driver pair counts + affected-word delta jobs + checkpointed "
         "lineage); oracle = recursive incremental CTE",
+        ("llm", "text", "tokenizer"),
+    ),
+    QuerySpec(
+        "doc_bpe_tokens256",
+        doc_bpe_tokens256,
+        DOC_BPE_TOKENS256_SQL,
+        "per-lang token stats under the 256-merge vocabulary (one "
+        "256-replace projection over the word table, no corpus re-pass)",
         ("llm", "text", "tokenizer"),
     ),
     QuerySpec(

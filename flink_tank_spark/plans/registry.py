@@ -48,6 +48,7 @@ class QuerySpec:
 FRONT_OF_LINE = (
     # new in round 11 — no driver cert yet
     "doc_bpe_merges256",
+    "doc_bpe_tokens256",
     "emb_srp_topk_mp",
     # changed in round 11 (variant-typed open-map path) — re-certify
     "ev_json_extract",
