@@ -928,6 +928,7 @@ def srp_near_dup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 0,
 ) -> DataFrame:
     """Banded-SRP-blocked near-duplicate pairs with exact rescoring —
     the stateless alternative to the IVF blocking of
@@ -968,8 +969,34 @@ def srp_near_dup_pairs(
         a.join(b, "band_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if n_probes > 0:
+        # multi-probe for pair MINING: every vector additionally probes
+        # the buckets at its n_probes lowest-|margin| 1/2-bit flips (the
+        # srp_topk construction applied symmetrically). A pair (x, y) is
+        # caught if any base band agrees OR either side's probe lands in
+        # the other's base bucket — the index itself is unchanged, so
+        # the streaming zero-maintenance property is preserved.
+        probe_keys = v.select(
+            F.col(id_col).alias("id_p"),
+            F.explode(
+                F.slice(
+                    srp_probe_keys(F.col("v"), n_planes, n_bands, dim, n_probes),
+                    n_bands + 1,
+                    n_probes,
+                )
+            ).alias("band_key"),
+        )
+        pb = (
+            probe_keys.join(b, "band_key")
+            .filter(F.col("id_p") != F.col("id_b"))
+            .select(
+                F.least("id_p", "id_b").alias("id_a"),
+                F.greatest("id_p", "id_b").alias("id_b"),
+            )
+        )
+        cand = cand.unionByName(pb)
+    cand = cand.distinct()
     va = v.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("vn").alias("na")
     )

@@ -331,6 +331,84 @@ EMB_SRP_NEAR_DUPS_SQL = dedent(f"""
 """)
 
 
+# pair-mining probes run at the ADAPTIVE nd width: flips over the first
+# ND_BANDS*bits planes, band = p // bits, ranked by exact |margin| with
+# the (band, r1, r2) tie order — every vector probes, so a pair is
+# caught by base∩base OR either side's probe ∩ the other's base
+ND_PROBES = 16
+
+
+def emb_srp_near_dups_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP near-dup pairs: the emb_srp_near_dups index
+    (adaptive-width bands, corpus side unchanged) plus 16 lowest-margin
+    probe buckets per vector; exact fixed-point rescore at 0.45. The
+    stateless streaming-friendly blocking with the probe recall lift —
+    planted-truth recall measured in DEDUP_QUALITY_r11.json."""
+    emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+    bits = _nd_bits(emb.count())
+    return similarity.srp_near_dup_pairs(
+        emb,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_planes=ND_BANDS * bits,
+        n_bands=ND_BANDS,
+        dim=DIM,
+        n_probes=ND_PROBES,
+    ).orderBy("id_a", "id_b")
+
+
+EMB_SRP_NEAR_DUPS_MP_SQL = dedent(f"""
+    WITH {_SRP_BANDS_CTES},
+    qm_nd AS MATERIALIZED (
+      SELECT vec_id, p // bits AS band, p % bits AS r, ABS(s) AS ms
+      FROM sp CROSS JOIN nd_params WHERE p < {ND_BANDS} * bits
+    ),
+    flips_nd AS (
+      SELECT vec_id, band, ms, r AS r1, -1 AS r2,
+             CAST(1 AS BIGINT) << r AS mask
+      FROM qm_nd
+      UNION ALL
+      SELECT a.vec_id, a.band, a.ms + b.ms, a.r, b.r,
+             (CAST(1 AS BIGINT) << a.r) | (CAST(1 AS BIGINT) << b.r)
+      FROM qm_nd a JOIN qm_nd b ON a.vec_id = b.vec_id AND a.band = b.band
+                               AND a.r < b.r
+    ),
+    probes_nd AS (
+      SELECT vec_id, band, mask,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY ms, band, r1, r2) AS rk
+      FROM flips_nd
+    ),
+    probe_keys_nd AS (
+      SELECT p.vec_id, xor(bk.band_key, p.mask) AS band_key
+      FROM probes_nd p
+      JOIN bands_nd bk ON bk.vec_id = p.vec_id
+                      AND (bk.band_key >> 56) = p.band
+      WHERE p.rk <= {ND_PROBES}
+    ),
+    pair_cand_mp AS (
+      SELECT DISTINCT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b FROM (
+        SELECT a.vec_id AS x, b.vec_id AS y
+        FROM bands_nd a JOIN bands_nd b USING (band_key)
+        WHERE a.vec_id < b.vec_id
+        UNION ALL
+        SELECT p.vec_id AS x, k.vec_id AS y
+        FROM probe_keys_nd p JOIN bands_nd k USING (band_key)
+        WHERE p.vec_id <> k.vec_id
+      )
+    ),
+    pair_scored_mp AS (
+      SELECT p.id_a, p.id_b,
+             {_sql_cosine('x.embedding', 'y.embedding')} AS cos_sim
+      FROM pair_cand_mp p
+      JOIN emb_nz x ON x.vec_id = p.id_a
+      JOIN emb_nz y ON y.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, cos_sim
+    FROM pair_scored_mp WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
+    ORDER BY id_a, id_b
+""")
+
+
 QUERIES = [
     QuerySpec(
         "emb_srp_topk",
@@ -361,6 +439,14 @@ QUERIES = [
         emb_srp_near_dups,
         EMB_SRP_NEAR_DUPS_SQL,
         "stateless SRP-blocked embedding near-dup pairs, exact rescore",
+        ("llm", "embedding", "dedup"),
+    ),
+    QuerySpec(
+        "emb_srp_near_dups_mp",
+        emb_srp_near_dups_mp,
+        EMB_SRP_NEAR_DUPS_MP_SQL,
+        "multi-probe SRP near-dup pairs: lowest-margin probe buckets "
+        "lift the stateless blocking's recall, index unchanged",
         ("llm", "embedding", "dedup"),
     ),
 ]

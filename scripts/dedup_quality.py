@@ -324,6 +324,38 @@ def main() -> int:
         "detected_total": n_pairs,
         "detected_background": n_pairs - n_ehit,
     }), flush=True)
+
+    # ---------------- embeddings: stateless SRP blocking ± multi-probe
+    # the zero-maintenance streaming niche (emb_srp_near_dups): planted
+    # recall at the registry's adaptive band width, with and without
+    # the round-11 lowest-margin probe buckets (emb_srp_near_dups_mp) —
+    # the recall lift multi-probe buys on an UNCHANGED index
+    from flink_tank_spark.plans.srp import ND_BANDS, ND_PROBES, _nd_bits
+
+    bits = _nd_bits(emb.count())
+    for probes_mp in (0, ND_PROBES):
+        sp_pairs = similarity.srp_near_dup_pairs(
+            emb, threshold=0.45, n_planes=ND_BANDS * bits,
+            n_bands=ND_BANDS, n_probes=probes_mp,
+        ).persist()
+        n_sp = sp_pairs.count()
+        n_sp_hit = eplanted.join(
+            sp_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
+        ).count()
+        print(json.dumps({
+            "section": "embeddings_srp",
+            "sf": sf_tag,
+            "threshold": 0.45,
+            "bands": ND_BANDS,
+            "bits_per_band": int(bits),
+            "probes": probes_mp,
+            "planted_near_pairs": n_eplanted,
+            "blocking_recall": round(n_sp_hit / n_eplanted, 3)
+            if n_eplanted else None,
+            "detected_total": n_sp,
+            "detected_background": n_sp - n_sp_hit,
+        }), flush=True)
+        sp_pairs.unpersist()
     return 0
 
 
