@@ -42,6 +42,7 @@ from flink_tank_spark.operators.similarity import (
     dot_vectorized,
     norm,
     srp_band_keys,
+    srp_probe_keys,
 )
 from flink_tank_spark.streaming import compaction
 
@@ -83,6 +84,7 @@ def srp_near_dup_step(
     dim: int = DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Pure-DataFrame core of one incremental step: returns
     (verified_pairs, batch_bands, batch_vectors).
@@ -92,7 +94,16 @@ def srp_near_dup_step(
     exact cos_sim ≥ threshold); the two batch_* frames are what the
     caller appends to the index. Vector ids must be globally unique
     across the stream (the corpus contract — run the exact streaming
-    dedup upstream when the source re-delivers)."""
+    dedup upstream when the source re-delivers).
+
+    ``n_probes > 0`` is the multi-probe twin (batch operator
+    srp_near_dup_pairs n_probes): every vector's key rows carry a
+    ``kind`` tag — 'b' base bands, 'p' lowest-margin flip probes — and
+    a candidate needs at least one BASE side (probe∩probe pairs are
+    excluded, exactly the batch rule), so the streamed union stays
+    bit-equal to the batch multi-probe operator. The probe keys are
+    content-derived like the base keys: the index remains append-only
+    with zero maintenance, just (n_bands + n_probes) rows per vector."""
     v = (
         batch_vecs.select(
             F.col(id_col).alias("vec_id"),
@@ -106,19 +117,45 @@ def srp_near_dup_step(
         F.explode(srp_band_keys(F.col("v"), n_planes, n_bands, dim)).alias(
             "band_key"
         ),
-    )
+    ).withColumn("kind", F.lit("b"))
+    if n_probes > 0:
+        batch_bands = batch_bands.unionByName(
+            v.select(
+                "vec_id",
+                F.explode(
+                    F.slice(
+                        srp_probe_keys(
+                            F.col("v"), n_planes, n_bands, dim, n_probes
+                        ),
+                        n_bands + 1,
+                        n_probes,
+                    )
+                ).alias("band_key"),
+            ).withColumn("kind", F.lit("p"))
+        )
     all_bands = (
         batch_bands if index_bands is None
         else batch_bands.unionByName(index_bands)
     )
     # batch side probes the full accumulated band table; orientation by
     # id makes (old, new) and (new, new) pairs one uniform rule and the
-    # streamed union order-independent
+    # streamed union order-independent. A pair needs >=1 base side.
     cand = (
-        batch_bands.select(F.col("vec_id").alias("pid"), "band_key")
-        .join(all_bands.select(F.col("vec_id").alias("qid"), "band_key"),
-              "band_key")
-        .filter(F.col("pid") != F.col("qid"))
+        batch_bands.select(
+            F.col("vec_id").alias("pid"), "band_key",
+            F.col("kind").alias("ka"),
+        )
+        .join(
+            all_bands.select(
+                F.col("vec_id").alias("qid"), "band_key",
+                F.col("kind").alias("kb"),
+            ),
+            "band_key",
+        )
+        .filter(
+            (F.col("pid") != F.col("qid"))
+            & ~((F.col("ka") == "p") & (F.col("kb") == "p"))
+        )
         .select(
             F.least("pid", "qid").alias("id_a"),
             F.greatest("pid", "qid").alias("id_b"),

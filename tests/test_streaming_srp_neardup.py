@@ -106,3 +106,36 @@ def test_replay_is_idempotent_and_compact_preserves(spark, tmp_path):
     after = _pairs(spark, pairs_dir)
     new = {p for p in after if p[1] >= 1000}
     assert any(p[0] == 0 for p in new), "clone of vec 0 must pair with it"
+
+
+def test_multiprobe_streamed_equals_batch_multiprobe(spark, tmp_path):
+    # probes=8: the streamed union must equal the batch MULTI-PROBE
+    # operator exactly — probe keys ride the index as kind='p' rows and
+    # probe∩probe collisions are excluded, the batch candidate rule
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plain = {
+        (r.id_a, r.id_b) for r in srp_near_dup_pairs(df).collect()
+    }
+    expected = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in srp_near_dup_pairs(df, n_probes=8).collect()
+    }
+    assert {(a, b) for a, b, _ in expected} >= plain  # probes only add
+
+    src = str(tmp_path / "in")
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ck")
+
+    def drain():
+        q = srp_neardup.run_srp_near_dup_job(
+            spark, src, index_dir, pairs_dir, ckpt, n_probes=8
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    _write_jsonl(src, "w0.jsonl", rows[:25])
+    drain()
+    _write_jsonl(src, "w1.jsonl", rows[25:])
+    drain()
+    assert _pairs(spark, pairs_dir) == expected
