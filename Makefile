@@ -107,3 +107,20 @@ kafka-e2e:
 	SPARK_GRAFT_KAFKA_BOOTSTRAP=localhost:9092 \
 	SPARK_GRAFT_PACKAGES=org.apache.spark:spark-sql-kafka-0-10_2.13:$$(python -c 'import pyspark; print(pyspark.__version__)') \
 	python -m pytest tests/test_kafka_integration.py -q
+
+# round-11 evidence targets ------------------------------------------------
+
+# full curation job under the 100 TB conf vs the default conf at sf5:
+# identical stage funnels, no Cartesian/NestedLoop joins
+conf-curation: sf5
+	python scripts/conf_100tb_curation.py data/sf5 16 CONF100TB_CURATION_r11.json
+
+# candidate-volume effect of the containment index re-rank compaction
+# (lossless: verified pair set asserted identical before/after)
+rerank-volume: sf1
+	python scripts/containment_rerank_volume.py data/sf1 16 CONTAINMENT_RERANK_r11.json
+
+# BPE trainer cost curve: naive vs incremental-delta vs local at 256
+# merges over a 20k-word synthetic vocabulary
+bpe-curve:
+	python scripts/bpe_scale_curve.py 20000 BPE_SCALE_r11.json

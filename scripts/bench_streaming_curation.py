@@ -1,6 +1,8 @@
-"""Throughput bench for the round-10 streaming curation sinks: the
-weighted-sample bottom-k maintainer (streaming/wsample.py) and the
-summary-fold sessionizer (streaming/sessions.py).
+"""Throughput bench for the streaming curation sinks: the
+weighted-sample bottom-k maintainer (streaming/wsample.py), the
+summary-fold sessionizer (streaming/sessions.py), and the round-11
+count-delta twins — vocabulary coverage (streaming/vocab_cov.py) and
+DSIR importance weights (streaming/dsir.py).
 
 Each sink drains its full corpus split into ``n_batches`` micro-batches
 (maxFilesPerTrigger=1) and the derived read-side result is BIT-compared
@@ -91,6 +93,75 @@ def main() -> int:
             "drain_sec": round(drain_s, 2),
             "finalize_sec": round(finalize_s, 2),
             "sample_rows": len(streamed),
+            "parity": "exact",
+        }
+
+        from flink_tank_spark.plans.sampling import doc_dsir_weights
+        from flink_tank_spark.plans.vocab import doc_vocab_coverage
+        from flink_tank_spark.streaming import dsir as ds
+        from flink_tank_spark.streaming import vocab_cov as vc
+
+        vdocs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        vdoc_src = _spill_jsonl(
+            vdocs,
+            F.to_json(F.struct("doc_id", "source", "text")).alias("value"),
+            os.path.join(work, "vdocs_in"), n_batches, F.col("doc_id"),
+        )
+        sd, ck = os.path.join(work, "vc_state"), os.path.join(work, "vc_ck")
+        t0 = time.perf_counter()
+        q = vc.start_vocab_job(spark, vdoc_src, sd, ck, max_files_per_trigger=1)
+        q.awaitTermination(1800)
+        drain_s = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        streamed = sorted(
+            tuple(str(x) for x in r)
+            for r in vc.load_vocab_coverage(spark, sd).collect()
+        )
+        finalize_s = time.perf_counter() - t1
+        batch = sorted(
+            tuple(str(x) for x in r)
+            for r in doc_vocab_coverage(spark, sf_dir).collect()
+        )
+        assert streamed == batch, "vocab_cov: streamed != batch"
+        report["vocab_coverage"] = {
+            "docs_per_sec": round(n_docs / drain_s, 1),
+            "n_docs": n_docs,
+            "drain_sec": round(drain_s, 2),
+            "finalize_sec": round(finalize_s, 2),
+            "parity": "exact",
+        }
+
+        ddocs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        ddoc_src = _spill_jsonl(
+            ddocs,
+            F.to_json(F.struct("doc_id", "lang", "text")).alias("value"),
+            os.path.join(work, "ddocs_in"), n_batches, F.col("doc_id"),
+        )
+        sd, ck = os.path.join(work, "ds_state"), os.path.join(work, "ds_ck")
+        t0 = time.perf_counter()
+        q = ds.start_dsir_job(spark, ddoc_src, sd, ck, max_files_per_trigger=1)
+        q.awaitTermination(1800)
+        drain_s = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        streamed = sorted(
+            tuple(str(x) for x in r)
+            for r in ds.load_dsir_weights(spark, sd).collect()
+        )
+        finalize_s = time.perf_counter() - t1
+        batch = sorted(
+            tuple(str(x) for x in r)
+            for r in doc_dsir_weights(spark, sf_dir).collect()
+        )
+        assert streamed == batch, "dsir: streamed != batch"
+        report["dsir_weights"] = {
+            "docs_per_sec": round(n_docs / drain_s, 1),
+            "n_docs": n_docs,
+            "drain_sec": round(drain_s, 2),
+            "finalize_sec": round(finalize_s, 2),
             "parity": "exact",
         }
 
