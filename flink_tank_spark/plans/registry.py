@@ -50,6 +50,7 @@ FRONT_OF_LINE = (
     "doc_bpe_merges256",
     "doc_bpe_tokens256",
     "emb_srp_topk_mp",
+    "emb_srp_recall_mp",
     "emb_srp_near_dups_mp",
     # changed in round 11 (variant-typed open-map path) — re-certify
     "ev_json_extract",

@@ -108,6 +108,28 @@ def emb_srp_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def emb_srp_recall_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the MULTI-PROBE SRP search vs the exact top-5 — the
+    probe lift measured inside the engine (emb_srp_recall's twin), so
+    the 0.48 → 0.82 isotropic improvement is itself oracle-gated."""
+    exact = _exact_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = emb_srp_topk_mp(spark, sf_dir).select(
+        F.col("query_id").alias("a_qid"), F.col("neighbor_id").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("neighbor_id") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_nid").alias("n_hits"))
+        .withColumn("recall_at_5", F.col("n_hits") / F.lit(5.0))
+        .orderBy("query_id")
+    )
+
+
 def emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the SRP search vs the exact top-5 — the quality side
     of the hash-blocking trade, measured inside the engine (same shape
@@ -283,6 +305,19 @@ EMB_SRP_RECALL_SQL = dedent(f"""
     ORDER BY e.query_id
 """)
 
+EMB_SRP_RECALL_MP_SQL = dedent(f"""
+    WITH exact AS ({EMB_COSINE_TOPK_SQL}),
+    approx AS ({EMB_SRP_TOPK_MP_SQL})
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           COUNT(a.neighbor_id) / 5.0 AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+""")
+
 
 NEAR_DUP_THRESHOLD = 0.45  # the emb_near_dup_pairs convention
 
@@ -432,6 +467,14 @@ QUERIES = [
         emb_srp_recall,
         EMB_SRP_RECALL_SQL,
         "recall@5 of SRP-LSH search vs the exact cosine top-5",
+        ("llm", "embedding", "ann"),
+    ),
+    QuerySpec(
+        "emb_srp_recall_mp",
+        emb_srp_recall_mp,
+        EMB_SRP_RECALL_MP_SQL,
+        "recall@5 of multi-probe SRP search vs the exact cosine top-5 "
+        "(the probe lift, oracle-gated)",
         ("llm", "embedding", "ann"),
     ),
     QuerySpec(
