@@ -281,25 +281,35 @@ def train_merges_local(
     return merges
 
 
-# Above this many distinct words the word-frequency table stays on the
-# executors (train_merges_incremental); below, it collapses to the
-# driver and trains at memory speed. Web-scale natural-language
-# vocabularies are ~1e6-1e8 distinct [a-z]+ runs; 4M rows of short
-# symbol lists is well under a gigabyte of driver heap.
-DRIVER_VOCAB_LIMIT = 4_000_000
+# Dispatch bound for the collect-and-train fast path, in TOTAL SYMBOL
+# OCCURRENCES across the vocabulary — not rows: driver heap for the
+# collected table is dominated by per-symbol Python string objects
+# (~60-90 bytes each for short strings, before interning) plus ~8-byte
+# list slots, so a row count under-estimates the footprint by the mean
+# word length (round-12 advisory fix — 4M rows of 7-symbol words is
+# ~28M strings ≈ several GB, not "under a gigabyte"). 8M symbols is
+# ~0.5-0.8 GB; measured driver RSS at the 1M-word envelope is recorded
+# in BPE_SCALE_r12.json.
+DRIVER_SYMBOL_LIMIT = 8_000_000
 
 
 def train_merges_auto(
     segmented: DataFrame,
     n_merges: int,
-    driver_vocab_limit: int = DRIVER_VOCAB_LIMIT,
+    driver_symbol_limit: int = DRIVER_SYMBOL_LIMIT,
 ) -> list[Merge]:
-    """Dispatch on the (bounded) vocabulary size: collect-and-train
-    locally when the word table fits the driver — one Spark job total,
-    the standard public-tokenizer shape — else run the distributed
-    incremental-delta loop. All three trainers are bit-equal (pinned in
+    """Dispatch on the (bounded) vocabulary SIZE IN SYMBOLS:
+    collect-and-train locally when the seeded word table fits the
+    driver — the standard public-tokenizer shape — else run the
+    distributed incremental-delta loop. The pre-dispatch job is a
+    single column-pruned sum over the symbol-list lengths (collecting
+    first and counting after would OOM exactly in the case the bound
+    exists to catch). All three trainers are bit-equal (pinned in
     tests/test_bpe.py)."""
-    if segmented.count() <= driver_vocab_limit:
+    n_syms = segmented.select(
+        F.sum(F.size(F.expr(_SYMS_EXPR))).alias("n")
+    ).first()["n"]
+    if (n_syms or 0) <= driver_symbol_limit:
         rows = segmented.select(
             F.expr(_SYMS_EXPR).alias("sl"), "cnt"
         ).collect()

@@ -125,7 +125,7 @@ def doc_bpe_merges256(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape — ONE Spark job), falling back to the distributed
     incremental-delta loop (driver-held pair counts updated by per-step
     affected-word delta jobs, lineage checkpointed) past
-    DRIVER_VOCAB_LIMIT. All trainers are bit-equal (tests/test_bpe.py);
+    DRIVER_SYMBOL_LIMIT. All trainers are bit-equal (tests/test_bpe.py);
     the oracle learns the same merges through a recursive incremental
     CTE rather than 256 unrolled full recounts."""
     rows = [

@@ -39,67 +39,15 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-11
-# rotation (computed from the union of all CORRECTNESS_r*.json): head =
-# round-11 additions as they land (zero certs), then the 3 queries whose
-# newest cert is round 6, then the 47 whose newest cert is round 7 —
-# exactly the ~50-query driver budget. The 44 round-9 and 50 round-10
-# certs sit at the tail.
+# run FIRST (order is otherwise meaningless to the gate). Round-12
+# rotation (computed from the union of all CORRECTNESS_r*.json after
+# round 11: 50 certed r11, 48 r10, 44 r9, 7 r7): head = the 7 round-7
+# certs, then the 44 round-9 certs, then ev_json_extract (plan changed
+# this round — lenient try_parse_json) — 52 queries ≈ one driver
+# budget. The r10/r11 certs sit at the tail.
 FRONT_OF_LINE = (
-    # new in round 11 — no driver cert yet
-    "doc_bpe_merges256",
-    "doc_bpe_tokens256",
-    "emb_srp_topk_mp",
-    "emb_srp_recall_mp",
-    "emb_srp_near_dups_mp",
-    # changed in round 11 (variant-typed open-map path) — re-certify
-    "ev_json_extract",
-    "ev_enrich",
-    # newest driver cert is round 6 — stalest, run first
-    "win_moving_avg",
-    "win_order_gaps",
-    "win_price_position",
-    # newest driver cert is round 7
-    "agg_grouping_sets",
-    "doc_bm25_topk",
-    "doc_bm25_wand",
-    "doc_bm25_wand_batch64",
-    "doc_contamination",
-    "doc_dedup_corpus",
-    "doc_dedup_groups",
-    "doc_ngram_freq",
-    "doc_pack_chunks",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_split_assign",
-    "doc_split_leakage",
-    "doc_token_stats",
-    "doc_top_terms",
-    "emb_ivf_kmeans_topk",
-    "emb_ivf_recall",
-    "emb_quantize_int8",
-    "emb_semantic_dedup",
-    "ev_cep_match",
-    "ev_funnel_conversion",
-    "ev_gap_fill",
-    "ev_hll_merge_days",
-    "ev_hll_user_days",
-    "ev_pivot_type_counts",
-    "ev_retention_cohorts",
-    "ev_value_quantiles",
-    "ev_value_quantiles_merged",
-    "mm_frame_stats",
-    "mm_resize",
-    "mm_wav_roundtrip",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q20_excess_shipments",
-    "q21_suppliers_waiting",
-    "q22_sales_opportunity",
-    "q2_min_cost_supplier",
+    # changed in round 12 — new queries land here as they are added
+    # newest driver cert is round 7 — stalest, run first
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
@@ -107,6 +55,53 @@ FRONT_OF_LINE = (
     "q7_volume_shipping",
     "win_running_total",
     "win_top_orders_per_cust",
+    # newest driver cert is round 9
+    "agg_cube_status_priority",
+    "agg_rollup_region_nation",
+    "dim_scd2_asof_join",
+    "dim_scd2_customer",
+    "doc_bigram_fluency",
+    "doc_bpe_merges",
+    "doc_bpe_tokens",
+    "doc_canonical_by_pr",
+    "doc_clean_boilerplate",
+    "doc_dedup_stats",
+    "doc_fingerprint",
+    "doc_fuzzy_near_dups",
+    "doc_idf_rarity",
+    "doc_kcore",
+    "doc_minhash_est",
+    "doc_mix_reweight",
+    "doc_pagerank",
+    "doc_pii_scrub",
+    "doc_pmi_pairs",
+    "doc_ppjoin_near_dups",
+    "doc_profile_text",
+    "doc_span_dedup",
+    "doc_split_ks",
+    "doc_triangles",
+    "doc_zipf_ranks",
+    "emb_pq_topk",
+    "emb_split_drift",
+    "emb_two_stage_topk",
+    "ev_cms_merge_days",
+    "ev_daily_trend",
+    "ev_hourly_top_users",
+    "ev_kmv_overlap_types",
+    "ev_session_stats",
+    "ev_trimmed_mean",
+    "ev_type_transitions",
+    "ev_value_deciles",
+    "ev_value_mad",
+    "join_bloom_prune",
+    "mm_audio_decimate",
+    "part_skyline",
+    "tbl_corr_lineitem",
+    "tbl_fk_audit",
+    "tbl_mcv_lineitem",
+    "tbl_profile_lineitem",
+    # changed in round 12 (try_parse_json lenient variant path) — re-certify
+    "ev_json_extract",
 )
 
 

@@ -313,7 +313,11 @@ def ev_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     row the variant parse amortizes, and variant columns shred into
     pushdown-friendly parquet subcolumns at rest on Spark 4.x)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json, not parse_json: a malformed props row yields a
+    # null variant (and null extraction) instead of failing the query —
+    # the same lenient contract the rest of the pipeline pins
+    # (get_json_object was null-propagating too)
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.groupBy("event_type")
         .agg(

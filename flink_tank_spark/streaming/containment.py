@@ -56,6 +56,18 @@ from flink_tank_spark.streaming.neardup import _read_index
 
 TOKENS_SUBDIR = "ctokens"
 SHINGLES_SUBDIR = "cshingles"
+# The (tok, odf) order dictionary a re-rank ranked the index under,
+# persisted INSIDE the token table's merged partition as an
+# underscore-prefixed subdir: Hadoop's hidden-path filter keeps it out
+# of every parquet scan of the token table, and it rides the SAME
+# atomic `_compact_tmp -> ingest_batch=-1` rename that commits the
+# re-ranked rows — so a readable token table and its sidecar can never
+# disagree (the mixed-order hazard a separately-swapped sidecar would
+# reintroduce). Per-batch ingest then READS the dictionary instead of
+# re-aggregating the full token index every micro-batch (round-12
+# advisory fix: that rebuild was an O(index) groupBy + forced broadcast
+# per batch).
+ORDER_NAME = "_order"
 T_NUM, T_DEN = 9, 10  # containment threshold 0.9
 SLACK = 2  # extended-prefix slack = required matching prefix rows
            # (the batch operator's multi-match prune — see
@@ -83,7 +95,11 @@ def ranked_tokens(
     first nb − ceil(t·na) + 1 positions)."""
     tok = shingled.select("doc_id", F.explode("shingles").alias("tok"))
     if order_df is not None:
-        tok = tok.join(F.broadcast(order_df), "tok", "left").withColumn(
+        # no broadcast hint: the dictionary covers every distinct
+        # shingle in the accumulated corpus, which outgrows any
+        # broadcast limit at scale — AQE picks broadcast while it is
+        # genuinely small and shuffle-hash after
+        tok = tok.join(order_df, "tok", "left").withColumn(
             "odf", F.coalesce(F.col("odf"), F.lit(0)).cast("long")
         )
     else:
@@ -105,10 +121,13 @@ def ranked_tokens(
 
 
 def index_order(index_tokens: DataFrame | None) -> DataFrame | None:
-    """The (tok, odf) dictionary the CURRENT index was ranked under —
-    every row of a token carries the same odf by the ranking invariant,
-    so any aggregate works; tokens at odf 0 are the fallback order and
-    need no dictionary row (keeps the broadcast minimal)."""
+    """The (tok, odf) dictionary the CURRENT index was ranked under,
+    re-derived from the stored odf column — every row of a token
+    carries the same odf by the ranking invariant, so any aggregate
+    works; tokens at odf 0 are the fallback order and need no
+    dictionary row. This is the O(index) FALLBACK for indexes whose
+    sidecar is absent (pre-sidecar layouts); the steady-state ingest
+    path reads the persisted sidecar via :func:`load_order` instead."""
     if index_tokens is None:
         return None
     return (
@@ -118,21 +137,56 @@ def index_order(index_tokens: DataFrame | None) -> DataFrame | None:
     )
 
 
+def load_order(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The persisted (tok, odf) sidecar written by the last
+    :func:`compact_rerank`, or None when no re-rank has happened (the
+    whole stream is then at the odf-0 content order and needs no
+    dictionary) or the sidecar was written by pre-sidecar code (caller
+    falls back to :func:`index_order`). Ingest batches only ever ADD
+    rows ranked under the dictionary (unknown tokens land at odf 0), so
+    the sidecar stays exact between re-ranks without maintenance."""
+    found = _order_dirs(os.path.join(index_dir, TOKENS_SUBDIR))
+    if not found:
+        return None
+    # at most one partition carries a sidecar: compact_rerank writes it
+    # into the single merged partition and compact() carries it forward
+    return spark.read.parquet(*found)
+
+
+def _order_dirs(tok_base: str) -> list[str]:
+    """Committed sidecar dirs under the token table's visible
+    partitions — a dir counts only with its _SUCCESS marker, so a
+    crashed half-written sidecar is invisible (the next reader
+    re-derives and rewrites it)."""
+    return [
+        p
+        for part in compaction.parts(tok_base)
+        if os.path.isfile(
+            os.path.join(p := os.path.join(tok_base, part, ORDER_NAME), "_SUCCESS")
+        )
+    ]
+
+
 def containment_batch(
     batch_docs: DataFrame,
     index_tokens: DataFrame | None,
     index_shingles: DataFrame | None,
     stats: dict | None = None,
+    order_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Pure-DataFrame core of one incremental step: returns
     (verified_pairs, batch_tokens, batch_shingles). ``verified_pairs``
     are the NEW ordered (contained, container) verdicts this batch
     creates. Doc ids must be globally unique across the stream. The
-    batch's tokens are ranked under the INDEX's current order
-    (index_order(index_tokens)) so prefix filtering stays lossless
-    across a re-rank compaction."""
+    batch's tokens are ranked under the INDEX's current order so prefix
+    filtering stays lossless across a re-rank compaction — pass the
+    persisted sidecar dictionary as ``order_df`` (the sink does); when
+    omitted it is re-derived from the index's stored odf column
+    (index_order), the slow-but-always-correct path."""
     batch_shingles = shingle_sets(batch_docs)
-    batch_tokens = ranked_tokens(batch_shingles, index_order(index_tokens))
+    if order_df is None:
+        order_df = index_order(index_tokens)
+    batch_tokens = ranked_tokens(batch_shingles, order_df)
 
     all_tokens = (
         batch_tokens if index_tokens is None
@@ -234,8 +288,31 @@ def incremental_containment_sink(index_dir: str, pairs_dir: str):
         if idx_sh is not None:
             idx_sh = idx_sh.persist()
             persisted.append(idx_sh)
+        order_df = load_order(spark, index_dir)
+        if order_df is None and idx_tok is not None:
+            # prior index with no persisted dictionary: a pre-sidecar
+            # layout (possibly re-ranked, odf > 0) or a stream that has
+            # never compacted. Derive the dictionary from the stored
+            # odf column ONCE, persist it into the oldest prior
+            # partition (immutable until the next compaction — a
+            # replayed current batch only ever overwrites its own), and
+            # read it back — every later micro-batch then skips the
+            # O(index) re-aggregate this sidecar exists to kill.
+            tok_base = os.path.join(index_dir, TOKENS_SUBDIR)
+            oldest = min(
+                (
+                    p for p in compaction.parts(tok_base)
+                    if int(p.split("=", 1)[1]) < batch_id
+                ),
+                key=lambda p: int(p.split("=", 1)[1]),
+            )
+            dest = os.path.join(tok_base, oldest, ORDER_NAME)
+            index_order(idx_tok).write.mode("overwrite").parquet(dest)
+            order_df = spark.read.parquet(dest)
         try:
-            pairs, b_tok, b_sh = containment_batch(batch_df, idx_tok, idx_sh)
+            pairs, b_tok, b_sh = containment_batch(
+                batch_df, idx_tok, idx_sh, order_df=order_df
+            )
             b_tok, b_sh = b_tok.persist(), b_sh.persist()
             persisted += [b_tok, b_sh]
             part = f"ingest_batch={batch_id}"
@@ -278,6 +355,15 @@ def compact(spark: SparkSession, index_dir: str) -> None:
         merged.write.mode("overwrite").parquet(
             os.path.join(base, compaction.TMP_NAME)
         )
+        if sub == TOKENS_SUBDIR:
+            # carry the (tok, odf) sidecar forward into the merged
+            # partition — written inside the tmp dir, so it commits on
+            # the same atomic rename as the folded rows
+            found = _order_dirs(base)
+            if found:
+                spark.read.parquet(*found).write.mode("overwrite").parquet(
+                    os.path.join(base, compaction.TMP_NAME, ORDER_NAME)
+                )
         compaction.commit_swap(base, parts)
 
 
@@ -331,6 +417,14 @@ def compact_rerank(spark: SparkSession, index_dir: str) -> None:
     tok_parts = compaction.parts(tok_base)
     rebuilt.write.mode("overwrite").parquet(
         os.path.join(tok_base, compaction.TMP_NAME)
+    )
+    # persist the order dictionary INSIDE the tmp dir (hidden from
+    # parquet scans by the underscore prefix) so the sidecar and the
+    # re-ranked rows commit on the same atomic rename — subsequent
+    # micro-batches read it via load_order() instead of re-aggregating
+    # the token index
+    df_order.write.mode("overwrite").parquet(
+        os.path.join(tok_base, compaction.TMP_NAME, ORDER_NAME)
     )
     compaction.commit_swap(tok_base, tok_parts)
 

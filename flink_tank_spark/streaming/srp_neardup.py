@@ -133,6 +133,12 @@ def srp_near_dup_step(
                 ).alias("band_key"),
             ).withColumn("kind", F.lit("p"))
         )
+    if index_bands is not None and "kind" not in index_bands.columns:
+        # band indexes persisted before the multi-probe round carry no
+        # 'kind' column — every row there is a base band by
+        # construction (probes were never indexed), so default 'b'
+        # keeps old on-disk indexes readable after upgrade
+        index_bands = index_bands.withColumn("kind", F.lit("b"))
     all_bands = (
         batch_bands if index_bands is None
         else batch_bands.unionByName(index_bands)

@@ -139,7 +139,7 @@ def test_auto_dispatches_to_distributed_above_limit(spark):
     )
     seeded = bpe.seed_symbols(df)
     # force the distributed path with a tiny limit
-    dist = bpe.train_merges_auto(seeded, 4, driver_vocab_limit=1)
+    dist = bpe.train_merges_auto(seeded, 4, driver_symbol_limit=1)
     naive = bpe.train_merges(seeded, 4)
     assert [(m.step, m.left, m.right, m.count) for m in dist] == [
         (m.step, m.left, m.right, m.count) for m in naive

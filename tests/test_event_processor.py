@@ -218,3 +218,30 @@ def test_lenient_parse_contract_variant_path(spark):
         "user-1": (0, "{}", None),
         "u2": (5, '{"k":1,"s":"x"}', 1),
     }
+
+
+# -- lenient contract reaches the batch variant query too (round-12
+#    advisory fix: try_parse_json, so one malformed props row nulls out
+#    instead of failing the whole aggregate)
+def test_ev_json_extract_lenient_on_malformed_props(spark, tmp_path):
+    import datetime as dt
+
+    from flink_tank_spark.plans.streaming_batch import ev_json_extract
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t, 10, "click", 1.0, '{"k": 3}'),
+        (2, t, 11, "click", 1.0, "{bad json"),
+        (3, t, 12, "view", 1.0, '{"k": 7}'),
+        (4, t, 13, "view", 1.0, '{"other": true}'),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: (r.sum_k, r.n_with_k)
+        for r in ev_json_extract(spark, str(tmp_path)).collect()
+    }
+    assert out == {"click": (3, 1), "view": (7, 1)}

@@ -155,3 +155,64 @@ def test_rerank_compaction_preserves_pairs_and_changes_order(spark, tmp_path):
     got = _streamed_pairs(spark, pd_)
     assert set(got) == expected
     assert len(got) == len(set(got))
+
+
+def test_order_sidecar_lifecycle(spark, tmp_path):
+    """Round-12 advisory fix: the (tok, odf) dictionary is persisted as
+    an underscore-hidden sidecar inside the token table — written on
+    the re-rank's atomic commit, carried forward by plain compact(),
+    self-healed for legacy indexes — so per-batch ingest reads it
+    instead of re-aggregating the full token index every micro-batch."""
+    import shutil
+
+    from flink_tank_spark.streaming import compaction
+
+    rows = [r.asDict() for r in _docs(spark).collect()]
+    expected = _batch_pairs(spark)
+
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    _write_jsonl(src, "b0.jsonl", rows[0::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    assert ct.load_order(spark, idx) is None  # never re-ranked yet
+
+    ct.compact_rerank(spark, idx)
+    tok_base = os.path.join(idx, ct.TOKENS_SUBDIR)
+    side = ct.load_order(spark, idx)
+    assert side is not None
+    got = {(r.tok, r.odf) for r in side.collect()}
+    toks = (
+        spark.read.option("basePath", tok_base).parquet(tok_base)
+        .drop("ingest_batch")
+    )
+    exp = {(r.tok, r.odf) for r in ct.index_order(toks).collect()}
+    assert got == exp and got, "sidecar must equal the odf-derived dictionary"
+
+    # plain compact() must carry the sidecar into the merged partition
+    ct.compact(spark, idx)
+    side2 = ct.load_order(spark, idx)
+    assert side2 is not None
+    assert {(r.tok, r.odf) for r in side2.collect()} == got
+
+    # ingest under the sidecar order still reproduces the batch pairs
+    _write_jsonl(src, "b1.jsonl", rows[1::2])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    assert set(_streamed_pairs(spark, pd_)) == expected
+
+    # legacy migration: a pre-sidecar layout (re-ranked index, no
+    # sidecar) self-heals on the next sink call — derived once from the
+    # stored odf column and persisted for every batch after
+    for part in compaction.parts(tok_base):
+        p = os.path.join(tok_base, part, ct.ORDER_NAME)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    assert ct.load_order(spark, idx) is None
+    extra = spark.createDataFrame(
+        [(999001, rows[0]["text"])], "doc_id long, text string"
+    )
+    ct.incremental_containment_sink(idx, pd_)(extra, 9)
+    healed = ct.load_order(spark, idx)
+    assert healed is not None
+    assert {(r.tok, r.odf) for r in healed.collect()} == got

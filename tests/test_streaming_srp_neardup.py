@@ -139,3 +139,29 @@ def test_multiprobe_streamed_equals_batch_multiprobe(spark, tmp_path):
     _write_jsonl(src, "w1.jsonl", rows[25:])
     drain()
     assert _pairs(spark, pairs_dir) == expected
+
+
+def test_legacy_band_index_without_kind_column(spark, tmp_path):
+    """Round-12 advisory fix: band indexes persisted before the
+    multi-probe round carry no 'kind' column; the step must default
+    them to base bands ('b') instead of raising AnalysisException on
+    unionByName — and the streamed pair set must still equal the batch
+    rebuild."""
+    rows = _corpus(n=36)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected = {
+        (r.id_a, r.id_b, r.cos_sim) for r in srp_near_dup_pairs(df).collect()
+    }
+
+    first = spark.createDataFrame(
+        rows[:20], "vec_id long, embedding array<float>"
+    )
+    second = spark.createDataFrame(
+        rows[20:], "vec_id long, embedding array<float>"
+    )
+    p0, bands0, vecs0 = srp_neardup.srp_near_dup_step(first, None, None)
+    got = {(r.id_a, r.id_b, r.cos_sim) for r in p0.collect()}
+    legacy_bands = bands0.drop("kind")  # pre-round-11 on-disk layout
+    p1, _, _ = srp_neardup.srp_near_dup_step(second, legacy_bands, vecs0)
+    got |= {(r.id_a, r.id_b, r.cos_sim) for r in p1.collect()}
+    assert got == expected
