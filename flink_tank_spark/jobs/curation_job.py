@@ -39,8 +39,10 @@ from flink_tank_spark.io.tables import load_table, write_partitioned
 from flink_tank_spark.operators import dedup, text
 
 # Stage order defines the funnel semantics: a doc is "dropped by stage
-# k" only if it survived stages 1..k-1.
-STAGES = ("exact", "neardup", "repetition", "quality", "decontam")
+# k" only if it survived stages 1..k-1. The containment stage is in the
+# funnel unconditionally (flag semantics stay fixed); with the option
+# off its flag is constant-true and costs nothing.
+STAGES = ("exact", "neardup", "containment", "repetition", "quality", "decontam")
 
 
 def curation_flags(
@@ -49,13 +51,15 @@ def curation_flags(
     max_dup_3gram: float = 0.5,
     eval_docs: DataFrame | None = None,
     reliable_checkpoint: bool = False,
+    containment: bool = False,
 ) -> DataFrame:
     """Per-doc keep/drop flags for every stage: (doc_id, lang,
-    keep_exact, keep_neardup, keep_repetition, keep_quality,
-    keep_decontam, kept).
+    keep_<stage> for each of STAGES, kept).
 
     ``eval_docs``: (doc_id, text) benchmark suite for decontamination;
-    None ⇒ keep_decontam is true everywhere.
+    None ⇒ keep_decontam is true everywhere. ``containment``: run the
+    exact subset-duplicate detector (off ⇒ keep_containment is true
+    everywhere and the prefix-filter join never runs).
     """
     with_words = docs.select(
         "doc_id", "lang", "text", F.split("text", " ").alias("_w")
@@ -82,7 +86,27 @@ def curation_flags(
         "keep_neardup", F.col("_nd_drop").isNull()
     ).drop("_nd_drop")
 
-    # 3./4. per-row map stages.
+    # 3. containment: drop the CONTAINED side of every exact
+    # containment-≥0.9 pair (id_a in containment_pairs' ordered
+    # output) — subset duplicates have J → 0, so the Jaccard stages
+    # above structurally cannot catch them. The prefix/positional/
+    # multi-match prunes are lossless, so this is the oracle-certified
+    # doc_containment_dups pair set driving a drop list.
+    if containment:
+        contained = (
+            dedup.containment_pairs(dedup.shingle_sets(docs))
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("_cn_drop", F.lit(True))
+        )
+        # no smallness guarantee — plain join, AQE picks the strategy
+        flags = flags.join(contained, "doc_id", "left").withColumn(
+            "keep_containment", F.col("_cn_drop").isNull()
+        ).drop("_cn_drop")
+    else:
+        flags = flags.withColumn("keep_containment", F.lit(True))
+
+    # 4./5. per-row map stages.
     rep = text.repetition_stats(F.col("_w"), F.col("text"))
     flags = flags.withColumn(
         "keep_repetition", rep["dup_3gram_frac"] <= F.lit(max_dup_3gram)
@@ -156,6 +180,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-quality", type=float, default=0.2)
     ap.add_argument("--max-dup-3gram", type=float, default=0.5)
     ap.add_argument("--no-decontam", action="store_true")
+    # optional round-10/11 curation stages
+    ap.add_argument("--containment", action="store_true",
+                    help="drop docs contained >=0.9 in another doc")
+    ap.add_argument("--sample-k", type=int, default=0,
+                    help="downsample the kept corpus to the ticket-ballot "
+                         "weighted sample of k winning tickets (0 = off)")
+    ap.add_argument("--dsir-scores", action="store_true",
+                    help="attach the per-doc DSIR importance score column")
+    ap.add_argument("--vocab-stats", action="store_true",
+                    help="report per-source OOV stats of the shipped corpus")
     # cluster mode: CC lineage truncation via reliable checkpoint()
     # (requires spark.checkpoint.dir, see k8s/spark/curation-job.yaml)
     ap.add_argument("--reliable-checkpoint", action="store_true")
@@ -174,18 +208,73 @@ def run(spark: SparkSession, args) -> int:
     eval_docs = None if args.no_decontam else docs.filter(
         F.col("doc_id") % 11 == 0
     ).select("doc_id", "text")
+    sample_k = getattr(args, "sample_k", 0) or 0
     flags = curation_flags(
         docs, args.min_quality, args.max_dup_3gram, eval_docs,
         reliable_checkpoint=getattr(args, "reliable_checkpoint", False),
+        containment=getattr(args, "containment", False),
     ).persist()  # consumed twice (corpus write + funnel stats): compute once
+    corpus = None
     try:
         kept_ids = flags.filter("kept").select("doc_id")
         corpus = docs.join(kept_ids, "doc_id")
+        extra_stats: dict = {}
+
+        # optional downsample: ticket-ballot weighted bottom-k over the
+        # KEPT corpus (TakeOrderedAndProject — no global sort). The
+        # sample is a funnel stage: later stages see only its docs.
+        if sample_k:
+            from flink_tank_spark.plans.sampling import weighted_sample
+
+            winners = weighted_sample(
+                corpus.select("doc_id", "text"), sample_k
+            ).select("doc_id")
+            corpus = corpus.join(winners, "doc_id")
+
+        # optional per-doc DSIR importance score on the SHIPPED corpus
+        # (weight table derived from the shipped pool — selection
+        # scores are relative to what actually ships)
+        if getattr(args, "dsir_scores", False):
+            from flink_tank_spark.plans.sampling import (
+                dsir_bucket_counts,
+                dsir_doc_scores,
+            )
+
+            scores = dsir_doc_scores(
+                dsir_bucket_counts(corpus.select("doc_id", "lang", "text"))
+            ).select("doc_id", F.col("score_ppm").alias("dsir_score_ppm"))
+            # left join: single-token docs carry no bigram evidence
+            corpus = corpus.join(scores, "doc_id", "left")
+
+        if sample_k or getattr(args, "dsir_scores", False) or getattr(
+            args, "vocab_stats", False
+        ):
+            # corpus now feeds 2-3 actions (write + stats + coverage) —
+            # persist so the funnel joins/explodes run once
+            corpus = corpus.persist()
+
         write_partitioned(corpus, args.out, ["lang"])
         stats = funnel_stats(flags)
+        if sample_k:
+            extra_stats["n_sampled"] = corpus.count()
+
+        # optional vocab-coverage OOV audit of the shipped corpus —
+        # bounded output (one row per source), embedded in the stats
+        if getattr(args, "vocab_stats", False):
+            from flink_tank_spark.plans.vocab import (
+                doc_token_counts,
+                vocab_coverage_from_counts,
+            )
+
+            cov = vocab_coverage_from_counts(
+                doc_token_counts(corpus.select("doc_id", "source", "text"))
+            )
+            extra_stats["vocab_coverage"] = [r.asDict() for r in cov.collect()]
     finally:
         flags.unpersist()
-    print(json.dumps({"out": args.out, **stats}))
+        if corpus is not None and corpus.is_cached:
+            corpus.unpersist()
+    print(json.dumps({"out": args.out, **stats, **extra_stats}))
     return 0
 
 

@@ -70,27 +70,17 @@ def _trained_merges(
     return _MERGES_CACHE[key]
 
 
-def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned vocabulary: 8 BPE merges in training order."""
-    rows = [
-        (m.step, m.left, m.right, m.merged, m.count)
-        for m in _trained_merges(spark, sf_dir)
-    ]
-    return spark.createDataFrame(
-        rows,
-        "step int, left_sym string, right_sym string, merged string, pair_count long",
-    ).orderBy("step")
+# -- shared finalize functions (batch queries AND streaming/bpe.py) -------
+#
+# The streaming twin folds per-batch (lang, word, cnt) deltas and runs
+# these LITERAL functions at read, so batch/stream parity is structural
+# (the vocab_cov/dsir pattern): same folded counts in, same result out.
 
-
-def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language tokenization stats under the learned vocabulary:
-    word/token totals and the mean tokens-per-word compression ratio."""
-    merges = _trained_merges(spark, sf_dir)
-    vocab = bpe.apply_merges(_seeded_words(spark, sf_dir), merges).select(
-        "word", bpe.token_count_col().alias("n_tok")
-    )
-    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    lw = (
+def lang_word_counts(docs: DataFrame) -> DataFrame:
+    """One corpus scan → the per-(lang, word) count table — the
+    mergeable state both tokenize queries and the streaming twin share
+    (global word counts are its lang-marginal)."""
+    return (
         docs.select(
             "lang",
             F.explode(
@@ -100,6 +90,11 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def token_stats_from_lang_counts(lw: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Per-language tokenization stats given the (lang, word, cnt)
+    table and the (word, n_tok) learned vocabulary."""
     return (
         lw.join(vocab, "word")
         .groupBy("lang")
@@ -114,6 +109,31 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def merges_to_df(spark: SparkSession, merges: list[bpe.Merge]) -> DataFrame:
+    """The learned merge list as the oracle-comparable DataFrame."""
+    rows = [(m.step, m.left, m.right, m.merged, m.count) for m in merges]
+    return spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, merged string, pair_count long",
+    ).orderBy("step")
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned vocabulary: 8 BPE merges in training order."""
+    return merges_to_df(spark, _trained_merges(spark, sf_dir))
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenization stats under the learned vocabulary:
+    word/token totals and the mean tokens-per-word compression ratio."""
+    merges = _trained_merges(spark, sf_dir)
+    vocab = bpe.apply_merges(_seeded_words(spark, sf_dir), merges).select(
+        "word", bpe.token_count_col().alias("n_tok")
+    )
+    docs = spread_partitions(load_table(spark, sf_dir, "documents"))
+    return token_stats_from_lang_counts(lang_word_counts(docs), vocab)
 
 
 def doc_bpe_merges256(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,16 +148,10 @@ def doc_bpe_merges256(spark: SparkSession, sf_dir: str) -> DataFrame:
     DRIVER_SYMBOL_LIMIT. All trainers are bit-equal (tests/test_bpe.py);
     the oracle learns the same merges through a recursive incremental
     CTE rather than 256 unrolled full recounts."""
-    rows = [
-        (m.step, m.left, m.right, m.merged, m.count)
-        for m in _trained_merges(
-            spark, sf_dir, N_MERGES_BIG, incremental=True
-        )
-    ]
-    return spark.createDataFrame(
-        rows,
-        "step int, left_sym string, right_sym string, merged string, pair_count long",
-    ).orderBy("step")
+    return merges_to_df(
+        spark,
+        _trained_merges(spark, sf_dir, N_MERGES_BIG, incremental=True),
+    )
 
 
 def doc_bpe_tokens256(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,30 +164,7 @@ def doc_bpe_tokens256(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", bpe.token_count_col().alias("n_tok")
     )
     docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    lw = (
-        docs.select(
-            "lang",
-            F.explode(
-                F.expr(f"regexp_extract_all(lower(text), '{bpe.WORD_REGEX}', 1)")
-            ).alias("word"),
-        )
-        .groupBy("lang", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return (
-        lw.join(vocab, "word")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
-            F.sum("cnt").cast("long").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_tok")).cast("long").alias("n_tokens"),
-        )
-        .withColumn(
-            "avg_tokens_per_word",
-            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
-        )
-        .orderBy("lang")
-    )
+    return token_stats_from_lang_counts(lang_word_counts(docs), vocab)
 
 
 def _bpe_train_recursive_sql(n_merges: int) -> str:

@@ -300,12 +300,12 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights_from_counts(_dsir_doc_bucket_counts(spark, sf_dir))
 
 
-def dsir_weights_from_counts(dbc: DataFrame) -> DataFrame:
-    """The per-language DSIR score summary from an already-built
-    (doc_id, lang, bkt, c) table — shared verbatim by the batch query
-    and the streaming view (streaming/dsir.py): the ≤256-row weight
-    table and every aggregate are pure algebra over the mergeable
-    bucket counts."""
+def dsir_doc_scores(dbc: DataFrame) -> DataFrame:
+    """Per-document DSIR importance scores (doc_id, lang, score_ppm)
+    from an already-built (doc_id, lang, bkt, c) table — the shared
+    core of :func:`dsir_weights_from_counts` and the curation job's
+    optional scoring stage (jobs/curation_job.py). Single-token docs
+    carry no bigram evidence and are absent."""
     raw_b = dbc.groupBy("bkt").agg(
         F.sum("c").cast("decimal(20,0)").alias("n_r")
     )
@@ -331,15 +331,23 @@ def dsir_weights_from_counts(dbc: DataFrame) -> DataFrame:
             ).alias("w_ppm"),
         )
     )
-    per_doc = (
+    return (
         dbc.join(F.broadcast(w), "bkt")
         .groupBy("doc_id", "lang")
         .agg(
             F.expr("sum(c * w_ppm) div sum(c)").cast("long").alias("score_ppm")
         )
     )
+
+
+def dsir_weights_from_counts(dbc: DataFrame) -> DataFrame:
+    """The per-language DSIR score summary from an already-built
+    (doc_id, lang, bkt, c) table — shared verbatim by the batch query
+    and the streaming view (streaming/dsir.py): the ≤256-row weight
+    table and every aggregate are pure algebra over the mergeable
+    bucket counts."""
     return (
-        per_doc.groupBy("lang")
+        dsir_doc_scores(dbc).groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.expr("sum(score_ppm) div count(1)").cast("long").alias("avg_score_ppm"),

@@ -1,8 +1,9 @@
 """Throughput bench for the streaming curation sinks: the
 weighted-sample bottom-k maintainer (streaming/wsample.py), the
-summary-fold sessionizer (streaming/sessions.py), and the round-11
+summary-fold sessionizer (streaming/sessions.py), the round-11
 count-delta twins — vocabulary coverage (streaming/vocab_cov.py) and
-DSIR importance weights (streaming/dsir.py).
+DSIR importance weights (streaming/dsir.py) — and the round-12 BPE
+vocabulary maintainer (streaming/bpe.py).
 
 Each sink drains its full corpus split into ``n_batches`` micro-batches
 (maxFilesPerTrigger=1) and the derived read-side result is BIT-compared
@@ -162,6 +163,36 @@ def main() -> int:
             "n_docs": n_docs,
             "drain_sec": round(drain_s, 2),
             "finalize_sec": round(finalize_s, 2),
+            "parity": "exact",
+        }
+
+        # round-12 twin: BPE vocabulary maintenance — same (doc_id,
+        # lang, text) wire split as DSIR, so reuse its jsonl spill
+        from flink_tank_spark.plans.bpe import doc_bpe_merges256
+        from flink_tank_spark.streaming import bpe as sbpe
+
+        sd, ck = os.path.join(work, "bpe_state"), os.path.join(work, "bpe_ck")
+        t0 = time.perf_counter()
+        q = sbpe.start_bpe_job(spark, ddoc_src, sd, ck, max_files_per_trigger=1)
+        q.awaitTermination(1800)
+        drain_s = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        streamed = sorted(
+            tuple(str(x) for x in r)
+            for r in sbpe.load_bpe_merges(spark, sd).collect()
+        )
+        finalize_s = time.perf_counter() - t1
+        batch = sorted(
+            tuple(str(x) for x in r)
+            for r in doc_bpe_merges256(spark, sf_dir).collect()
+        )
+        assert streamed == batch, "bpe: streamed != batch"
+        report["bpe_vocab"] = {
+            "docs_per_sec": round(n_docs / drain_s, 1),
+            "n_docs": n_docs,
+            "drain_sec": round(drain_s, 2),
+            "finalize_sec": round(finalize_s, 2),
+            "n_merges": len(streamed),
             "parity": "exact",
         }
 

@@ -51,3 +51,57 @@ def test_job_materializes_lang_partitioned_corpus(spark, tmp_path, capsys):
     parts = {d for d in os.listdir(out) if d.startswith("lang=")}
     langs = {r.lang for r in corpus.select("lang").distinct().collect()}
     assert parts == {f"lang={l}" for l in langs} and parts
+
+
+def test_containment_stage_drops_subset_duplicates(spark):
+    # a short doc fully contained in a long one has Jaccard -> 0 (the
+    # neardup stage is blind to it) but containment 1.0 — the optional
+    # stage must drop the CONTAINED doc and keep the container
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"pad{i}" for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, "en", "synth", small), (2, "en", "synth", big),
+         (3, "de", "synth", "completely unrelated text " * 20)],
+        "doc_id long, lang string, source string, text string",
+    )
+    off = {r.doc_id: r.keep_containment for r in curation_flags(docs).collect()}
+    assert off == {1: True, 2: True, 3: True}  # disabled ⇒ constant-true
+    on = {
+        r.doc_id: r.keep_containment
+        for r in curation_flags(docs, containment=True).collect()
+    }
+    assert on == {1: False, 2: True, 3: True}
+
+
+def test_job_optional_stages_sample_dsir_vocab(spark, tmp_path, capsys):
+    out = str(tmp_path / "corpus")
+    args = argparse.Namespace(
+        sf_dir=SF, out=out, min_quality=0.2, max_dup_3gram=0.5,
+        no_decontam=False, containment=True, sample_k=20,
+        dsir_scores=True, vocab_stats=True,
+    )
+    assert run(spark, args) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    corpus = spark.read.parquet(out)
+
+    # the funnel gained the containment stage and stays monotone
+    seq = [stats["n_docs"]] + [stats[f"after_{s}"] for s in STAGES]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+
+    # the sample is a further cut of the kept corpus; sampled count is
+    # what actually shipped
+    assert stats["n_sampled"] == corpus.count()
+    assert 0 < stats["n_sampled"] <= min(stats["n_kept"], 20)
+
+    # every shipped multi-token doc carries a DSIR score
+    assert "dsir_score_ppm" in corpus.columns
+    scored = corpus.filter(F.col("dsir_score_ppm").isNotNull()).count()
+    assert scored > 0
+
+    # per-source OOV stats of the shipped corpus, bounded rows
+    cov = stats["vocab_coverage"]
+    assert cov and all(
+        set(r) >= {"source", "n_docs", "n_tokens", "n_oov", "oov_ppm"}
+        for r in cov
+    )
+    assert sum(r["n_docs"] for r in cov) == stats["n_sampled"]
