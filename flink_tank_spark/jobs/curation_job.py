@@ -86,19 +86,18 @@ def curation_flags(
         "keep_neardup", F.col("_nd_drop").isNull()
     ).drop("_nd_drop")
 
-    # 3. containment: drop the CONTAINED side of every exact
-    # containment-≥0.9 pair (id_a in containment_pairs' ordered
-    # output) — subset duplicates have J → 0, so the Jaccard stages
-    # above structurally cannot catch them. The prefix/positional/
-    # multi-match prunes are lossless, so this is the oracle-certified
-    # doc_containment_dups pair set driving a drop list.
+    # 3. containment: keep-one dedup over the exact containment-≥0.9
+    # pair set — subset duplicates have J → 0, so the Jaccard stages
+    # above structurally cannot catch them. containment_drop_ids drops
+    # a doc only when contained in a LARGER doc (ties keep the smaller
+    # id), so mutual-containment pairs lose one member, never both;
+    # the pair set underneath is the oracle-certified
+    # doc_containment_dups join (lossless prefix/positional/multi-match
+    # prunes).
     if containment:
-        contained = (
-            dedup.containment_pairs(dedup.shingle_sets(docs))
-            .select(F.col("id_a").alias("doc_id"))
-            .distinct()
-            .withColumn("_cn_drop", F.lit(True))
-        )
+        contained = dedup.containment_drop_ids(
+            dedup.shingle_sets(docs)
+        ).withColumn("_cn_drop", F.lit(True))
         # no smallness guarantee — plain join, AQE picks the strategy
         flags = flags.join(contained, "doc_id", "left").withColumn(
             "keep_containment", F.col("_cn_drop").isNull()

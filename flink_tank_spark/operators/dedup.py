@@ -597,3 +597,42 @@ def containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def containment_drop_ids(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """Keep-one drop list under exact containment dedup: drop a doc iff
+    it is contained ≥ t in a LARGER doc, ties broken by keeping the
+    smaller doc_id — so a mutual-containment pair (near-identical text,
+    both directions ≥ t) loses exactly ONE member, never both, and
+    containment chains A ⊂ B ⊂ C keep only the maximal C. One
+    deterministic pass over the verified pair set (no iteration: the
+    rule depends only on each pair's sizes/ids, not on other drops).
+    Shared by the curation job's --containment stage and the
+    doc_containment_corpus registry query."""
+    sizes = shingled.select(F.col(id_col).alias("_sid"), F.size("shingles").alias("_n"))
+    pairs = containment_pairs(
+        shingled, id_col=id_col, t_num=t_num, t_den=t_den
+    ).select("id_a", "id_b")
+    p = (
+        pairs.join(
+            sizes.select(F.col("_sid").alias("id_a"), F.col("_n").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_sid").alias("id_b"), F.col("_n").alias("nb")),
+            "id_b",
+        )
+    )
+    return (
+        p.filter(
+            (F.col("nb") > F.col("na"))
+            | ((F.col("nb") == F.col("na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )

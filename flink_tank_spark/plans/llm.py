@@ -3106,7 +3106,10 @@ def doc_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-DOC_CONTAINMENT_SQL = dedent(f"""
+# the shared containment CTE chain: shingles -> rarest-first prefix ->
+# candidates -> VERIFIED pairs with both sizes (both containment
+# queries finalize from `verified`)
+_CONTAINMENT_VERIFIED_CTES = dedent(f"""\
     WITH {SHINGLES_CTE},
     tok AS (SELECT doc_id, unnest(shingles) AS tok FROM shingled),
     dfq AS (SELECT tok, COUNT(*) AS tdf FROM tok GROUP BY tok),
@@ -3129,21 +3132,80 @@ DOC_CONTAINMENT_SQL = dedent(f"""
            AND b.rn <= b.n - (9 * a.n + 9) // 10 + 2
       GROUP BY a.doc_id, b.doc_id, a.n
       HAVING COUNT(*) >= CASE WHEN a.n >= 2 THEN 2 ELSE 1 END
-    )
-    SELECT id_a, id_b,
-           len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(sa.shingles) AS containment,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-    FROM cands c
-    JOIN shingled sa ON sa.doc_id = c.id_a
-    JOIN shingled sb ON sb.doc_id = c.id_b
-    WHERE 10 * len(list_intersect(sa.shingles, sb.shingles))
-            >= 9 * len(sa.shingles)
+    ),
+    verified AS MATERIALIZED (
+      SELECT id_a, id_b,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_common
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b
+      WHERE 10 * len(list_intersect(sa.shingles, sb.shingles))
+              >= 9 * len(sa.shingles)
+    )""")
+
+DOC_CONTAINMENT_SQL = dedent(f"""
+    {_CONTAINMENT_VERIFIED_CTES}
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / na AS containment,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM verified
     ORDER BY id_a, id_b
 """)
+
+DOC_CONTAINMENT_CORPUS_SQL = dedent(f"""
+    {_CONTAINMENT_VERIFIED_CTES},
+    dropped AS (
+      SELECT DISTINCT id_a AS doc_id FROM verified
+      WHERE nb > na OR (nb = na AND id_b < id_a)
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    GROUP BY d.lang
+    ORDER BY d.lang
+""")
+
+
+def doc_containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one corpus accounting under exact containment dedup — the
+    effect of the curation job's --containment stage as an
+    oracle-checkable query: per language, how many docs the
+    subset-duplicate rule drops and the character volume that ships.
+    The drop rule (operators/dedup.containment_drop_ids — the SAME
+    function the job runs) removes a doc iff it is contained ≥0.9 in a
+    LARGER doc, ties keeping the smaller id, so mutual-containment
+    pairs lose exactly one member and chains keep only the maximal
+    doc. Scale shape: the lossless prefix-filter join from
+    doc_containment_dups drives a distinct drop list; the accounting
+    is one left join + groupBy over the documents scan."""
+    shingled = _shingled_docs(spark, sf_dir)
+    dropped = dedup.containment_drop_ids(shingled).withColumn(
+        "_drop", F.lit(True)
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    kept = F.col("_drop").isNull()
+    return (
+        docs.join(dropped, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((~kept).cast("long")).cast("long").alias("n_dropped"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3277,6 +3339,11 @@ QUERIES = [
               "EXACT asymmetric set-containment join >= 0.9 (subset "
               "duplicates Jaccard dedup misses; prefix-filter, recall 1.0)",
               ("llm", "dedup")),
+    QuerySpec("doc_containment_corpus", doc_containment_corpus,
+              DOC_CONTAINMENT_CORPUS_SQL,
+              "keep-one corpus accounting under containment dedup (drop "
+              "iff contained in a larger doc, ties keep the smaller id)",
+              ("llm", "dedup", "curation")),
     QuerySpec("doc_ppjoin_near_dups", doc_ppjoin_near_dups, DOC_PPJOIN_SQL,
               "EXACT Jaccard>=0.8 pairs via prefix filtering (completeness-"
               "guaranteed sibling of the LSH blocking)",

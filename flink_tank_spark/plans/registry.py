@@ -46,7 +46,9 @@ class QuerySpec:
 # this round — lenient try_parse_json) — 52 queries ≈ one driver
 # budget. The r10/r11 certs sit at the tail.
 FRONT_OF_LINE = (
-    # changed in round 12 — new queries land here as they are added
+    # new in round 12 — no driver cert yet
+    "doc_dsir_topk",
+    "doc_containment_corpus",
     # newest driver cert is round 7 — stalest, run first
     "q3_shipping_priority",
     "q4_order_priority",

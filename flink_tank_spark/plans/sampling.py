@@ -300,6 +300,24 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights_from_counts(_dsir_doc_bucket_counts(spark, sf_dir))
 
 
+DSIR_TOPK = 20  # the selection cut doc_dsir_topk ships
+
+
+def doc_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step itself: the top-k documents by
+    importance score — what a data-mixture build actually consumes
+    (doc_dsir_weights reports the per-language summary; this ships the
+    chosen docs). orderBy+limit lowers to TakeOrderedAndProject:
+    per-partition local k over the bounded per-doc score table, driver
+    merge — no global sort at any corpus size. Ties broken by doc_id
+    (total order, partition-invariant)."""
+    return (
+        dsir_doc_scores(_dsir_doc_bucket_counts(spark, sf_dir))
+        .orderBy(F.col("score_ppm").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )
+
+
 def dsir_doc_scores(dbc: DataFrame) -> DataFrame:
     """Per-document DSIR importance scores (doc_id, lang, score_ppm)
     from an already-built (doc_id, lang, bkt, c) table — the shared
@@ -358,7 +376,10 @@ def dsir_weights_from_counts(dbc: DataFrame) -> DataFrame:
     )
 
 
-DOC_DSIR_WEIGHTS_SQL = dedent(f"""
+# the shared trainer CTE chain: bigram buckets -> distributions ->
+# weight table -> per-doc scores (both DSIR queries finalize from
+# per_doc)
+_DSIR_PER_DOC_CTES = dedent(f"""\
     WITH bg AS MATERIALIZED (
       SELECT doc_id, lang,
              substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 2) AS bkt
@@ -389,7 +410,10 @@ DOC_DSIR_WEIGHTS_SQL = dedent(f"""
             FROM bg GROUP BY 1, 2, 3) d
       JOIN w ON w.bkt = d.bkt
       GROUP BY d.doc_id, d.lang
-    )
+    )""")
+
+DOC_DSIR_WEIGHTS_SQL = dedent(f"""
+    {_DSIR_PER_DOC_CTES}
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS avg_score_ppm,
@@ -398,6 +422,14 @@ DOC_DSIR_WEIGHTS_SQL = dedent(f"""
     FROM per_doc
     GROUP BY lang
     ORDER BY lang
+""")
+
+DOC_DSIR_TOPK_SQL = dedent(f"""
+    {_DSIR_PER_DOC_CTES}
+    SELECT doc_id, lang, score_ppm
+    FROM per_doc
+    ORDER BY score_ppm DESC, doc_id
+    LIMIT {DSIR_TOPK}
 """)
 
 
@@ -424,6 +456,14 @@ QUERIES = [
         DOC_DSIR_WEIGHTS_SQL,
         "DSIR-style hashed-bigram importance weights vs the 'en' target "
         "(exact ppm ratios, 256-bucket broadcast weight table)",
+        ("llm", "curation"),
+    ),
+    QuerySpec(
+        "doc_dsir_topk",
+        doc_dsir_topk,
+        DOC_DSIR_TOPK_SQL,
+        "the DSIR selection cut: top-20 documents by importance score "
+        "(TakeOrderedAndProject over the per-doc score table)",
         ("llm", "curation"),
     ),
 ]

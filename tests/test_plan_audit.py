@@ -61,6 +61,7 @@ SCALAR_BROADCAST_OK = {
     "tbl_fk_audit",  # per-FK 1-row orphan/child-stats frames crossed into
     # the 1-row audit output (all broadcast scalars, q11/q22 pattern)
     "doc_dsir_weights",  # 1-row (nr_tot, nt_tot) corpus totals crossed
+    "doc_dsir_topk",  # same 1-row totals frame under the selection cut
     # into the <=256-row bucket weight table (bm25 stats pattern)
     "ev_zorder_extents",  # 1-row min/max quantization stats frame crossed
     # into the dims projection (no equality predicate for Catalyst to
