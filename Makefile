@@ -124,3 +124,22 @@ rerank-volume: sf1
 # merges over a 20k-word synthetic vocabulary
 bpe-curve:
 	python scripts/bpe_scale_curve.py 20000 BPE_SCALE_r11.json
+
+# round-12 evidence targets ------------------------------------------------
+
+# streaming curation drains (wsample/vocab/dsir/sessions + the r12 BPE
+# vocabulary maintainer), each BIT-compared against its batch twin
+bench-streaming-curation: sf1
+	python scripts/bench_streaming_curation.py data/sf1 16 8 2>/dev/null | tail -1
+
+# BPE driver envelope at a 1M-word vocabulary: collect footprint vs the
+# symbol-count dispatch bound, local-trainer cost at 256/1024/4096
+# merges, incremental-trainer spot parity at 64
+bpe-envelope:
+	python scripts/bpe_envelope.py 1000000 BPE_SCALE_r12.json
+
+# end-to-end curation job rehearsal at sf1 with every optional stage on
+curation-sf1: sf1
+	time python -m flink_tank_spark.jobs.curation_job --sf-dir data/sf1 \
+	  --out /tmp/curation_sf1_corpus --containment --sample-k 5000 \
+	  --dsir-scores --vocab-stats 2>/dev/null | tail -1

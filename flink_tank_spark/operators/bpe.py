@@ -287,9 +287,10 @@ def train_merges_local(
 # (~60-90 bytes each for short strings, before interning) plus ~8-byte
 # list slots, so a row count under-estimates the footprint by the mean
 # word length (round-12 advisory fix — 4M rows of 7-symbol words is
-# ~28M strings ≈ several GB, not "under a gigabyte"). 8M symbols is
-# ~0.5-0.8 GB; measured driver RSS at the 1M-word envelope is recorded
-# in BPE_SCALE_r12.json.
+# ~28M strings ≈ several GB, not "under a gigabyte"). Measured at the
+# 1M-word envelope (BPE_SCALE_r12.json): 74.4 bytes/symbol → the 8M
+# bound is ~0.6 GB of word table; the local trainer's occ-index adds
+# ~0.4 GB on top (peak RSS 1.59 GB total at 4096 merges).
 DRIVER_SYMBOL_LIMIT = 8_000_000
 
 
