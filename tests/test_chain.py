@@ -320,11 +320,17 @@ def test_chain_with_fanout_matches_batch(spark, tmp_path):
                 and all(m["totalEventCount"] == 40 for m in best.values())):
             break
         time.sleep(0.5)
+    # snapshot the aggregation query's view of the world BEFORE stop so
+    # a deadline-expiry failure is diagnosable (r12: one full-suite
+    # flake lost a key after the full 300 s poll on an idle host while
+    # solo runs converge in ~35 s — if it recurs, the progress row says
+    # whether q2 stalled, lagged, or silently skipped an input file)
+    diag = (q2.status, q2.lastProgress)
     q2.stop()
     q2.awaitTermination(30)
     best = _metric_maxima(metrics)
-    assert set(best) == want_keys
-    assert all(m["totalEventCount"] == 40 for m in best.values()), best
+    assert set(best) == want_keys, (sorted(best), diag)
+    assert all(m["totalEventCount"] == 40 for m in best.values()), (best, diag)
     # multiple wire files per batch actually landed
     fan_files = [f for f in os.listdir(processed) if f.count("-") == 2]
     assert fan_files, sorted(os.listdir(processed))
