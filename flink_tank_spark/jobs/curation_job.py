@@ -94,6 +94,19 @@ def curation_flags(
     # the pair set underneath is the oracle-certified
     # doc_containment_dups join (lossless prefix/positional/multi-match
     # prunes).
+    #
+    # Drop-list semantics are GLOBAL (stage-independent), matching the
+    # doc_containment_corpus oracle and the neardup stage above: the
+    # pair set is computed over the FULL input corpus, so doc A
+    # contained in B is dropped even when B itself is later dropped by
+    # quality/decontam — A's content then ships in no surviving doc.
+    # This is intentional: each keep_* flag is an independent verdict
+    # on the raw corpus (the funnel counts stay composable and every
+    # stage stays oracle-checkable in isolation); a
+    # keep-one-among-survivors variant would make the containment
+    # verdict depend on downstream stage order. Callers who need
+    # survivor-relative keep-one should re-run containment_drop_ids on
+    # the post-filter corpus.
     if containment:
         contained = dedup.containment_drop_ids(
             dedup.shingle_sets(docs)

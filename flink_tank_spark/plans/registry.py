@@ -39,71 +39,69 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-12
+# run FIRST (order is otherwise meaningless to the gate). Round-13
 # rotation (computed from the union of all CORRECTNESS_r*.json after
-# round 11: 50 certed r11, 48 r10, 44 r9, 7 r7): head = the 7 round-7
-# certs, then the 44 round-9 certs, then ev_json_extract (plan changed
-# this round — lenient try_parse_json) — 52 queries ≈ one driver
-# budget. The r10/r11 certs sit at the tail.
+# round 12: 50 certed r12, 50 r11, 48 r10, 3 r9): head =
+# ev_json_extract (plan changed in r12 after its r11 cert), then the
+# 3 round-9 certs, then the 48 round-10 certs — 52 queries ≈ one
+# driver budget. The r11/r12 certs sit at the tail.
 FRONT_OF_LINE = (
-    # new in round 12 — no driver cert yet
-    "doc_dsir_topk",
-    "doc_containment_corpus",
-    # newest driver cert is round 7 — stalest, run first
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "win_running_total",
-    "win_top_orders_per_cust",
-    # newest driver cert is round 9
-    "agg_cube_status_priority",
-    "agg_rollup_region_nation",
-    "dim_scd2_asof_join",
-    "dim_scd2_customer",
-    "doc_bigram_fluency",
-    "doc_bpe_merges",
-    "doc_bpe_tokens",
-    "doc_canonical_by_pr",
-    "doc_clean_boilerplate",
-    "doc_dedup_stats",
-    "doc_fingerprint",
-    "doc_fuzzy_near_dups",
-    "doc_idf_rarity",
-    "doc_kcore",
-    "doc_minhash_est",
-    "doc_mix_reweight",
-    "doc_pagerank",
-    "doc_pii_scrub",
-    "doc_pmi_pairs",
-    "doc_ppjoin_near_dups",
-    "doc_profile_text",
-    "doc_span_dedup",
-    "doc_split_ks",
-    "doc_triangles",
-    "doc_zipf_ranks",
-    "emb_pq_topk",
-    "emb_split_drift",
-    "emb_two_stage_topk",
-    "ev_cms_merge_days",
-    "ev_daily_trend",
-    "ev_hourly_top_users",
-    "ev_kmv_overlap_types",
-    "ev_session_stats",
-    "ev_trimmed_mean",
-    "ev_type_transitions",
-    "ev_value_deciles",
-    "ev_value_mad",
-    "join_bloom_prune",
-    "mm_audio_decimate",
-    "part_skyline",
-    "tbl_corr_lineitem",
+    # plan changed in round 12 (lenient try_parse_json) AFTER its r11 driver
+    # cert — the only not-driver-verified surface; re-certify first
+    "ev_json_extract",
+    # newest driver cert is round 9 — stalest, run next
     "tbl_fk_audit",
     "tbl_mcv_lineitem",
     "tbl_profile_lineitem",
-    # changed in round 12 (try_parse_json lenient variant path) — re-certify
-    "ev_json_extract",
+    # newest driver cert is round 10
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q19_discounted_revenue",
+    "win_balance_quartiles",
+    "win_exact_percentiles",
+    "set_churned_customers",
+    "set_loyal_customers",
+    "ev_parse_route",
+    "ev_error_routing",
+    "ev_sequence",
+    "ev_sliding_peak",
+    "ev_type_counts",
+    "ev_sessionize",
+    "ev_tumbling_hourly",
+    "ev_asof_login",
+    "ev_interval_clicks",
+    "ev_salted_counts",
+    "ev_cms_heavy_hitters",
+    "ev_anomaly_days",
+    "ev_value_outliers",
+    "emb_matryoshka_topk",
+    "doc_minhash",
+    "doc_lsh_near_dups",
+    "doc_containment_dups",
+    "doc_jaccard_topk",
+    "doc_simhash",
+    "doc_lang_id",
+    "doc_quality",
+    "emb_knn_label_purity",
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_near_dup_pairs",
+    "mm_decode",
+    "emb_srp_topk",
+    "emb_srp_recall",
+    "emb_srp_near_dups",
+    "ev_zorder_extents",
+    "emb_profile_dims",
+    "doc_simhash_near_dups",
+    "doc_weighted_sample",
+    "doc_chunk_windows",
+    "doc_dsir_weights",
+    "doc_vocab_coverage",
 )
 
 

@@ -175,6 +175,9 @@ def main() -> int:
         t0 = time.perf_counter()
         q = sbpe.start_bpe_job(spark, ddoc_src, sd, ck, max_files_per_trigger=1)
         q.awaitTermination(1800)
+        # a timeout leaves the query live and the state partial — fail
+        # loudly here rather than with a misleading parity mismatch
+        assert not q.isActive, "bpe: stream still active after 1800s drain"
         drain_s = time.perf_counter() - t0
         t1 = time.perf_counter()
         streamed = sorted(
