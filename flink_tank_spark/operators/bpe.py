@@ -36,6 +36,8 @@ learned vocabulary is bit-reproducible under any partitioning.
 
 from __future__ import annotations
 
+import heapq
+
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -215,6 +217,149 @@ def train_merges_incremental(
     return merges
 
 
+def _safe_merge_batch(
+    pc: dict[tuple[str, str], int], max_batch: int
+) -> list[tuple[tuple[str, str], int]]:
+    """Select a batch of merges that sequential BPE would provably pick
+    in exactly this order with exactly these counts — the order-safety
+    core of :func:`train_merges_incremental_batched`.
+
+    Selection: walk the pairs in sequential-argmax order (count desc,
+    then lexicographic), accepting a CONTIGUOUS prefix and stopping at
+    the first pair that (a) shares a symbol with an accepted pair, or
+    (b) uses a symbol string equal to an accepted pair's concatenation
+    (applying that earlier merge would mint new instances of the
+    string and could inflate this pair's count). Then truncate to the
+    pairs whose count is STRICTLY greater than the stopping pair's.
+
+    Why this is bit-equal to one-at-a-time argmax, given the batch
+    p1..pk (c1 >= .. >= ck > c*, c* = the stop boundary count):
+
+    - accepted pairs are pairwise disjoint and collision-free, so
+      applying p1..p_{i-1} cannot create or destroy an occurrence of
+      p_i — its count at sequential step i is its recorded count;
+    - every pair TOUCHING an accepted symbol ranks at-or-after the
+      stopping pair (the prefix is contiguous), so its count is
+      <= c* < c_i; applying merges only ever DECREASES old-symbol
+      pair counts, so at step i it still cannot outrank p_i;
+    - every NEW pair minted by an applied merge (one side a fresh
+      concat symbol) maps occurrence-for-occurrence onto an ORIGINAL
+      touching adjacency, so its count is <= that touching pair's
+      <= c* < c_i. (The strict `> c*` truncation is what closes the
+      tie hole: a new pair may tie a touching pair's count while
+      sorting lexicographically EARLIER — e.g. merging ("a","z")
+      mints ("az","b") which outsorts ("c","c") although its bound
+      ("z","b") does not — so equality with c* is not safe.)
+
+    Hence at step i the sequential argmax over the true updated dict
+    is exactly p_i. A conflict at the very top (tie between the
+    argmax and its conflicting neighbour) truncates to an empty list;
+    the caller falls back to the plain single-merge step.
+    """
+    cap = max_batch + 1  # +1: the boundary item must be visible
+    top = heapq.nsmallest(
+        cap, pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )
+    syms: set[str] = set()
+    concats: set[str] = set()
+    accepted: list[tuple[tuple[str, str], int]] = []
+    boundary: int | None = None
+    for (l, r), cnt in top:
+        if len(accepted) >= max_batch:
+            boundary = cnt
+            break
+        if l in syms or r in syms or l in concats or r in concats:
+            boundary = cnt
+            break
+        accepted.append(((l, r), cnt))
+        syms.update((l, r))
+        concats.add(l + r)
+    # boundary is None only when the WHOLE dict was accepted (then all
+    # pairs are mutually disjoint — no touching pairs exist to bound)
+    if boundary is not None:
+        accepted = [a for a in accepted if a[1] > boundary]
+    return accepted
+
+
+def train_merges_incremental_batched(
+    segmented: DataFrame,
+    n_merges: int,
+    checkpoint_every: int = 64,
+    max_batch: int = 64,
+    stats: dict | None = None,
+) -> list[Merge]:
+    """:func:`train_merges_incremental` with the O(n_merges) job chain
+    cut: each round applies a BATCH of provably order-safe merges
+    (:func:`_safe_merge_batch`) in ONE Spark job — one filter over the
+    words containing any batch pattern, one chained-replace rewrite,
+    one netted pair-count delta collect — instead of one job per
+    merge. Natural-language pair distributions share symbols heavily
+    at the head, so batch sizes are data-dependent; the honest average
+    is measured per run in BPE_SCALE_r13.json rather than claimed.
+    Falls back to the single-merge step whenever the safe batch is
+    empty (top-of-dict tie), so progress is unconditional. Bit-equal
+    to train_merges / train_merges_incremental / train_merges_local
+    (pinned in tests/test_bpe.py).
+
+    The driver-side argmax also drops from an O(|pairs|) full-dict min
+    PER MERGE to one O(|pairs| log max_batch) heapq.nsmallest PER
+    ROUND — at a web-scale pair dict (~1e7 entries) that scan, not the
+    Spark job, dominates the unbatched trainer's wall time."""
+    pc: dict[tuple[str, str], int] = {
+        (r["l"], r["r"]): r["pair_cnt"] for r in _pair_counts(segmented).collect()
+    }
+    merges: list[Merge] = []
+    cur = segmented
+    since_checkpoint = 0
+    if stats is not None:  # measurement hook (scripts/bpe_incremental_scale.py)
+        stats["batch_sizes"] = []
+        stats["n_pairs_initial"] = len(pc)
+    while len(merges) < n_merges and pc:
+        batch = _safe_merge_batch(pc, min(max_batch, n_merges - len(merges)))
+        if not batch:  # top-of-dict tie conflict — one sequential step
+            batch = [
+                min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            ]
+        new_merges = [
+            Merge(len(merges) + i + 1, l, r, cnt)
+            for i, ((l, r), cnt) in enumerate(batch)
+        ]
+        patterns = ["{" + m.left + "}{" + m.right + "}" for m in new_merges]
+        hit = F.contains("syms", F.lit(patterns[0]))
+        for p in patterns[1:]:
+            hit = hit | F.contains("syms", F.lit(p))
+        new_syms = F.col("syms")
+        for m in new_merges:
+            new_syms = merge_expr(new_syms, m.left, m.right)
+        affected = cur.filter(hit).select(
+            "cnt", F.col("syms").alias("syms_old"), new_syms.alias("syms_new")
+        )
+        both = affected.select(
+            (-F.col("cnt")).alias("cnt"), F.col("syms_old").alias("syms")
+        ).unionAll(affected.select("cnt", F.col("syms_new").alias("syms")))
+        for d in _pair_counts(both).filter(F.col("pair_cnt") != 0).collect():
+            k = (d["l"], d["r"])
+            nv = pc.get(k, 0) + d["pair_cnt"]
+            if nv < 0:
+                raise AssertionError(
+                    f"negative pair count for {k!r} after batch "
+                    f"{[m.merged for m in new_merges]}: {nv}"
+                )
+            if nv == 0:
+                pc.pop(k, None)
+            else:
+                pc[k] = nv
+        merges.extend(new_merges)
+        if stats is not None:
+            stats["batch_sizes"].append(len(new_merges))
+        cur = cur.withColumn("syms", new_syms)
+        since_checkpoint += len(new_merges)
+        if since_checkpoint >= checkpoint_every:
+            cur = cur.localCheckpoint(eager=True)
+            since_checkpoint = 0
+    return merges
+
+
 def _merge_symbol_list(sl: list[str], left: str, right: str) -> list[str]:
     """Greedy left-to-right non-overlapping merge of (left, right) in a
     symbol list — the list twin of merge_expr's single-pass replace."""
@@ -305,8 +450,11 @@ def train_merges_auto(
     distributed incremental-delta loop. The pre-dispatch job is a
     single column-pruned sum over the symbol-list lengths (collecting
     first and counting after would OOM exactly in the case the bound
-    exists to catch). All three trainers are bit-equal (pinned in
-    tests/test_bpe.py)."""
+    exists to catch). All trainers are bit-equal (pinned in
+    tests/test_bpe.py); the distributed path is the BATCHED
+    incremental trainer — same verdicts, ~batch-size fewer Spark jobs
+    and one heap-select per round instead of a full-dict min per
+    merge (measured in BPE_SCALE_r13.json)."""
     n_syms = segmented.select(
         F.sum(F.size(F.expr(_SYMS_EXPR))).alias("n")
     ).first()["n"]
@@ -317,7 +465,7 @@ def train_merges_auto(
         return train_merges_local(
             [(r["sl"], r["cnt"]) for r in rows], n_merges
         )
-    return train_merges_incremental(segmented, n_merges)
+    return train_merges_incremental_batched(segmented, n_merges)
 
 
 def apply_merges(segmented: DataFrame, merges: list[Merge]) -> DataFrame:

@@ -618,6 +618,20 @@ def containment_drop_ids(
     pairs = containment_pairs(
         shingled, id_col=id_col, t_num=t_num, t_den=t_den
     ).select("id_a", "id_b")
+    return containment_drop_from_pairs(pairs, sizes, id_col=id_col)
+
+
+def containment_drop_from_pairs(
+    pairs: DataFrame, sizes: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The pair-level keep-one rule of :func:`containment_drop_ids`,
+    factored out so the streaming containment view
+    (streaming/containment.containment_drop_view) folds its ACCUMULATED
+    verified pair table through the LITERAL same code — parity with the
+    batch query is then structural, not re-implemented. ``pairs`` is
+    the ordered (id_a contained-in id_b) verdict set; ``sizes`` is
+    (_sid, _n) shingle-set sizes. Drops id_a iff nb > na, ties broken
+    by keeping the smaller id. One deterministic pass, no iteration."""
     p = (
         pairs.join(
             sizes.select(F.col("_sid").alias("id_a"), F.col("_n").alias("na")),

@@ -455,3 +455,62 @@ def start_containment_job(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --------------------------------------------------------------------------
+# read views — the keep/drop CORPUS endpoint derived from accumulated state
+# --------------------------------------------------------------------------
+
+def _all_shingles(spark: SparkSession, index_dir: str) -> DataFrame:
+    path = os.path.join(index_dir, SHINGLES_SUBDIR)
+    compaction.check_readable(path)
+    return (
+        spark.read.option("basePath", path).parquet(path)
+        .select("doc_id", "shingles")
+    )
+
+
+def containment_drop_view(
+    spark: SparkSession, index_dir: str, pairs_dir: str
+) -> DataFrame:
+    """(doc_id) drop list under keep-one containment dedup RIGHT NOW —
+    the accumulated verified pair table folded through the LITERAL
+    batch rule (operators/dedup.containment_drop_from_pairs, the same
+    function doc_containment_corpus and the curation job's
+    --containment stage call). Parity is structural: the streamed pair
+    set equals the batch containment_pairs set exactly (pinned in
+    tests/test_streaming_containment.py — both blockings lossless,
+    verification identical), and the fold is shared code, so the drop
+    list is bit-equal to containment_drop_ids over the ingested corpus.
+
+    Late arrivals behave correctly by construction: a larger container
+    arriving many batches later adds its pair at ingest, and the next
+    READ of this view demotes the previously kept doc — the monotone
+    property an eager keep/drop materialization would lose (same
+    argument as streaming/canonical.kept_corpus_view).
+
+    Scale shape: sizes come from one column-pruned scan of the stored
+    shingle sets (F.size only — the arrays never shuffle); the rule is
+    two equi-joins on the PAIR table (bounded by true subset
+    duplicates, never corpus-sized) + a distinct. Join strategy is left
+    to AQE — no broadcast hint, the pair table is unbounded on a
+    duplicate-heavy corpus."""
+    from flink_tank_spark.operators.dedup import containment_drop_from_pairs
+
+    sizes = _all_shingles(spark, index_dir).select(
+        F.col("doc_id").alias("_sid"), F.size("shingles").alias("_n")
+    )
+    pairs = load_pairs(spark, pairs_dir).select("id_a", "id_b")
+    return containment_drop_from_pairs(pairs, sizes)
+
+
+def containment_kept_view(
+    spark: SparkSession, index_dir: str, pairs_dir: str
+) -> DataFrame:
+    """The surviving doc ids — what a downstream training job reads NOW
+    (the streaming twin of the corpus side of doc_containment_corpus;
+    join it back to the document table for the per-lang accounting)."""
+    dropped = containment_drop_view(spark, index_dir, pairs_dir)
+    ids = _all_shingles(spark, index_dir).select("doc_id")
+    # AQE picks broadcast iff the drop list is actually small
+    return ids.join(dropped, "doc_id", "left_anti")

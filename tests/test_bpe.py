@@ -144,3 +144,83 @@ def test_auto_dispatches_to_distributed_above_limit(spark):
     assert [(m.step, m.left, m.right, m.count) for m in dist] == [
         (m.step, m.left, m.right, m.count) for m in naive
     ]
+
+
+def _key(ms):
+    return [(m.step, m.left, m.right, m.count) for m in ms]
+
+
+def test_batched_equals_naive_on_toy(spark):
+    corpus = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2)]
+    naive = _train(spark, corpus, 6)
+    df = spark.createDataFrame(corpus, "word string, cnt long")
+    batched = bpe.train_merges_incremental_batched(
+        bpe.seed_symbols(df), 6, checkpoint_every=4, max_batch=8
+    )
+    assert _key(batched) == _key(naive)
+
+
+def test_batched_tie_hole_regression(spark):
+    """Merging ("a","z") mints ("az","b") whose count TIES a disjoint
+    accepted pair ("c","c") while sorting lexicographically earlier —
+    the exact case where a contiguous-disjoint-prefix batch WITHOUT the
+    strict count truncation diverges from sequential argmax."""
+    corpus = [("azb", 50), ("az", 50), ("cc", 50)]
+    naive = _train(spark, corpus, 5)
+    df = spark.createDataFrame(corpus, "word string, cnt long")
+    batched = bpe.train_merges_incremental_batched(
+        bpe.seed_symbols(df), 5, checkpoint_every=8, max_batch=8
+    )
+    assert _key(batched) == _key(naive)
+
+
+def test_batched_equals_naive_on_corpus(spark, sf_dir):
+    from flink_tank_spark.io.tables import load_table
+
+    words = bpe.seed_symbols(
+        bpe.word_counts(load_table(spark, sf_dir, "documents"))
+    ).persist()
+    try:
+        naive = bpe.train_merges(words, 32)
+        for mb in (1, 16):  # mb=1 degenerates to the per-merge trainer
+            batched = bpe.train_merges_incremental_batched(
+                words, 32, checkpoint_every=16, max_batch=mb
+            )
+            assert _key(batched) == _key(naive), f"max_batch={mb}"
+    finally:
+        words.unpersist()
+
+
+def test_batched_exhaustion_breaks_early(spark):
+    df = spark.createDataFrame([("a", 3)], "word string, cnt long")
+    merges = bpe.train_merges_incremental_batched(bpe.seed_symbols(df), 5)
+    assert [(m.left, m.right) for m in merges] == [("a", "</w>")]
+
+
+def test_batched_equals_local_on_random_corpora(spark):
+    """Property sweep: random small corpora, batched-vs-local bit
+    equality (local is itself pinned to naive) — exercises ties,
+    collisions, and exhaustion paths the fixtures may miss."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(4):
+        n_words = rng.randint(4, 10)
+        corpus = []
+        for _ in range(n_words):
+            w = "".join(rng.choice("abcz") for _ in range(rng.randint(1, 6)))
+            corpus.append((w, rng.randint(1, 8)))
+        # collapse duplicate words (word_counts would have)
+        agg = {}
+        for w, c in corpus:
+            agg[w] = agg.get(w, 0) + c
+        corpus = sorted(agg.items())
+        df = spark.createDataFrame(corpus, "word string, cnt long")
+        seeded = bpe.seed_symbols(df)
+        local = bpe.train_merges_local(
+            [(list(w) + ["</w>"], c) for w, c in corpus], 12
+        )
+        batched = bpe.train_merges_incremental_batched(
+            seeded, 12, checkpoint_every=6, max_batch=4
+        )
+        assert _key(batched) == _key(local), (trial, corpus)

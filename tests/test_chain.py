@@ -308,24 +308,35 @@ def test_chain_with_fanout_matches_batch(spark, tmp_path):
         trigger_interval="500 milliseconds",
     )
     assert q1.awaitTermination(120)
-    # generous deadline: under a fully loaded suite on a slow host the
-    # aggregation job's 500 ms micro-batches can lag far behind the
-    # emit cadence (observed: one user short of 40 at 120 s while the
-    # solo run converges in ~35 s)
-    deadline = time.time() + 300
+    # progress-aware poll (r12 flake fix): a fixed deadline conflated
+    # "slow host" with "real race" — one full-suite run lost a key
+    # after 300 s while solo runs converge in ~35 s. Now the deadline
+    # extends while q2 is still COMMITTING micro-batches (batchId
+    # advancing => it is lagging, not stuck), and the poll fails fast
+    # once q2 has been batch-idle for idle_window with the condition
+    # unmet — at that point the metrics state is final and a missing
+    # key is evidence of a skipped input file, not slowness.
+    hard_deadline = time.time() + 600
+    idle_window = 150.0
     want_keys = {f"u{k}" for k in range(5)}
-    while time.time() < deadline:
+    last_batch, last_advance = -1, time.time()
+    while time.time() < hard_deadline:
         best = _metric_maxima(metrics)
         if (set(best) == want_keys
                 and all(m["totalEventCount"] == 40 for m in best.values())):
             break
+        lp = q2.lastProgress
+        batch = lp.get("batchId", -1) if lp else -1
+        if batch != last_batch:
+            last_batch, last_advance = batch, time.time()
+        elif time.time() - last_advance > idle_window:
+            break  # q2 idle: no batch committed in idle_window — final
         time.sleep(0.5)
     # snapshot the aggregation query's view of the world BEFORE stop so
-    # a deadline-expiry failure is diagnosable (r12: one full-suite
-    # flake lost a key after the full 300 s poll on an idle host while
-    # solo runs converge in ~35 s — if it recurs, the progress row says
-    # whether q2 stalled, lagged, or silently skipped an input file)
-    diag = (q2.status, q2.lastProgress)
+    # a failure is diagnosable: the progress row says whether q2
+    # stalled, lagged, or silently skipped an input file
+    diag = (q2.status, q2.lastProgress,
+            sorted(f for f in os.listdir(processed) if not f.startswith("_")))
     q2.stop()
     q2.awaitTermination(30)
     best = _metric_maxima(metrics)

@@ -216,3 +216,77 @@ def test_order_sidecar_lifecycle(spark, tmp_path):
     healed = ct.load_order(spark, idx)
     assert healed is not None
     assert {(r.tok, r.odf) for r in healed.collect()} == got
+
+
+def _batch_drop_ids(spark):
+    sh = dedup.shingle_sets(_docs(spark))
+    return {r.doc_id for r in dedup.containment_drop_ids(sh).collect()}
+
+
+def test_corpus_view_matches_batch_across_splits_replay_compaction(
+    spark, tmp_path
+):
+    """The keep-one CORPUS endpoint: containment_drop_view folded from
+    the accumulated pair state must equal the batch
+    containment_drop_ids bit-exactly — after split ingest, after a
+    replayed batch, and after compaction (parity is structural: the
+    pair sets are equal and the fold is the literal shared
+    containment_drop_from_pairs)."""
+    rows = [r.asDict() for r in _docs(spark).collect()]
+    expected_drop = _batch_drop_ids(spark)
+    assert expected_drop, "fixture produced no containment drops"
+    all_ids = {r["doc_id"] for r in rows}
+
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    for i in range(3):
+        _write_jsonl(src, f"b{i}.jsonl", rows[i::3])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck,
+                                    max_files_per_trigger=1))
+
+    def _view_sets():
+        drop = {r.doc_id for r in
+                ct.containment_drop_view(spark, idx, pd_).collect()}
+        kept = {r.doc_id for r in
+                ct.containment_kept_view(spark, idx, pd_).collect()}
+        return drop, kept
+
+    drop, kept = _view_sets()
+    assert drop == expected_drop
+    assert kept == all_ids - expected_drop
+
+    # replayed batch (idempotent per-partition overwrite) → unchanged
+    replay = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows[2::3]],
+        "doc_id long, text string",
+    )
+    ct.incremental_containment_sink(idx, pd_)(replay, 2)
+    assert _view_sets() == (drop, kept)
+
+    # compaction folds the index partitions → views read the same state
+    ct.compact(spark, idx)
+    assert _view_sets() == (drop, kept)
+
+
+def test_corpus_view_demotes_on_late_container(spark, tmp_path):
+    """A larger container arriving many batches later must DEMOTE the
+    previously kept doc at the next read — the monotone-emission
+    property an eager keep/drop materialization would lose."""
+    small = " ".join(f"tok{i}" for i in range(30))
+    big = small + " " + " ".join(f"pad{i}" for i in range(300))
+    src = str(tmp_path / "in")
+    idx, pd_, ck = (
+        str(tmp_path / "idx"), str(tmp_path / "pairs"), str(tmp_path / "ck")
+    )
+    _write_jsonl(src, "b0.jsonl", [{"doc_id": 1, "text": small}])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    kept = {r.doc_id for r in
+            ct.containment_kept_view(spark, idx, pd_).collect()}
+    assert kept == {1}
+    _write_jsonl(src, "b1.jsonl", [{"doc_id": 2, "text": big}])
+    _drain(ct.start_containment_job(spark, src, idx, pd_, ck))
+    kept = {r.doc_id for r in
+            ct.containment_kept_view(spark, idx, pd_).collect()}
+    assert kept == {2}, "doc 1 must be demoted once its container arrives"
