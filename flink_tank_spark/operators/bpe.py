@@ -310,7 +310,12 @@ def train_merges_incremental_batched(
     }
     merges: list[Merge] = []
     cur = segmented
-    since_checkpoint = 0
+    since_checkpoint = 0  # merges since truncation
+    rounds_since = 0  # rounds since truncation — plan DEPTH grows per
+    # round (one chained projection each), so small-batch regimes must
+    # truncate on round count too or Catalyst analysis time dominates
+    # (measured: 35 one-checkpoint rounds ran 2x slower than 64
+    # every-16 unbatched steps on a 20k vocab)
     if stats is not None:  # measurement hook (scripts/bpe_incremental_scale.py)
         stats["batch_sizes"] = []
         stats["n_pairs_initial"] = len(pc)
@@ -354,9 +359,11 @@ def train_merges_incremental_batched(
             stats["batch_sizes"].append(len(new_merges))
         cur = cur.withColumn("syms", new_syms)
         since_checkpoint += len(new_merges)
-        if since_checkpoint >= checkpoint_every:
+        rounds_since += 1
+        if since_checkpoint >= checkpoint_every or rounds_since >= 8:
             cur = cur.localCheckpoint(eager=True)
             since_checkpoint = 0
+            rounds_since = 0
     return merges
 
 

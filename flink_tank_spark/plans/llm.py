@@ -1316,6 +1316,30 @@ def _sql_cosine(a: str, b: str) -> str:
 _SQL_NZ_PRED = _SQL_NORM.format(a="embedding") + " > 0"
 _EMB_NZ_CTE = f"emb_nz AS (\n      SELECT * FROM embeddings WHERE {_SQL_NZ_PRED}\n    )"
 
+# Pair-rescore oracles were dominated by recomputing BOTH norms inside
+# every per-pair cosine (3 interpreted list-aggregates per candidate —
+# 14M+ candidates at sf1 made emb_srp_near_dups_mp the gate's single
+# costliest oracle at 142 s). emb_n materializes each vector's norm
+# ONCE (corpus-sized, one pass); per-pair work drops to the dot alone.
+# Bit-exactness is unconditional: the norm is the IDENTICAL expression
+# evaluated on the identical row — the same IEEE double — and the
+# division is unchanged (verified frame-equal at sf1 before adoption).
+_EMB_N_CTE = (
+    "emb_n AS MATERIALIZED (\n"
+    f"      SELECT vec_id, embedding, ({_SQL_NORM.format(a='embedding')}) AS nrm\n"
+    "      FROM emb_nz\n"
+    "    )"
+)
+
+
+def _sql_cosine_n(a: str, b: str) -> str:
+    """Cosine between two rows JOINED FROM emb_n (``a``/``b`` are table
+    aliases carrying ``embedding`` and the precomputed ``nrm``)."""
+    return (
+        f"({_SQL_DOT.format(a=f'{a}.embedding', b=f'{b}.embedding')}) / "
+        f"({a}.nrm * {b}.nrm)"
+    )
+
 
 def _exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared stage: exact brute-force cosine top-5 (50 rows) — reused by
@@ -2078,10 +2102,11 @@ EMB_NEAR_DUP_CTES = dedent(f"""\
       -- UNFILTERED corpus (engine probes emb.count() before ivf_assign)
       SELECT GREATEST(32, (COUNT(*) + 499) // 500) AS nc FROM embeddings
     ),
+    {_EMB_N_CTE},
     assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
-             {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
-      FROM emb_nz v JOIN emb_nz c ON c.vec_id < (SELECT nc FROM n_cells)
+             {_sql_cosine_n('v', 'c')} AS c_sim
+      FROM emb_n v JOIN emb_n c ON c.vec_id < (SELECT nc FROM n_cells)
     ),
     assigned AS (
       SELECT vec_id, centroid_id FROM (
@@ -2096,10 +2121,12 @@ EMB_NEAR_DUP_CTES = dedent(f"""\
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     ),
     scored AS (
-      SELECT id_a, id_b, {_sql_cosine('ae.embedding', 'be.embedding')} AS cos_sim
+      -- cand ids all come from assigned ⊆ emb_nz, so joining emb_n
+      -- (the nz corpus + norms) scores the identical row set
+      SELECT id_a, id_b, {_sql_cosine_n('ae', 'be')} AS cos_sim
       FROM cand
-      JOIN embeddings ae ON ae.vec_id = id_a
-      JOIN embeddings be ON be.vec_id = id_b
+      JOIN emb_n ae ON ae.vec_id = id_a
+      JOIN emb_n be ON be.vec_id = id_b
     )""")
 
 EMB_NEAR_DUP_SQL = dedent(f"""

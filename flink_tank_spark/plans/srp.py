@@ -33,9 +33,11 @@ from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import similarity
 from flink_tank_spark.operators.skew import spread_partitions
 from flink_tank_spark.plans.llm import (
+    _EMB_N_CTE,
     _EMB_NZ_CTE,
     _exact_topk,
     _sql_cosine,
+    _sql_cosine_n,
     EMB_COSINE_TOPK_SQL,
 )
 from flink_tank_spark.plans.registry import QuerySpec
@@ -353,12 +355,13 @@ EMB_SRP_NEAR_DUPS_SQL = dedent(f"""
       FROM bands_nd a JOIN bands_nd b USING (band_key)
       WHERE a.vec_id < b.vec_id
     ),
+    {_EMB_N_CTE},
     pair_scored AS (
       SELECT p.id_a, p.id_b,
-             {_sql_cosine('x.embedding', 'y.embedding')} AS cos_sim
+             {_sql_cosine_n('x', 'y')} AS cos_sim
       FROM pair_cand p
-      JOIN emb_nz x ON x.vec_id = p.id_a
-      JOIN emb_nz y ON y.vec_id = p.id_b
+      JOIN emb_n x ON x.vec_id = p.id_a
+      JOIN emb_n y ON y.vec_id = p.id_b
     )
     SELECT id_a, id_b, cos_sim
     FROM pair_scored WHERE cos_sim >= {NEAR_DUP_THRESHOLD}
@@ -431,12 +434,13 @@ EMB_SRP_NEAR_DUPS_MP_SQL = dedent(f"""
         WHERE p.vec_id <> k.vec_id
       )
     ),
+    {_EMB_N_CTE},
     pair_scored_mp AS (
       SELECT p.id_a, p.id_b,
-             {_sql_cosine('x.embedding', 'y.embedding')} AS cos_sim
+             {_sql_cosine_n('x', 'y')} AS cos_sim
       FROM pair_cand_mp p
-      JOIN emb_nz x ON x.vec_id = p.id_a
-      JOIN emb_nz y ON y.vec_id = p.id_b
+      JOIN emb_n x ON x.vec_id = p.id_a
+      JOIN emb_n y ON y.vec_id = p.id_b
     )
     SELECT id_a, id_b, cos_sim
     FROM pair_scored_mp WHERE cos_sim >= {NEAR_DUP_THRESHOLD}

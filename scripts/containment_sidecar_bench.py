@@ -17,12 +17,23 @@ variants (mirroring the sink), so the delta isolates the dictionary
 derivation + join-side difference.
 
 Usage: python scripts/containment_sidecar_bench.py [sf_dir] [cpus] [out]
+
+``sf_dir`` may also be ``synth:<n_docs>:<vocab>`` — a deterministic
+HIGH-VOCABULARY corpus (words drawn uniformly from a <vocab>-word
+space, 150 words/doc, every 10th probe doc a contiguous 80% slice of a
+base doc so verified containment pairs exist). The r12 A/B ran on the
+sf1 documents table whose 29,791 distinct shingles make the order
+dictionary trivially small; the synthetic corpus pushes the
+accumulated dictionary past 10^6 rows — the regime where the
+fallback's per-batch O(index) re-aggregate + dictionary rebuild is
+structurally expensive (round-12 verdict task 4).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
 import shutil
 import sys
 import tempfile
@@ -30,6 +41,26 @@ import time
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
+
+
+def synth_corpus(n_docs: int, vocab: int, seed: int = 7):
+    """Deterministic (doc_id, text) rows with ~149 distinct 3-shingles
+    per doc and planted containment: every 10th doc in the LAST 40%
+    (the probe region) is a contiguous 80% slice of a base-region doc,
+    so its shingle set is a strict subset (containment 1.0)."""
+    rng = random.Random(seed)
+    words_per_doc = 150
+    texts = []
+    for _ in range(n_docs):
+        texts.append(
+            " ".join(f"w{rng.randrange(vocab)}" for _ in range(words_per_doc))
+        )
+    base_end = int(n_docs * 0.6)
+    for i in range(base_end, n_docs):
+        if (i - base_end) % 10 == 0:
+            donor = texts[rng.randrange(base_end)].split(" ")
+            texts[i] = " ".join(donor[: int(words_per_doc * 0.8)])
+    return [(i, t) for i, t in enumerate(texts)]
 
 
 def main() -> int:
@@ -47,12 +78,19 @@ def main() -> int:
     idx = os.path.join(work, "idx")
     pd_ = os.path.join(work, "pairs")
     try:
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
-        )
-        rows = docs.collect()
+        if sf_dir.startswith("synth:"):
+            _, nd, vb = sf_dir.split(":")
+            synth = synth_corpus(int(nd), int(vb))
+            rows = spark.createDataFrame(
+                synth, "doc_id long, text string"
+            ).collect()
+        else:
+            docs = (
+                load_table(spark, sf_dir, "documents")
+                .select("doc_id", "text")
+                .orderBy("doc_id")
+            )
+            rows = docs.collect()
         base, probes = rows[: int(len(rows) * 0.6)], rows[int(len(rows) * 0.6):]
         sink = ct.incremental_containment_sink(idx, pd_)
         for b in range(4):
