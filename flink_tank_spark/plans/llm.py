@@ -181,14 +181,21 @@ LSH_PAIRS_CTES = dedent(f"""\
              a.shingles AS sh_a, b.shingles AS sh_b
       FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    near_dups AS (
+    near_dups_raw AS (
+      -- one list_intersect per candidate (the 5x-spelled-out original
+      -- re-evaluated it per occurrence; this CTE block is shared by
+      -- every LSH-graph oracle, so the waste multiplied across
+      -- doc_lsh_near_dups/pagerank/canonical/leakage gate rows)
       SELECT id_a, id_b,
              len(list_intersect(sh_a, sh_b)) AS n_common,
-             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-               / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+             len(sh_a) AS na, len(sh_b) AS nb
       FROM cands
-      WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
-              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.8
+    ),
+    near_dups AS (
+      SELECT id_a, id_b, n_common,
+             CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+      FROM near_dups_raw
+      WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.8
     )""")
 
 DOC_LSH_NEAR_DUPS_SQL = dedent(f"""
@@ -3097,18 +3104,23 @@ DOC_PPJOIN_SQL = dedent(f"""
       FROM prefix a JOIN prefix b ON a.tok = b.tok
            AND a.doc_id < b.doc_id
            AND 5 * b.n >= 4 * a.n AND 5 * a.n >= 4 * b.n
+    ),
+    verify AS (
+      -- the list_intersect runs ONCE per candidate here; the original
+      -- spelled it out 5x across SELECT/WHERE and DuckDB re-evaluated
+      -- each occurrence (666 s of the r12 sf1 gate was this oracle).
+      -- Values are bit-identical: same intersect, same arithmetic.
+      SELECT id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+             len(sa.shingles) AS na, len(sb.shingles) AS nb
+      FROM cands c
+      JOIN shingled sa ON sa.doc_id = c.id_a
+      JOIN shingled sb ON sb.doc_id = c.id_b
     )
-    SELECT id_a, id_b,
-           len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / (len(sa.shingles) + len(sb.shingles)
-                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
-    FROM cands c
-    JOIN shingled sa ON sa.doc_id = c.id_a
-    JOIN shingled sb ON sb.doc_id = c.id_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-            / (len(sa.shingles) + len(sb.shingles)
-               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+    FROM verify
+    WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.8
     ORDER BY id_a, id_b
 """)
 
@@ -3161,14 +3173,14 @@ _CONTAINMENT_VERIFIED_CTES = dedent(f"""\
       HAVING COUNT(*) >= CASE WHEN a.n >= 2 THEN 2 ELSE 1 END
     ),
     verified AS MATERIALIZED (
-      SELECT id_a, id_b,
-             len(sa.shingles) AS na, len(sb.shingles) AS nb,
-             len(list_intersect(sa.shingles, sb.shingles)) AS n_common
-      FROM cands c
-      JOIN shingled sa ON sa.doc_id = c.id_a
-      JOIN shingled sb ON sb.doc_id = c.id_b
-      WHERE 10 * len(list_intersect(sa.shingles, sb.shingles))
-              >= 9 * len(sa.shingles)
+      SELECT id_a, id_b, na, nb, n_common FROM (
+        SELECT id_a, id_b,
+               len(sa.shingles) AS na, len(sb.shingles) AS nb,
+               len(list_intersect(sa.shingles, sb.shingles)) AS n_common
+        FROM cands c
+        JOIN shingled sa ON sa.doc_id = c.id_a
+        JOIN shingled sb ON sb.doc_id = c.id_b
+      ) WHERE 10 * n_common >= 9 * na
     )""")
 
 DOC_CONTAINMENT_SQL = dedent(f"""

@@ -41,15 +41,34 @@ class QuerySpec:
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
 # run FIRST (order is otherwise meaningless to the gate). Round-13
 # rotation (computed from the union of all CORRECTNESS_r*.json after
-# round 12: 50 certed r12, 50 r11, 48 r10, 3 r9): head =
-# ev_json_extract (plan changed in r12 after its r11 cert), then the
-# 3 round-9 certs, then the 48 round-10 certs — 52 queries ≈ one
-# driver budget. The r11/r12 certs sit at the tail.
+# round 12: 50 certed r12, 50 r11, 48 r10, 3 r9): head = the 16
+# queries whose ORACLE text changed this round (compute-once verify
+# CTEs + emb_n norms join — values bit-identical, but a changed
+# comparison side needs a fresh driver cert) plus ev_json_extract
+# (plan changed r12 after its r11 cert), then the 3 round-9 certs,
+# then the remaining 44 round-10 certs — 64 queries; the driver budget
+# (~50) certifies the head and the r10 tail rolls to next round.
 FRONT_OF_LINE = (
-    # plan changed in round 12 (lenient try_parse_json) AFTER its r11 driver
-    # cert — the only not-driver-verified surface; re-certify first
+    # oracle/plan changed THIS round (r13: compute-once pair verify CTEs,
+    # emb_n norms join; ev_json_extract changed r12) — certify first
     "ev_json_extract",
-    # newest driver cert is round 9 — stalest, run next
+    "doc_lsh_near_dups",
+    "doc_containment_dups",
+    "emb_near_dup_pairs",
+    "emb_srp_near_dups",
+    "doc_dedup_groups",
+    "doc_containment_corpus",
+    "doc_ppjoin_near_dups",
+    "doc_split_leakage",
+    "doc_dedup_corpus",
+    "emb_semantic_dedup",
+    "doc_minhash_est",
+    "doc_pagerank",
+    "doc_triangles",
+    "doc_kcore",
+    "doc_canonical_by_pr",
+    "emb_srp_near_dups_mp",
+    # newest driver cert is round 9
     "tbl_fk_audit",
     "tbl_mcv_lineitem",
     "tbl_profile_lineitem",
@@ -81,8 +100,6 @@ FRONT_OF_LINE = (
     "ev_value_outliers",
     "emb_matryoshka_topk",
     "doc_minhash",
-    "doc_lsh_near_dups",
-    "doc_containment_dups",
     "doc_jaccard_topk",
     "doc_simhash",
     "doc_lang_id",
@@ -90,11 +107,9 @@ FRONT_OF_LINE = (
     "emb_knn_label_purity",
     "emb_cosine_topk",
     "emb_ivf_topk",
-    "emb_near_dup_pairs",
     "mm_decode",
     "emb_srp_topk",
     "emb_srp_recall",
-    "emb_srp_near_dups",
     "ev_zorder_extents",
     "emb_profile_dims",
     "doc_simhash_near_dups",

@@ -96,6 +96,19 @@ def main() -> None:
     print(json.dumps({"unbatched_incremental": report["unbatched_incremental"]}),
           flush=True)
 
+    # matched-depth A/B: batched at the SAME merge count as unbatched,
+    # so the per-merge comparison is not confounded by depth-dependent
+    # costs (pair-dict growth, affected-set size)
+    t0 = time.time()
+    batched_cmp = bpe.train_merges_incremental_batched(words, n_cmp)
+    bct = time.time() - t0
+    report["batched_at_cmp"] = {
+        "n_merges": len(batched_cmp),
+        "sec": round(bct, 2),
+        "sec_per_merge": round(bct / max(1, len(batched_cmp)), 4),
+    }
+    print(json.dumps({"batched_at_cmp": report["batched_at_cmp"]}), flush=True)
+
     # local trainer at the same production count (the collect path the
     # auto dispatch picks when the vocab fits the driver)
     rows = words.select(F.expr(bpe._SYMS_EXPR).alias("sl"), "cnt").collect()
