@@ -433,10 +433,23 @@ def ppjoin_pairs(
     enter a prefix. A size filter (t·|a| ≤ |b| ≤ |a|/t) prunes
     length-incompatible candidates in the same join.
 
+    POSITIONAL filter (Xiao et al. PPJoin, VLDB'08 — public algorithm),
+    lossless: a qualifying pair needs overlap
+    α = ceil(t·(na+nb)/(1+t)), and at a shared token at ranks
+    (rn_a, rn_b) the overlap is bounded by 1 + min(na−rn_a, nb−rn_b)
+    (every other common token ranks after it in BOTH docs). The FIRST
+    common token of a qualifying pair lies in both prefixes (the
+    prefix pigeonhole) and satisfies the bound there, so keeping a
+    pair iff ANY matched prefix row passes the test is exact — recall
+    1.0 unchanged, candidate volume sharply down on shingle-dense
+    corpora where bare prefix joins degenerate (the sf5 lesson from
+    containment_pairs).
+
     Scale shape: one token df groupBy, per-doc rank windows (doc-sized
     partitions, high-cardinality key), one equi-join on prefix tokens,
     exact verification restricted to candidates. Integer prefix
-    arithmetic: ceil(t·n) = (t_num·n + t_den − 1) div t_den.
+    arithmetic: ceil(t·n) = (t_num·n + t_den − 1) div t_den;
+    α = ceil(t_num·(na+nb) / (t_den+t_num)).
     """
     tok = shingled.select(F.col(id_col), F.explode("shingles").alias("tok"))
     df_tbl = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tdf"))
@@ -450,14 +463,30 @@ def ppjoin_pairs(
         F.col("rn")
         <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}") + 1
     )
-    a = prefix.select(F.col(id_col).alias("id_a"), "tok", F.col("n").alias("na"))
-    b = prefix.select(F.col(id_col).alias("id_b"), "tok", F.col("n").alias("nb"))
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "tok",
+        F.col("n").alias("na"), F.col("rn").alias("rn_a"),
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "tok",
+        F.col("n").alias("nb"), F.col("rn").alias("rn_b"),
+    )
+    alpha = F.expr(
+        f"({t_num} * (na + nb) + {t_den + t_num} - 1) div {t_den + t_num}"
+    )
     cands = (
         a.join(b, "tok")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("nb") * t_den >= F.col("na") * t_num)
             & (F.col("na") * t_den >= F.col("nb") * t_num)
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("rn_a"), F.col("nb") - F.col("rn_b")
+                )
+                >= alpha
+            )
         )
         .select("id_a", "id_b")
         .distinct()

@@ -3096,14 +3096,19 @@ DOC_PPJOIN_SQL = dedent(f"""
       FROM tok t JOIN dfq d USING (tok)
     ),
     prefix AS (
-      SELECT doc_id, tok, n FROM sorted_
+      SELECT doc_id, tok, n, rn FROM sorted_
       WHERE rn <= n - (4 * n + 4) // 5 + 1
     ),
     cands AS (
+      -- positional filter (engine mirror, operators/dedup.ppjoin_pairs):
+      -- a qualifying pair's FIRST common token passes
+      -- 1 + min(na-rn_a, nb-rn_b) >= ceil(4(na+nb)/9), so ANY-row-passes
+      -- is lossless; cuts sf1 candidates 3.0x (5.34M -> 1.78M)
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM prefix a JOIN prefix b ON a.tok = b.tok
            AND a.doc_id < b.doc_id
            AND 5 * b.n >= 4 * a.n AND 5 * a.n >= 4 * b.n
+           AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9
     ),
     verify AS (
       -- the list_intersect runs ONCE per candidate here; the original
