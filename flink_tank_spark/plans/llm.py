@@ -182,10 +182,10 @@ LSH_PAIRS_CTES = dedent(f"""\
       FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
     near_dups_raw AS (
-      -- one list_intersect per candidate (the 5x-spelled-out original
-      -- re-evaluated it per occurrence; this CTE block is shared by
-      -- every LSH-graph oracle, so the waste multiplied across
-      -- doc_lsh_near_dups/pagerank/canonical/leakage gate rows)
+      -- compute-once form of the 5x-spelled-out intersect; honest A/B
+      -- (ORACLE_AB_r13.json): ~neutral on doc_lsh_near_dups (DuckDB
+      -- CSEs the repetition), 1.27x on doc_canonical_by_pr — kept for
+      -- readability and the canonical win. Values bit-identical.
       SELECT id_a, id_b,
              len(list_intersect(sh_a, sh_b)) AS n_common,
              len(sh_a) AS na, len(sh_b) AS nb
@@ -3111,10 +3111,11 @@ DOC_PPJOIN_SQL = dedent(f"""
            AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (4 * (a.n + b.n) + 8) // 9
     ),
     verify AS (
-      -- the list_intersect runs ONCE per candidate here; the original
-      -- spelled it out 5x across SELECT/WHERE and DuckDB re-evaluated
-      -- each occurrence (666 s of the r12 sf1 gate was this oracle).
-      -- Values are bit-identical: same intersect, same arithmetic.
+      -- compute-once form of the 5x-spelled-out intersect. Honest A/B
+      -- (ORACLE_AB_r13.json): NEUTRAL — DuckDB already CSEs the
+      -- repeated list_intersect; kept for readability. The measured
+      -- cost cut for this oracle is the positional filter above
+      -- (3x fewer candidates to verify). Values bit-identical.
       SELECT id_a, id_b,
              len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
              len(sa.shingles) AS na, len(sb.shingles) AS nb
