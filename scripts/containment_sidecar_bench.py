@@ -67,6 +67,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "data/sf1"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     out = sys.argv[3] if len(sys.argv) > 3 else "CONTAINMENT_SIDECAR_r12.json"
+    # probe-batch count: more batches = smaller batches = the realistic
+    # streaming regime (small per-trigger work against a large
+    # accumulated index), where the fallback's O(index) re-aggregate is
+    # proportionally heaviest
+    n_probe = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
     from flink_tank_spark.io.tables import load_table
     from flink_tank_spark.session import get_spark
@@ -112,7 +117,7 @@ def main() -> int:
             "dict_rows": n_dict,
             "batches": [],
         }
-        n_probe_batches = 4
+        n_probe_batches = n_probe
         for b in range(n_probe_batches):
             batch = spark.createDataFrame(
                 [(r.doc_id, r.text) for r in probes[b::n_probe_batches]],

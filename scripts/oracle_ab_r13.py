@@ -56,9 +56,12 @@ def old_oracles(commit: str) -> dict[str, str]:
 
 
 def main() -> None:
+    global QUERIES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "data/sf1"
     commit = sys.argv[2] if len(sys.argv) > 2 else "2bb1c3c"
     out_path = sys.argv[3] if len(sys.argv) > 3 else "ORACLE_AB_r13.json"
+    if len(sys.argv) > 4:  # optional comma-separated subset
+        QUERIES = [q for q in sys.argv[4].split(",") if q]
 
     old = old_oracles(commit)
     from flink_tank_spark.plans.registry import all_queries
