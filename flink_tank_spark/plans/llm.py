@@ -2109,11 +2109,10 @@ EMB_NEAR_DUP_CTES = dedent(f"""\
       -- UNFILTERED corpus (engine probes emb.count() before ivf_assign)
       SELECT GREATEST(32, (COUNT(*) + 499) // 500) AS nc FROM embeddings
     ),
-    {_EMB_N_CTE},
     assign_scored AS (
       SELECT v.vec_id, c.vec_id AS centroid_id,
-             {_sql_cosine_n('v', 'c')} AS c_sim
-      FROM emb_n v JOIN emb_n c ON c.vec_id < (SELECT nc FROM n_cells)
+             {_sql_cosine('v.embedding', 'c.embedding')} AS c_sim
+      FROM emb_nz v JOIN emb_nz c ON c.vec_id < (SELECT nc FROM n_cells)
     ),
     assigned AS (
       SELECT vec_id, centroid_id FROM (
@@ -2128,12 +2127,17 @@ EMB_NEAR_DUP_CTES = dedent(f"""\
         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
     ),
     scored AS (
-      -- cand ids all come from assigned ⊆ emb_nz, so joining emb_n
-      -- (the nz corpus + norms) scores the identical row set
-      SELECT id_a, id_b, {_sql_cosine_n('ae', 'be')} AS cos_sim
+      -- NOTE (r13): this block deliberately does NOT use the emb_n
+      -- norms-join that pays off in the SRP near-dup oracles — at sf1
+      -- the MATERIALIZED-CTE join shape here degenerated (22 GB,
+      -- single-threaded, >36 min vs 16 s for this original), while the
+      -- original streams the parquet-backed embeddings join in 16 s.
+      -- Only adopt a "faster" oracle shape where it is measured
+      -- faster at the gate scale.
+      SELECT id_a, id_b, {_sql_cosine('ae.embedding', 'be.embedding')} AS cos_sim
       FROM cand
-      JOIN emb_n ae ON ae.vec_id = id_a
-      JOIN emb_n be ON be.vec_id = id_b
+      JOIN embeddings ae ON ae.vec_id = id_a
+      JOIN embeddings be ON be.vec_id = id_b
     )""")
 
 EMB_NEAR_DUP_SQL = dedent(f"""
