@@ -51,16 +51,35 @@ def curation_flags(
     max_dup_3gram: float = 0.5,
     eval_docs: DataFrame | None = None,
     reliable_checkpoint: bool = False,
-    containment: bool = False,
+    containment: bool | str = False,
 ) -> DataFrame:
     """Per-doc keep/drop flags for every stage: (doc_id, lang,
     keep_<stage> for each of STAGES, kept).
 
     ``eval_docs``: (doc_id, text) benchmark suite for decontamination;
-    None ⇒ keep_decontam is true everywhere. ``containment``: run the
-    exact subset-duplicate detector (off ⇒ keep_containment is true
-    everywhere and the prefix-filter join never runs).
+    None ⇒ keep_decontam is true everywhere. ``containment`` selects
+    the subset-duplicate detector mode:
+
+    - ``False`` / ``"off"``: keep_containment is true everywhere and
+      the prefix-filter join never runs;
+    - ``True`` / ``"global"``: drop docs contained ≥0.9 in a larger
+      doc of the FULL input corpus (stage-independent verdict — see
+      the in-line semantics note);
+    - ``"survivors"``: drop docs contained ≥0.9 in a larger doc that
+      itself SURVIVED every other stage (r13 verdict #7) — a
+      container dropped by quality/decontam no longer takes its
+      contained docs' content out of the corpus. The verdict now
+      depends on the other stages' outcome, which is exactly the
+      point; the pair join runs on the (smaller) survivor set. The
+      construction references the other flags' subplan twice — the
+      heavy LSH/CC stage is localCheckpoint-materialized inside
+      connected_components so it is built once; the remaining
+      recompute is one extra hash-dedup shuffle + decontam pass over
+      ``docs`` (persist ``docs`` upstream if that matters).
     """
+    mode = {False: "off", True: "global"}.get(containment, containment)
+    if mode not in ("off", "global", "survivors"):
+        raise ValueError(f"containment mode {containment!r}")
     with_words = docs.select(
         "doc_id", "lang", "text", F.split("text", " ").alias("_w")
     )
@@ -85,38 +104,6 @@ def curation_flags(
     flags = flags.join(F.broadcast(dropped_nd), "doc_id", "left").withColumn(
         "keep_neardup", F.col("_nd_drop").isNull()
     ).drop("_nd_drop")
-
-    # 3. containment: keep-one dedup over the exact containment-≥0.9
-    # pair set — subset duplicates have J → 0, so the Jaccard stages
-    # above structurally cannot catch them. containment_drop_ids drops
-    # a doc only when contained in a LARGER doc (ties keep the smaller
-    # id), so mutual-containment pairs lose one member, never both;
-    # the pair set underneath is the oracle-certified
-    # doc_containment_dups join (lossless prefix/positional/multi-match
-    # prunes).
-    #
-    # Drop-list semantics are GLOBAL (stage-independent), matching the
-    # doc_containment_corpus oracle and the neardup stage above: the
-    # pair set is computed over the FULL input corpus, so doc A
-    # contained in B is dropped even when B itself is later dropped by
-    # quality/decontam — A's content then ships in no surviving doc.
-    # This is intentional: each keep_* flag is an independent verdict
-    # on the raw corpus (the funnel counts stay composable and every
-    # stage stays oracle-checkable in isolation); a
-    # keep-one-among-survivors variant would make the containment
-    # verdict depend on downstream stage order. Callers who need
-    # survivor-relative keep-one should re-run containment_drop_ids on
-    # the post-filter corpus.
-    if containment:
-        contained = dedup.containment_drop_ids(
-            dedup.shingle_sets(docs)
-        ).withColumn("_cn_drop", F.lit(True))
-        # no smallness guarantee — plain join, AQE picks the strategy
-        flags = flags.join(contained, "doc_id", "left").withColumn(
-            "keep_containment", F.col("_cn_drop").isNull()
-        ).drop("_cn_drop")
-    else:
-        flags = flags.withColumn("keep_containment", F.lit(True))
 
     # 4./5. per-row map stages.
     rep = text.repetition_stats(F.col("_w"), F.col("text"))
@@ -162,6 +149,52 @@ def curation_flags(
     else:
         flags = flags.withColumn("keep_decontam", F.lit(True))
 
+    # 3. containment (computed last so the "survivors" mode can see the
+    # other flags; its funnel POSITION stays third — STAGES order): keep-
+    # one dedup over the exact containment-≥0.9 pair set — subset
+    # duplicates have J → 0, so the Jaccard stages above structurally
+    # cannot catch them. containment_drop_ids drops a doc only when
+    # contained in a LARGER doc (ties keep the smaller id), so
+    # mutual-containment pairs lose one member, never both; the pair
+    # set underneath is the oracle-certified doc_containment_dups join
+    # (lossless prefix/positional/multi-match prunes).
+    #
+    # "global" drop-list semantics are stage-independent, matching the
+    # doc_containment_corpus oracle and the neardup stage above: the
+    # pair set is computed over the FULL input corpus, so doc A
+    # contained in B is dropped even when B itself is later dropped by
+    # quality/decontam — A's content then ships in no surviving doc.
+    # Each keep_* flag is an independent verdict on the raw corpus (the
+    # funnel counts stay composable and every stage stays
+    # oracle-checkable in isolation). "survivors" trades that
+    # composability for content preservation: the candidate container
+    # pool is restricted to docs whose OTHER flags are all true, so a
+    # quality-dropped container can no longer evict its contained docs.
+    # Note the drop rule itself is unchanged (shared literal
+    # containment_drop_ids); only the input corpus differs.
+    if mode == "off":
+        flags = flags.withColumn("keep_containment", F.lit(True))
+    else:
+        if mode == "global":
+            pool = docs
+        else:  # survivors of every non-containment stage
+            other_ok = None
+            for s in STAGES:
+                if s == "containment":
+                    continue
+                c = F.col(f"keep_{s}")
+                other_ok = c if other_ok is None else other_ok & c
+            pool = docs.join(
+                flags.filter(other_ok).select("doc_id"), "doc_id"
+            )
+        contained = dedup.containment_drop_ids(
+            dedup.shingle_sets(pool)
+        ).withColumn("_cn_drop", F.lit(True))
+        # no smallness guarantee — plain join, AQE picks the strategy
+        flags = flags.join(contained, "doc_id", "left").withColumn(
+            "keep_containment", F.col("_cn_drop").isNull()
+        ).drop("_cn_drop")
+
     kept = None
     for s in STAGES:
         c = F.col(f"keep_{s}")
@@ -194,7 +227,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-decontam", action="store_true")
     # optional round-10/11 curation stages
     ap.add_argument("--containment", action="store_true",
-                    help="drop docs contained >=0.9 in another doc")
+                    help="drop docs contained >=0.9 in another doc "
+                         "(global semantics: containers drop their "
+                         "contained docs even if themselves dropped "
+                         "later)")
+    ap.add_argument("--containment-after-filters", action="store_true",
+                    help="survivor-relative containment: only docs "
+                         "that pass every other stage count as "
+                         "containers, so a quality-dropped container "
+                         "does not evict its contained docs (implies "
+                         "the containment stage; overrides "
+                         "--containment)")
     ap.add_argument("--sample-k", type=int, default=0,
                     help="downsample the kept corpus to the ticket-ballot "
                          "weighted sample of k winning tickets (0 = off)")
@@ -221,10 +264,13 @@ def run(spark: SparkSession, args) -> int:
         F.col("doc_id") % 11 == 0
     ).select("doc_id", "text")
     sample_k = getattr(args, "sample_k", 0) or 0
+    containment_mode: bool | str = getattr(args, "containment", False)
+    if getattr(args, "containment_after_filters", False):
+        containment_mode = "survivors"
     flags = curation_flags(
         docs, args.min_quality, args.max_dup_3gram, eval_docs,
         reliable_checkpoint=getattr(args, "reliable_checkpoint", False),
-        containment=getattr(args, "containment", False),
+        containment=containment_mode,
     ).persist()  # consumed twice (corpus write + funnel stats): compute once
     corpus = None
     try:
@@ -267,6 +313,11 @@ def run(spark: SparkSession, args) -> int:
 
         write_partitioned(corpus, args.out, ["lang"])
         stats = funnel_stats(flags)
+        # funnel accounting: which containment semantics produced the
+        # after_containment line (r13 verdict #7)
+        stats["containment_mode"] = {False: "off", True: "global"}.get(
+            containment_mode, containment_mode
+        )
         if sample_k:
             extra_stats["n_sampled"] = corpus.count()
 

@@ -147,6 +147,7 @@ def train_merges_incremental(
     segmented: DataFrame,
     n_merges: int,
     checkpoint_every: int = 16,
+    initial_pc: dict[tuple[str, str], int] | None = None,
 ) -> list[Merge]:
     """Learn ``n_merges`` BPE merges with INCREMENTAL pair-count deltas —
     the scale path past the naive loop's O(n_merges) full recounts.
@@ -178,9 +179,14 @@ def train_merges_incremental(
     byte order — Python tuple compare == Spark/DuckDB binary collation
     for the [a-z</>]-only symbol alphabet).
     """
-    pc: dict[tuple[str, str], int] = {
-        (r["l"], r["r"]): r["pair_cnt"] for r in _pair_counts(segmented).collect()
-    }
+    pc: dict[tuple[str, str], int] = (
+        initial_pc
+        if initial_pc is not None
+        else {
+            (r["l"], r["r"]): r["pair_cnt"]
+            for r in _pair_counts(segmented).collect()
+        }
+    )
     merges: list[Merge] = []
     cur = segmented
     for step in range(1, n_merges + 1):
@@ -287,6 +293,7 @@ def train_merges_incremental_batched(
     checkpoint_every: int = 64,
     max_batch: int = 64,
     stats: dict | None = None,
+    initial_pc: dict[tuple[str, str], int] | None = None,
 ) -> list[Merge]:
     """:func:`train_merges_incremental` with the O(n_merges) job chain
     cut: each round applies a BATCH of provably order-safe merges
@@ -315,9 +322,14 @@ def train_merges_incremental_batched(
     exactly where the distributed path runs at all: past
     DRIVER_SYMBOL_LIMIT, where pair dicts are large and per-job
     scheduling latency is real."""
-    pc: dict[tuple[str, str], int] = {
-        (r["l"], r["r"]): r["pair_cnt"] for r in _pair_counts(segmented).collect()
-    }
+    pc: dict[tuple[str, str], int] = (
+        initial_pc
+        if initial_pc is not None
+        else {
+            (r["l"], r["r"]): r["pair_cnt"]
+            for r in _pair_counts(segmented).collect()
+        }
+    )
     merges: list[Merge] = []
     cur = segmented
     since_checkpoint = 0  # merges since truncation
@@ -455,11 +467,22 @@ def train_merges_local(
 # ~0.4 GB on top (peak RSS 1.59 GB total at 4096 merges).
 DRIVER_SYMBOL_LIMIT = 8_000_000
 
+# Below this many distinct adjacent pairs, the driver argmax is cheap
+# and the batched trainer's per-round heap-select buys nothing while its
+# wider rounds cost ~1.4x per merge at matched depth (measured,
+# BPE_SCALE_r13.json matched-depth A/B on a ~3k-pair dict); above it,
+# the full-dict min PER MERGE dominates the unbatched trainer's wall
+# time (2.84 s/min at 1e7 pairs vs 0.86 s/merge batched — same file).
+# 1e5 sits well inside the batched win region measured end-to-end in
+# BPE_SCALE_r14.json (multi-script corpus, >=1e6-pair dict).
+PAIR_DICT_BATCH_THRESHOLD = 100_000
+
 
 def train_merges_auto(
     segmented: DataFrame,
     n_merges: int,
     driver_symbol_limit: int = DRIVER_SYMBOL_LIMIT,
+    pair_dict_batch_threshold: int = PAIR_DICT_BATCH_THRESHOLD,
 ) -> list[Merge]:
     """Dispatch on the (bounded) vocabulary SIZE IN SYMBOLS:
     collect-and-train locally when the seeded word table fits the
@@ -468,10 +491,16 @@ def train_merges_auto(
     single column-pruned sum over the symbol-list lengths (collecting
     first and counting after would OOM exactly in the case the bound
     exists to catch). All trainers are bit-equal (pinned in
-    tests/test_bpe.py); the distributed path is the BATCHED
-    incremental trainer — same verdicts, ~batch-size fewer Spark jobs
-    and one heap-select per round instead of a full-dict min per
-    merge (measured in BPE_SCALE_r13.json)."""
+    tests/test_bpe.py).
+
+    The distributed path dispatches AGAIN on pair-dict size (r13
+    advisory): the batched trainer's win is replacing a full-dict
+    argmin PER MERGE with one heap-select per round, so it only pays
+    when the pair dict is large; a big corpus over a SMALL alphabet
+    (pair dict bounded by alphabet^2, e.g. ~3k for [a-z]) regresses
+    ~1.4x under batching at matched depth (BPE_SCALE_r13.json). The
+    dict is collected once here and handed to whichever trainer runs
+    (``initial_pc``), so the dispatch costs no extra Spark job."""
     n_syms = segmented.select(
         F.sum(F.size(F.expr(_SYMS_EXPR))).alias("n")
     ).first()["n"]
@@ -482,7 +511,13 @@ def train_merges_auto(
         return train_merges_local(
             [(r["sl"], r["cnt"]) for r in rows], n_merges
         )
-    return train_merges_incremental_batched(segmented, n_merges)
+    pc: dict[tuple[str, str], int] = {
+        (r["l"], r["r"]): r["pair_cnt"]
+        for r in _pair_counts(segmented).collect()
+    }
+    if len(pc) < pair_dict_batch_threshold:
+        return train_merges_incremental(segmented, n_merges, initial_pc=pc)
+    return train_merges_incremental_batched(segmented, n_merges, initial_pc=pc)
 
 
 def apply_merges(segmented: DataFrame, merges: list[Merge]) -> DataFrame:

@@ -39,70 +39,16 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-13
+# run FIRST (order is otherwise meaningless to the gate). Round-14
 # rotation (computed from the union of all CORRECTNESS_r*.json after
-# round 12: 50 certed r12, 50 r11, 48 r10, 3 r9): head = the 16
-# queries whose ORACLE text changed this round (compute-once verify
-# CTEs + emb_n norms join — values bit-identical, but a changed
-# comparison side needs a fresh driver cert) plus ev_json_extract
-# (plan changed r12 after its r11 cert), then the 3 round-9 certs,
-# then the remaining 44 round-10 certs — 64 queries; the driver budget
-# (~50) certifies the head and the r10 tail rolls to next round.
+# round 13: 50 certed r13, 43 r12, 44 r11, 14 r10; zero oracle/plan
+# text changed this round, so no changed-comparison head is needed):
+# the 14 round-10 certs lead (r13 verdict #4), then the full round-11
+# block — 58 queries; the driver budget (~50) certifies the head and
+# the r11 tail rolls to next round, leaving r11 the stalest cert
+# anywhere.
 FRONT_OF_LINE = (
-    # oracle/plan changed THIS round (r13: compute-once pair verify CTEs,
-    # emb_n norms join; ev_json_extract changed r12) — certify first
-    "ev_json_extract",
-    "doc_lsh_near_dups",
-    "doc_containment_dups",
-    "emb_near_dup_pairs",
-    "emb_srp_near_dups",
-    "doc_dedup_groups",
-    "doc_containment_corpus",
-    "doc_ppjoin_near_dups",
-    "doc_split_leakage",
-    "doc_dedup_corpus",
-    "emb_semantic_dedup",
-    "doc_minhash_est",
-    "doc_pagerank",
-    "doc_triangles",
-    "doc_kcore",
-    "doc_canonical_by_pr",
-    "emb_srp_near_dups_mp",
-    # newest driver cert is round 9
-    "tbl_fk_audit",
-    "tbl_mcv_lineitem",
-    "tbl_profile_lineitem",
     # newest driver cert is round 10
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_discounted_revenue",
-    "win_balance_quartiles",
-    "win_exact_percentiles",
-    "set_churned_customers",
-    "set_loyal_customers",
-    "ev_parse_route",
-    "ev_error_routing",
-    "ev_sequence",
-    "ev_sliding_peak",
-    "ev_type_counts",
-    "ev_sessionize",
-    "ev_tumbling_hourly",
-    "ev_asof_login",
-    "ev_interval_clicks",
-    "ev_salted_counts",
-    "ev_cms_heavy_hitters",
-    "ev_anomaly_days",
-    "ev_value_outliers",
-    "emb_matryoshka_topk",
-    "doc_minhash",
-    "doc_jaccard_topk",
-    "doc_simhash",
-    "doc_lang_id",
     "doc_quality",
     "emb_knn_label_purity",
     "emb_cosine_topk",
@@ -117,6 +63,51 @@ FRONT_OF_LINE = (
     "doc_chunk_windows",
     "doc_dsir_weights",
     "doc_vocab_coverage",
+    # newest driver cert is round 11
+    "agg_grouping_sets",
+    "doc_bm25_topk",
+    "doc_bm25_wand",
+    "doc_bm25_wand_batch64",
+    "doc_bpe_merges256",
+    "doc_bpe_tokens256",
+    "doc_contamination",
+    "doc_ngram_freq",
+    "doc_pack_chunks",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_split_assign",
+    "doc_token_stats",
+    "doc_top_terms",
+    "emb_ivf_kmeans_topk",
+    "emb_ivf_recall",
+    "emb_quantize_int8",
+    "emb_srp_recall_mp",
+    "emb_srp_topk_mp",
+    "ev_cep_match",
+    "ev_enrich",
+    "ev_funnel_conversion",
+    "ev_gap_fill",
+    "ev_hll_merge_days",
+    "ev_hll_user_days",
+    "ev_pivot_type_counts",
+    "ev_retention_cohorts",
+    "ev_value_quantiles",
+    "ev_value_quantiles_merged",
+    "mm_frame_stats",
+    "mm_resize",
+    "mm_wav_roundtrip",
+    "q11_important_stock",
+    "q16_parts_suppliers",
+    "q17_small_quantity",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q20_excess_shipments",
+    "q21_suppliers_waiting",
+    "q22_sales_opportunity",
+    "q2_min_cost_supplier",
+    "win_moving_avg",
+    "win_order_gaps",
+    "win_price_position",
 )
 
 

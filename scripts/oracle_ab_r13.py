@@ -47,9 +47,22 @@ def old_oracles(commit: str) -> dict[str, str]:
                 "print(json.dumps({n: s.oracle for n, s in"
                 " all_queries().items() if n in names}))"
             )],
-            cwd=tree, capture_output=True, text=True, check=True,
+            cwd=tree, capture_output=True, text=True,
         )
-        return json.loads(dump.stdout.strip().splitlines()[-1])
+        # check=True's CalledProcessError hides captured stderr (the old
+        # commit's import error would be invisible — r13 advisory);
+        # re-raise with it attached instead.
+        if dump.returncode != 0:
+            raise RuntimeError(
+                f"old-commit oracle dump failed (rc={dump.returncode}) in "
+                f"{tree}:\nSTDERR:\n{dump.stderr}\nSTDOUT:\n{dump.stdout}"
+            )
+        # last stdout line is the JSON payload; anything before it is
+        # diagnostics from the old tree's imports — surface, don't drop.
+        lines = dump.stdout.strip().splitlines()
+        for diag in lines[:-1]:
+            print(f"[old-tree stdout] {diag}", file=sys.stderr)
+        return json.loads(lines[-1])
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", tree],
                        capture_output=True)

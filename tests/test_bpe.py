@@ -146,6 +146,38 @@ def test_auto_dispatches_to_distributed_above_limit(spark):
     ]
 
 
+def test_auto_pair_dict_dispatch(spark, monkeypatch):
+    """r13 advisory: above DRIVER_SYMBOL_LIMIT the auto trainer must
+    pick the UNBATCHED incremental loop when the pair dict is small
+    (batching measures ~1.4x slower per merge there) and the BATCHED
+    one when it is large — pinned by spying on which trainer runs."""
+    df = spark.createDataFrame(
+        [("ab", 3), ("bc", 2)], "word string, cnt long"
+    )
+    seeded = bpe.seed_symbols(df)
+    calls = []
+    real_inc = bpe.train_merges_incremental
+    real_bat = bpe.train_merges_incremental_batched
+    monkeypatch.setattr(
+        bpe, "train_merges_incremental",
+        lambda *a, **k: (calls.append("inc"), real_inc(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        bpe, "train_merges_incremental_batched",
+        lambda *a, **k: (calls.append("bat"), real_bat(*a, **k))[1],
+    )
+    naive = bpe.train_merges(seeded, 4)
+    # tiny pair dict, forced distributed -> unbatched incremental
+    small = bpe.train_merges_auto(seeded, 4, driver_symbol_limit=1)
+    assert calls == ["inc"]
+    # threshold 0 -> every dict counts as large -> batched
+    large = bpe.train_merges_auto(
+        seeded, 4, driver_symbol_limit=1, pair_dict_batch_threshold=0
+    )
+    assert calls == ["inc", "bat"]
+    assert _key(small) == _key(large) == _key(naive)
+
+
 def _key(ms):
     return [(m.step, m.left, m.right, m.count) for m in ms]
 

@@ -73,6 +73,51 @@ def test_containment_stage_drops_subset_duplicates(spark):
     assert on == {1: False, 2: True, 3: True}
 
 
+def test_containment_survivor_mode_both_ways(spark):
+    """The A-in-B-and-B-dropped case (r13 verdict #7), pinned BOTH
+    ways: B contains A but B itself fails a quality-family stage.
+    Global semantics evict A anyway (pair set over the full corpus);
+    survivor-relative semantics keep A because B is not a surviving
+    container — A's content still ships."""
+    a = ("the quick brown fox jumps over the lazy dog while the small "
+         "red hen walks near the old stone wall")
+    # junk: 300 DISTINCT 20-digit words — B keeps A as a prefix (so
+    # containment(A in B) = 1.0) but B's alpha ratio / stopword rate /
+    # mean word length all collapse, failing the quality stage while
+    # leaving repetition legitimate (no duplicate 3-grams)
+    junk = " ".join("%020d" % i for i in range(300))
+    docs = spark.createDataFrame(
+        [(1, "en", "synth", a), (2, "en", "synth", a + " " + junk)],
+        "doc_id long, lang string, source string, text string",
+    )
+
+    g = {r.doc_id: r for r in
+         curation_flags(docs, containment="global").collect()}
+    # B is a containment-keeper but dies at another stage
+    assert g[2].keep_containment and not g[2].kept
+    assert not g[2].keep_quality
+    # GLOBAL: the doomed container still evicts A
+    assert not g[1].keep_containment and not g[1].kept
+
+    s = {r.doc_id: r for r in
+         curation_flags(docs, containment="survivors").collect()}
+    assert not s[2].kept  # B still dropped by quality
+    # SURVIVORS: B is not a surviving container, so A ships
+    assert s[1].keep_containment and s[1].kept
+
+    # same drop rule when the container IS a survivor: plain subset
+    # pair with a healthy container behaves identically in both modes
+    b_ok = a + " and then the calm grey owl flew back home before dark"
+    docs2 = spark.createDataFrame(
+        [(1, "en", "synth", a), (2, "en", "synth", b_ok)],
+        "doc_id long, lang string, source string, text string",
+    )
+    for mode in ("global", "survivors"):
+        f = {r.doc_id: r for r in
+             curation_flags(docs2, containment=mode).collect()}
+        assert not f[1].keep_containment and f[2].kept, mode
+
+
 def test_job_optional_stages_sample_dsir_vocab(spark, tmp_path, capsys):
     out = str(tmp_path / "corpus")
     args = argparse.Namespace(
