@@ -19,7 +19,17 @@ comparison merge count, the local trainer at the same >=1024 count,
 and bit-equality of batched-vs-local prefixes.
 
 Usage: python scripts/bpe_incremental_scale.py [vocab] [n_merges] [out]
-Defaults: 1_000_000 words, 1024 merges, BPE_SCALE_r13.json.
+           [generator] [unbatched_full]
+Defaults: 1_000_000 words, 1024 merges, BPE_SCALE_r13.json, latin, 0.
+
+``generator=multiscript`` draws the vocabulary over a ~2k-character
+multi-script alphabet, putting the seeded pair dict at >=1e6 entries —
+the regime the batched trainer targets (r13 verdict #5; a 26-letter
+corpus caps the dict near 3k pairs and batching measures SLOWER there,
+which is why train_merges_auto now dispatches on pair-dict size).
+``unbatched_full=1`` additionally runs the UNBATCHED incremental
+trainer end-to-end at the full merge count, so batched-vs-unbatched is
+a wall-clock A/B at identical depth, not an extrapolation.
 """
 
 from __future__ import annotations
@@ -34,13 +44,15 @@ from pyspark.sql import SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from flink_tank_spark.operators import bpe  # noqa: E402
-from scripts.bpe_scale_curve import synth_vocab  # noqa: E402
+from scripts.bpe_scale_curve import synth_vocab, synth_vocab_multiscript  # noqa: E402
 
 
 def main() -> None:
     n_vocab = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BPE_SCALE_r13.json"
+    generator = sys.argv[4] if len(sys.argv) > 4 else "latin"
+    unbatched_full = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -51,12 +63,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    gen = {"latin": synth_vocab, "multiscript": synth_vocab_multiscript}[generator]
     words = bpe.seed_symbols(
-        spark.createDataFrame(synth_vocab(n_vocab), "word string, cnt long")
+        spark.createDataFrame(gen(n_vocab), "word string, cnt long")
     ).persist()
     n_words = words.count()
     report: dict = {"vocab_size": n_vocab, "n_words": n_words,
-                    "n_merges": n_merges}
+                    "n_merges": n_merges, "generator": generator}
 
     # batched incremental at the production merge count
     stats: dict = {}
@@ -80,11 +93,11 @@ def main() -> None:
     print(json.dumps({"batched_incremental": report["batched_incremental"]}),
           flush=True)
 
-    # unbatched incremental at a comparison count (full run at
-    # n_merges would be dominated by the per-merge full-dict argmax —
-    # that cost is the point of the comparison, so measure it at a
-    # count that finishes, and report per-merge cost)
-    n_cmp = min(128, n_merges)
+    # unbatched incremental: end-to-end at the FULL merge count when
+    # requested (the honest wall-clock A/B — r13 verdict #5), else at a
+    # comparison count (a full run on a small-dict corpus would be
+    # dominated by costs that are not the point of the comparison)
+    n_cmp = n_merges if unbatched_full else min(128, n_merges)
     t0 = time.time()
     unbatched = bpe.train_merges_incremental(words, n_cmp)
     ut = time.time() - t0
@@ -92,22 +105,31 @@ def main() -> None:
         "n_merges": len(unbatched),
         "sec": round(ut, 2),
         "sec_per_merge": round(ut / max(1, len(unbatched)), 4),
+        "full_depth": unbatched_full,
     }
+    if unbatched_full:
+        report["batched_vs_unbatched_end_to_end"] = {
+            "batched_sec": report["batched_incremental"]["sec"],
+            "unbatched_sec": round(ut, 2),
+            "speedup": round(ut / bt, 2),
+        }
     print(json.dumps({"unbatched_incremental": report["unbatched_incremental"]}),
           flush=True)
 
     # matched-depth A/B: batched at the SAME merge count as unbatched,
     # so the per-merge comparison is not confounded by depth-dependent
-    # costs (pair-dict growth, affected-set size)
-    t0 = time.time()
-    batched_cmp = bpe.train_merges_incremental_batched(words, n_cmp)
-    bct = time.time() - t0
-    report["batched_at_cmp"] = {
-        "n_merges": len(batched_cmp),
-        "sec": round(bct, 2),
-        "sec_per_merge": round(bct / max(1, len(batched_cmp)), 4),
-    }
-    print(json.dumps({"batched_at_cmp": report["batched_at_cmp"]}), flush=True)
+    # costs (pair-dict growth, affected-set size). Redundant when the
+    # unbatched run was already full-depth (depths already match).
+    if not unbatched_full:
+        t0 = time.time()
+        batched_cmp = bpe.train_merges_incremental_batched(words, n_cmp)
+        bct = time.time() - t0
+        report["batched_at_cmp"] = {
+            "n_merges": len(batched_cmp),
+            "sec": round(bct, 2),
+            "sec_per_merge": round(bct / max(1, len(batched_cmp)), 4),
+        }
+        print(json.dumps({"batched_at_cmp": report["batched_at_cmp"]}), flush=True)
 
     # local trainer at the same production count (the collect path the
     # auto dispatch picks when the vocab fits the driver)
