@@ -143,11 +143,52 @@ def train_merges(segmented: DataFrame, n_merges: int) -> list[Merge]:
     return merges
 
 
+class _LazyHeapArgmax:
+    """Lazy-deletion heap over the live pair-count dict: the driver
+    argmax in O(log n) amortized instead of an O(n) full-dict scan per
+    merge — the scan was the only per-merge cost that GROWS with dict
+    size, and BPE_SCALE_r14.json measured it dominating exactly where
+    the distributed trainer runs (≥1e5-pair dicts).
+
+    Protocol: ``push`` after EVERY pc mutation (the heap may hold
+    stale entries; pc stays the single source of truth), ``best``
+    peeks the top and discards entries whose stored count no longer
+    matches pc. Correctness: every live key's current count has an
+    entry (init heapify + push-on-update), the heap key (-cnt, l, r)
+    is exactly the sequential tie order, and a LIVE top therefore
+    IS the argmax — any entry above the best live key is stale-high
+    and gets popped on mismatch. Memory: stale entries are bounded by
+    total delta updates; ``best`` rebuilds when the heap outgrows
+    2×|pc| + 1024, so the structure stays O(|pc|)."""
+
+    def __init__(self, pc: dict[tuple[str, str], int]) -> None:
+        self._pc = pc
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        self._heap = [(-c, l, r) for (l, r), c in self._pc.items()]
+        heapq.heapify(self._heap)
+
+    def push(self, key: tuple[str, str], cnt: int) -> None:
+        heapq.heappush(self._heap, (-cnt, key[0], key[1]))
+
+    def best(self) -> tuple[tuple[str, str], int] | None:
+        if len(self._heap) > 2 * len(self._pc) + 1024:
+            self._rebuild()
+        while self._heap:
+            negc, left, right = self._heap[0]
+            if self._pc.get((left, right)) == -negc:
+                return (left, right), -negc
+            heapq.heappop(self._heap)  # stale: count changed or key dead
+        return None
+
+
 def train_merges_incremental(
     segmented: DataFrame,
     n_merges: int,
     checkpoint_every: int = 16,
     initial_pc: dict[tuple[str, str], int] | None = None,
+    lazy_heap: bool = True,
 ) -> list[Merge]:
     """Learn ``n_merges`` BPE merges with INCREMENTAL pair-count deltas —
     the scale path past the naive loop's O(n_merges) full recounts.
@@ -159,7 +200,11 @@ def train_merges_incremental(
       ADJACENT symbol pairs in the segmented vocabulary — at most the
       total symbol positions of the distinct-word table (~1e7 for a 1e6
       -word web vocabulary), independent of corpus size. The argmax per
-      step is a pure in-memory scan: ZERO Spark jobs.
+      step is driver-memory-only (ZERO Spark jobs) and, by default,
+      O(log n) amortized through a lazy-deletion heap
+      (:class:`_LazyHeapArgmax`) — ``lazy_heap=False`` restores the
+      r11-r13 full-dict scan, kept so the A/B in
+      scripts/bpe_incremental_scale.py stays same-host measurable.
     - **Executors**: the segmented word table. Per step exactly ONE
       Spark job runs: filter to the words that CONTAIN the merged pair
       (only those change — Sennrich's incremental observation), compute
@@ -189,12 +234,16 @@ def train_merges_incremental(
     )
     merges: list[Merge] = []
     cur = segmented
+    heap = _LazyHeapArgmax(pc) if lazy_heap else None
     for step in range(1, n_merges + 1):
         if not pc:  # vocabulary fully merged — nothing left to learn
             break
-        (left, right), cnt = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
+        if heap is not None:
+            (left, right), cnt = heap.best()
+        else:
+            (left, right), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
         merges.append(Merge(step, left, right, cnt))
         pattern = "{" + left + "}{" + right + "}"
         new_syms = merge_expr(F.col("syms"), left, right)
@@ -217,6 +266,8 @@ def train_merges_incremental(
                 pc.pop(k, None)
             else:
                 pc[k] = nv
+                if heap is not None:
+                    heap.push(k, nv)
         cur = cur.withColumn("syms", new_syms)
         if step % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
@@ -308,20 +359,20 @@ def train_merges_incremental_batched(
     to train_merges / train_merges_incremental / train_merges_local
     (pinned in tests/test_bpe.py).
 
-    The driver-side argmax also drops from an O(|pairs|) full-dict min
-    PER MERGE to one O(|pairs| log max_batch) heapq.nsmallest PER
-    ROUND — at a web-scale pair dict (~1e7 entries) that scan, not the
-    Spark job, dominates the unbatched trainer's wall time (measured:
-    2.84 s per full min vs 0.86 s/merge through the per-round heap at
-    the observed batch mean — BPE_SCALE_r13.json). Honest regime note,
-    measured at matched depth: on SMALL pair dicts (a 26-letter
-    alphabet never exceeds ~3k pairs) the argmax is free and a k-wide
-    batch round costs ~k single-merge scans, so batching is ~1.4x
-    slower per merge locally; the delta work itself (affected-row
-    explode + count) is identical either way. Batching pays off
-    exactly where the distributed path runs at all: past
-    DRIVER_SYMBOL_LIMIT, where pair dicts are large and per-job
-    scheduling latency is real."""
+    Honest regime record (this trainer is OPT-IN, not the auto
+    default): the r13 motivation was cutting the per-merge full-dict
+    argmax scan, but the r14 end-to-end A/B at a 704k-pair dict
+    (BPE_SCALE_r14.json, multi-script 1M-word corpus, 256 merges both
+    ways, bit-equal) measured batching 0.72× — real Zipf heads share
+    symbols so hard that safe batches collapse (mean 1.68, p50 1),
+    and the per-round heapq.nsmallest is the same O(n) scan as a min,
+    so the saved scans (152 rounds vs 256 merges) don't cover the
+    wider rounds' costlier filter/rewrite/delta job. The scan term
+    itself is now gone from the unbatched trainer (lazy-heap argmax),
+    which beats this trainer locally at every measured dict size.
+    What batching still buys: 1.7× fewer SEQUENTIAL Spark jobs — use
+    it when cluster scheduling latency, not local compute, is the
+    binding constraint."""
     pc: dict[tuple[str, str], int] = (
         initial_pc
         if initial_pc is not None
@@ -467,22 +518,10 @@ def train_merges_local(
 # ~0.4 GB on top (peak RSS 1.59 GB total at 4096 merges).
 DRIVER_SYMBOL_LIMIT = 8_000_000
 
-# Below this many distinct adjacent pairs, the driver argmax is cheap
-# and the batched trainer's per-round heap-select buys nothing while its
-# wider rounds cost ~1.4x per merge at matched depth (measured,
-# BPE_SCALE_r13.json matched-depth A/B on a ~3k-pair dict); above it,
-# the full-dict min PER MERGE dominates the unbatched trainer's wall
-# time (2.84 s/min at 1e7 pairs vs 0.86 s/merge batched — same file).
-# 1e5 sits well inside the batched win region measured end-to-end in
-# BPE_SCALE_r14.json (multi-script corpus, >=1e6-pair dict).
-PAIR_DICT_BATCH_THRESHOLD = 100_000
-
-
 def train_merges_auto(
     segmented: DataFrame,
     n_merges: int,
     driver_symbol_limit: int = DRIVER_SYMBOL_LIMIT,
-    pair_dict_batch_threshold: int = PAIR_DICT_BATCH_THRESHOLD,
 ) -> list[Merge]:
     """Dispatch on the (bounded) vocabulary SIZE IN SYMBOLS:
     collect-and-train locally when the seeded word table fits the
@@ -493,14 +532,21 @@ def train_merges_auto(
     exists to catch). All trainers are bit-equal (pinned in
     tests/test_bpe.py).
 
-    The distributed path dispatches AGAIN on pair-dict size (r13
-    advisory): the batched trainer's win is replacing a full-dict
-    argmin PER MERGE with one heap-select per round, so it only pays
-    when the pair dict is large; a big corpus over a SMALL alphabet
-    (pair dict bounded by alphabet^2, e.g. ~3k for [a-z]) regresses
-    ~1.4x under batching at matched depth (BPE_SCALE_r13.json). The
-    dict is collected once here and handed to whichever trainer runs
-    (``initial_pc``), so the dispatch costs no extra Spark job."""
+    The distributed path is the UNBATCHED incremental trainer with the
+    lazy-heap argmax, unconditionally. The r13 advisory asked whether
+    to dispatch on pair-dict size between it and the batched trainer;
+    the r14 end-to-end measurement (BPE_SCALE_r14.json, multi-script
+    1M-word corpus, 704k-pair dict, 256 merges both ways) answered
+    differently: the batched trainer LOST wall-clock (319 vs 230 s,
+    0.72×) because real Zipf heads share symbols so hard that safe
+    batches collapse to mean 1.68 — the saved argmax scans don't cover
+    the wider rounds' job cost. The lazy heap then removes the scan
+    term entirely (the only per-merge cost that grows with dict size),
+    making the unbatched trainer the right default at EVERY dict size;
+    no dispatch needed. train_merges_incremental_batched remains
+    opt-in for deployments where sequential JOB COUNT is the binding
+    constraint (high scheduling-latency clusters — it still runs 1.7×
+    fewer jobs)."""
     n_syms = segmented.select(
         F.sum(F.size(F.expr(_SYMS_EXPR))).alias("n")
     ).first()["n"]
@@ -511,13 +557,7 @@ def train_merges_auto(
         return train_merges_local(
             [(r["sl"], r["cnt"]) for r in rows], n_merges
         )
-    pc: dict[tuple[str, str], int] = {
-        (r["l"], r["r"]): r["pair_cnt"]
-        for r in _pair_counts(segmented).collect()
-    }
-    if len(pc) < pair_dict_batch_threshold:
-        return train_merges_incremental(segmented, n_merges, initial_pc=pc)
-    return train_merges_incremental_batched(segmented, n_merges, initial_pc=pc)
+    return train_merges_incremental(segmented, n_merges)
 
 
 def apply_merges(segmented: DataFrame, merges: list[Merge]) -> DataFrame:

@@ -3137,6 +3137,92 @@ DOC_PPJOIN_SQL = dedent(f"""
 
 
 # --------------------------------------------------------------------------
+# doc_source_overlap — cross-source shingle overlap (corpus-mixing audit)
+# --------------------------------------------------------------------------
+
+def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level content overlap: exact Jaccard (ppm) of
+    each source pair's distinct word-3-shingle sets — the
+    crawl-vs-crawl redundancy signal a corpus-mixing decision needs
+    (a source that is mostly a re-crawl of another should be
+    down-weighted or dropped BEFORE doc-level dedup spends its pair
+    budget on it). Doc-level detectors answer "which docs are dupes";
+    this answers "which SOURCES are redundant", one row per
+    overlapping source pair.
+
+    Scale shape: rides the shared per-doc shingle stage
+    (_shingled_docs), collapses it to distinct (source, shingle) —
+    vocabulary-bounded per source, NOT corpus-bounded — then ONE
+    self-equi-join on the shingle key counts intersections (candidate
+    volume ≤ vocab × sources², sources being few); per-source set
+    sizes broadcast onto the bounded pair table. Pair enumeration is
+    anchored on the shingle equi-join (the emb_split_drift pattern —
+    no cross/theta join anywhere), so a source pair sharing ZERO
+    shingles emits no row by construction.
+
+    Exactness: all counts are exact integers; jaccard_ppm is one
+    integer floor-division on non-negative operands — Spark ``div``
+    and DuckDB ``//`` both truncate toward zero (the layout.py
+    cross-engine rule), so values are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _shingled_docs(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        sh.select(F.col("source").alias("source_a"), "g")
+        .join(sh.select(F.col("source").alias("source_b"), "g"), "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n").alias("n_a"))), "source_a")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n").alias("n_b"))), "source_b")
+        .select(
+            "source_a", "source_b", "n_a", "n_b", "n_common",
+            F.expr("(n_common * 1000000) div (n_a + n_b - n_common)")
+            .cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+DOC_SOURCE_OVERLAP_SQL = dedent(f"""
+    WITH {SHINGLES_CTE},
+    sh AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT d.source, unnest(s.shingles) AS g
+        FROM shingled s JOIN documents d ON d.doc_id = s.doc_id
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST((c.n_common * 1000000) // (sa.n + sb.n - c.n_common)
+                AS BIGINT) AS jaccard_ppm
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    ORDER BY source_a, source_b
+""")
+
+
+# --------------------------------------------------------------------------
 # doc_containment_dups — EXACT set-containment join (subset duplicates)
 # --------------------------------------------------------------------------
 
@@ -3397,6 +3483,10 @@ QUERIES = [
               "EXACT Jaccard>=0.8 pairs via prefix filtering (completeness-"
               "guaranteed sibling of the LSH blocking)",
               ("llm", "dedup")),
+    QuerySpec("doc_source_overlap", doc_source_overlap, DOC_SOURCE_OVERLAP_SQL,
+              "pairwise source shingle-Jaccard (ppm) — cross-crawl "
+              "redundancy audit for corpus mixing",
+              ("llm", "dedup", "curation")),
     QuerySpec("emb_split_drift", emb_split_drift, EMB_SPLIT_DRIFT_SQL,
               "pairwise split-centroid cosine — embedding distribution-shift audit",
               ("llm", "governance", "embedding")),

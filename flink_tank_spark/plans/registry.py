@@ -41,13 +41,14 @@ class QuerySpec:
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
 # run FIRST (order is otherwise meaningless to the gate). Round-14
 # rotation (computed from the union of all CORRECTNESS_r*.json after
-# round 13: 50 certed r13, 43 r12, 44 r11, 14 r10; zero oracle/plan
-# text changed this round, so no changed-comparison head is needed):
-# the 14 round-10 certs lead (r13 verdict #4), then the full round-11
-# block — 58 queries; the driver budget (~50) certifies the head and
-# the r11 tail rolls to next round, leaving r11 the stalest cert
-# anywhere.
+# round 13: 50 certed r13, 43 r12, 44 r11, 14 r10): the one NEW query
+# leads (never driver-certified), then the 14 round-10 certs (r13
+# verdict #4), then the full round-11 block — 59 queries; the driver
+# budget (~50) certifies the head and the r11 tail rolls to next
+# round, leaving r11 the stalest cert anywhere.
 FRONT_OF_LINE = (
+    # NEW this round — never certified
+    "doc_source_overlap",
     # newest driver cert is round 10
     "doc_quality",
     "emb_knn_label_purity",

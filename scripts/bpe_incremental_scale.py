@@ -96,25 +96,45 @@ def main() -> None:
     # unbatched incremental: end-to-end at the FULL merge count when
     # requested (the honest wall-clock A/B — r13 verdict #5), else at a
     # comparison count (a full run on a small-dict corpus would be
-    # dominated by costs that are not the point of the comparison)
+    # dominated by costs that are not the point of the comparison).
+    # Both argmax variants run back-to-back same-host: the lazy-heap
+    # default and the r11-r13 full-dict scan it replaced.
     n_cmp = n_merges if unbatched_full else min(128, n_merges)
     t0 = time.time()
-    unbatched = bpe.train_merges_incremental(words, n_cmp)
+    unbatched = bpe.train_merges_incremental(words, n_cmp)  # lazy heap
     ut = time.time() - t0
     report["unbatched_incremental"] = {
+        "argmax": "lazy_heap",
         "n_merges": len(unbatched),
         "sec": round(ut, 2),
         "sec_per_merge": round(ut / max(1, len(unbatched)), 4),
         "full_depth": unbatched_full,
     }
+    print(json.dumps({"unbatched_incremental": report["unbatched_incremental"]}),
+          flush=True)
+    t0 = time.time()
+    unb_scan = bpe.train_merges_incremental(words, n_cmp, lazy_heap=False)
+    st = time.time() - t0
+    report["unbatched_scan_argmax"] = {
+        "argmax": "full_dict_scan",
+        "n_merges": len(unb_scan),
+        "sec": round(st, 2),
+        "sec_per_merge": round(st / max(1, len(unb_scan)), 4),
+    }
+    report["heap_vs_scan_speedup"] = round(st / ut, 2)
+    assert [(m.step, m.left, m.right, m.count) for m in unbatched] == [
+        (m.step, m.left, m.right, m.count) for m in unb_scan
+    ], "lazy-heap argmax != scan argmax"
+    print(json.dumps({"unbatched_scan_argmax": report["unbatched_scan_argmax"],
+                      "heap_vs_scan_speedup": report["heap_vs_scan_speedup"]}),
+          flush=True)
     if unbatched_full:
         report["batched_vs_unbatched_end_to_end"] = {
             "batched_sec": report["batched_incremental"]["sec"],
-            "unbatched_sec": round(ut, 2),
-            "speedup": round(ut / bt, 2),
+            "unbatched_heap_sec": round(ut, 2),
+            "unbatched_scan_sec": round(st, 2),
+            "batched_over_heap": round(bt / ut, 2),
         }
-    print(json.dumps({"unbatched_incremental": report["unbatched_incremental"]}),
-          flush=True)
 
     # matched-depth A/B: batched at the SAME merge count as unbatched,
     # so the per-merge comparison is not confounded by depth-dependent

@@ -146,36 +146,51 @@ def test_auto_dispatches_to_distributed_above_limit(spark):
     ]
 
 
-def test_auto_pair_dict_dispatch(spark, monkeypatch):
-    """r13 advisory: above DRIVER_SYMBOL_LIMIT the auto trainer must
-    pick the UNBATCHED incremental loop when the pair dict is small
-    (batching measures ~1.4x slower per merge there) and the BATCHED
-    one when it is large — pinned by spying on which trainer runs."""
+def test_auto_distributed_path_is_unbatched_incremental(spark, monkeypatch):
+    """BPE_SCALE_r14.json: the batched trainer lost its end-to-end A/B
+    (0.72x at a 704k-pair dict — safe batches collapse on real Zipf
+    heads) and the lazy-heap argmax removed the scan term that
+    motivated it, so auto's distributed path must be the UNBATCHED
+    incremental trainer at every dict size — pinned by spying."""
     df = spark.createDataFrame(
         [("ab", 3), ("bc", 2)], "word string, cnt long"
     )
     seeded = bpe.seed_symbols(df)
     calls = []
     real_inc = bpe.train_merges_incremental
-    real_bat = bpe.train_merges_incremental_batched
     monkeypatch.setattr(
         bpe, "train_merges_incremental",
         lambda *a, **k: (calls.append("inc"), real_inc(*a, **k))[1],
     )
     monkeypatch.setattr(
         bpe, "train_merges_incremental_batched",
-        lambda *a, **k: (calls.append("bat"), real_bat(*a, **k))[1],
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("auto must not pick the batched trainer")
+        ),
     )
     naive = bpe.train_merges(seeded, 4)
-    # tiny pair dict, forced distributed -> unbatched incremental
-    small = bpe.train_merges_auto(seeded, 4, driver_symbol_limit=1)
+    dist = bpe.train_merges_auto(seeded, 4, driver_symbol_limit=1)
     assert calls == ["inc"]
-    # threshold 0 -> every dict counts as large -> batched
-    large = bpe.train_merges_auto(
-        seeded, 4, driver_symbol_limit=1, pair_dict_batch_threshold=0
-    )
-    assert calls == ["inc", "bat"]
-    assert _key(small) == _key(large) == _key(naive)
+    assert _key(dist) == _key(naive)
+
+
+def test_incremental_lazy_heap_bit_equals_scan(spark):
+    """The lazy-deletion heap argmax must reproduce the full-dict scan
+    argmax bit-for-bit — same merges, same counts, same tie-breaks —
+    on a corpus with count collisions (ties exercise the (-cnt, l, r)
+    heap-key order) and through pair-count oscillations (stale-entry
+    skipping)."""
+    corpus = [("newest", 6), ("widest", 3), ("low", 5), ("lower", 2),
+              ("aaa", 4), ("abab", 4), ("baba", 4)]
+    df = spark.createDataFrame(corpus, "word string, cnt long")
+    seeded = bpe.seed_symbols(df).persist()
+    try:
+        heap = bpe.train_merges_incremental(seeded, 12, lazy_heap=True)
+        scan = bpe.train_merges_incremental(seeded, 12, lazy_heap=False)
+        assert _key(heap) == _key(scan)
+        assert len(heap) > 6  # deep enough to exercise delta updates
+    finally:
+        seeded.unpersist()
 
 
 def _key(ms):

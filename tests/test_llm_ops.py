@@ -652,3 +652,27 @@ def test_split_ks_matches_scipy_convention(spark, tmp_path):
         for x in xs
     )
     assert r["ks_ppm"] == int(d * 1_000_000)  # exact: d is a ratio of ints
+
+
+def test_source_overlap_exact_on_constructed_corpus(spark, tmp_path):
+    """doc_source_overlap on a hand-computable corpus: s1 = {a b c,
+    b c d, x y z}, s2 = {a b c, b c e} share exactly one 3-shingle
+    (J = 1/4); s3 shares nothing and must emit NO row (pair
+    enumeration is anchored on the shingle equi-join)."""
+    from flink_tank_spark.plans.llm import doc_source_overlap
+
+    rows = [
+        (1, "a b c d", "xx", "s1", 7),
+        (2, "x y z", "xx", "s1", 5),
+        (3, "a b c e", "xx", "s2", 7),
+        (4, "p q r", "xx", "s3", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r.source_a, r.source_b, r.n_a, r.n_b, r.n_common, r.jaccard_ppm)
+        for r in doc_source_overlap(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("s1", "s2", 3, 2, 1, 250_000)]
