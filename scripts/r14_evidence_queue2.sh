@@ -7,6 +7,12 @@ set -x
 cd /root/repo
 Q=/tmp/r14q
 
+# 4b. BPE lazy-heap argmax measured in the SAME regime that produced
+#     the batched trainer's negative result (same corpus recipe, same
+#     host class): heap vs scan back-to-back, batched for reference,
+#     bit-equality asserted in-script
+timeout 5400 python scripts/bpe_incremental_scale.py 1000000 256 BPE_SCALE_r14_heap.json multiscript 1 > $Q-4b_bpe_heap.log 2>&1
+
 # 5. full pytest suite, run 1
 timeout 4500 python -m pytest tests/ -q > $Q-5_pytest1.log 2>&1
 
