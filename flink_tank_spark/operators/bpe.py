@@ -37,6 +37,7 @@ learned vocabulary is bit-reproducible under any partitioning.
 from __future__ import annotations
 
 import heapq
+import time
 
 from dataclasses import dataclass
 
@@ -189,6 +190,7 @@ def train_merges_incremental(
     checkpoint_every: int = 16,
     initial_pc: dict[tuple[str, str], int] | None = None,
     lazy_heap: bool = True,
+    stats: dict | None = None,
 ) -> list[Merge]:
     """Learn ``n_merges`` BPE merges with INCREMENTAL pair-count deltas —
     the scale path past the naive loop's O(n_merges) full recounts.
@@ -235,15 +237,26 @@ def train_merges_incremental(
     merges: list[Merge] = []
     cur = segmented
     heap = _LazyHeapArgmax(pc) if lazy_heap else None
+    if stats is not None:
+        # per-phase attribution (argmax vs everything else): end-to-end
+        # deltas on this VM drift multi-x between runs, so the heap-vs-
+        # scan comparison is made on the accumulated single-thread
+        # argmax seconds, which are drift- and contention-stable
+        stats["argmax_sec"] = 0.0
+        stats["n_pairs_initial"] = len(pc)
+        stats["argmax"] = "lazy_heap" if lazy_heap else "full_dict_scan"
     for step in range(1, n_merges + 1):
         if not pc:  # vocabulary fully merged — nothing left to learn
             break
+        _t0 = time.perf_counter() if stats is not None else 0.0
         if heap is not None:
             (left, right), cnt = heap.best()
         else:
             (left, right), cnt = min(
                 pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
             )
+        if stats is not None:
+            stats["argmax_sec"] += time.perf_counter() - _t0
         merges.append(Merge(step, left, right, cnt))
         pattern = "{" + left + "}{" + right + "}"
         new_syms = merge_expr(F.col("syms"), left, right)
@@ -267,7 +280,12 @@ def train_merges_incremental(
             else:
                 pc[k] = nv
                 if heap is not None:
+                    # push cost is charged to argmax_sec: maintaining
+                    # the argmax structure is part of its price
+                    _t0 = time.perf_counter() if stats is not None else 0.0
                     heap.push(k, nv)
+                    if stats is not None:
+                        stats["argmax_sec"] += time.perf_counter() - _t0
         cur = cur.withColumn("syms", new_syms)
         if step % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
