@@ -65,6 +65,8 @@ SUBSET = [
     "doc_dedup_corpus", "doc_lsh_near_dups", "doc_bm25_topk", "doc_bm25_wand",
     "doc_contamination", "emb_cosine_topk", "emb_ivf_kmeans_topk",
     "emb_near_dup_pairs",
+    # r14: source-pair overlap (self-equi-join + broadcast sizes)
+    "doc_source_overlap",
 ]
 
 JOIN_OPS = (
