@@ -3171,6 +3171,14 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("shingles").alias("g"))
         .distinct()
     )
+    return source_overlap_from_shingles(sh)
+
+
+def source_overlap_from_shingles(sh: DataFrame) -> DataFrame:
+    """Finalize: pairwise overlap from a DISTINCT (source, g) shingle
+    table. Shared verbatim by the batch query above and the streaming
+    view (streaming/source_overlap.py) — parity is structural, the
+    vocab_cov.py pattern."""
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     common = (
         sh.select(F.col("source").alias("source_a"), "g")
