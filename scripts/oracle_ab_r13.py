@@ -99,6 +99,11 @@ def main() -> None:
                 t0 = time.time()
                 frames[label] = con.execute(sql).fetchdf()
                 row.setdefault(label, []).append(round(time.time() - t0, 1))
+                # per-rep flush: a queue timeout mid-query keeps the
+                # finished reps reconstructable from the log
+                print(json.dumps({"progress": name, "rep": rep,
+                                  "side": label, "sec": row[label][-1]}),
+                      flush=True)
         pd.testing.assert_frame_equal(frames["old"], frames["new"])
         row["frames_equal"] = True
         row["speedup_best"] = round(min(row["old"]) / min(row["new"]), 2)
