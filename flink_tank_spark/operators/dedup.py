@@ -17,7 +17,6 @@ from pyspark.sql.window import Window as W
 
 from flink_tank_spark.operators.text import (
     lsh_band_buckets,
-    minhash_from_hashes,
     shingles_from_words,
 )
 
@@ -141,32 +140,46 @@ def minhash_from_shingled(
 ) -> DataFrame:
     """Signatures from a pre-shingled DF (see :func:`shingle_sets`) — the
     shape to use when shingles are also needed downstream (LSH rescoring):
-    shingle once, hash once, share. The md5 array is materialized as a
-    real column so the per-permutation mins don't re-hash the set.
+    shingle once, hash once, share.
 
     One digest yields 4 independent 8-hex-char permutation lanes;
     ``n_perms`` up to 8 adds a SECOND salted digest (md5 of '~' + s) —
     two hashes per shingle total, still far cheaper than per-permutation
     digests. Permutations 0–3 are byte-identical to the 4-perm
     signature, so widening the signature never changes existing lanes
-    (doc_minhash's oracle stays valid)."""
+    (doc_minhash's oracle stays valid).
+
+    Execution shape (r14, guide §4.1): explode → top-level md5 →
+    map-side-combinable MIN aggregation — the simhash_bits /
+    fingerprint_docs pattern. The previous per-row
+    ``array_min(transform(shingles, md5))`` ran the md5 INTERPRETED per
+    element (higher-order lambdas never enter whole-stage codegen;
+    profiled at ~70 % of the LSH pair-stage CPU), plus 8 more
+    interpreted substring lambdas per row. Here every expression is
+    codegen'd, and because each doc's shingles sit in one input row,
+    the partial (map-side) min collapses to one row per doc before the
+    exchange — the shuffle carries exactly one (id, 8×8 chars) row per
+    document, same as the old per-row output. min(string) and
+    array_min(array<string>) use the same binary ordering, so the
+    signature VALUES are bit-identical (oracle-pinned by doc_minhash).
+    """
     if n_perms > 8:
         raise ValueError("n_perms > 8 needs more salted digests; max 8")
-    cols = [
-        F.transform("shingles", lambda s: F.md5(s.cast("binary"))).alias("_h")
-    ]
+    ex = shingled.select(F.col(id_col), F.explode("shingles").alias("_s"))
+    hcols = [F.md5(F.col("_s").cast("binary")).alias("_h")]
     if n_perms > 4:
-        cols.append(
-            F.transform(
-                "shingles",
-                lambda s: F.md5(F.concat(F.lit("~"), s).cast("binary")),
-            ).alias("_h2")
+        hcols.append(
+            F.md5(F.concat(F.lit("~"), F.col("_s")).cast("binary")).alias("_h2")
         )
-    hashed = shingled.select(F.col(id_col), *cols)
-    mh = minhash_from_hashes(F.col("_h"), min(n_perms, 4))
-    if n_perms > 4:
-        mh += minhash_from_hashes(F.col("_h2"), n_perms - 4, offset=4)
-    return hashed.select(F.col(id_col), *mh)
+    hashed = ex.select(F.col(id_col), *hcols)
+    aggs = [
+        F.min(F.substring("_h", 8 * p + 1, 8)).alias(f"mh_{p}")
+        for p in range(min(n_perms, 4))
+    ] + [
+        F.min(F.substring("_h2", 8 * p + 1, 8)).alias(f"mh_{p + 4}")
+        for p in range(max(0, n_perms - 4))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -242,6 +255,7 @@ def lsh_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingled: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → MinHash → LSH
     blocking (bucket-capped) → exact Jaccard rescore ≥ ``threshold``.
@@ -259,10 +273,17 @@ def lsh_near_dup_pairs(
     true-Jaccard band was 0.877 at sf1 — DEDUP_QUALITY_r06.json); the
     exact rescore keeps precision at 1.0, so widening the banding only
     costs candidate-rescore volume (measured in dedup_quality.py).
+
+    Pass ``sigs`` (a :func:`minhash_from_shingled` output) to reuse an
+    already-computed/persisted signature pass: the candidate join below
+    references its input THREE times (bucket-size cap + both join
+    sides), so an unpersisted signature subtree evaluates 3× — the
+    multi-branch-DAG cost plans/shared.py exists for (r14, guide §2.4).
     """
     if shingled is None:
         shingled = shingle_sets(docs, id_col=id_col, text_col=text_col)
-    sigs = minhash_from_shingled(shingled, id_col=id_col, n_perms=n_perms)
+    if sigs is None:
+        sigs = minhash_from_shingled(shingled, id_col=id_col, n_perms=n_perms)
     cands = lsh_candidate_pairs(
         sigs, id_col=id_col, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
     )

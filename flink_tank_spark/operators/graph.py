@@ -101,7 +101,9 @@ def pagerank_scaled(
 CC_SCALE = 1_000_000  # clustering coefficient ppm: 1.0 == 1e6
 
 
-def triangle_counts(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def triangle_counts(
+    pairs: DataFrame, id_col: str = "doc_id", reliable_checkpoint: bool = False
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge list (``id_a`` < ``id_b``, one row per edge).
 
@@ -126,10 +128,31 @@ def triangle_counts(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     non-negative operands here). Returns one row per node with
     degree >= 1: (id_col, degree, n_tri, cc_ppm); cc_ppm = 0 where
     degree < 2 (undefined -> 0 by convention).
+
+    Lineage/DAG control (r14, guide §2.4 + the round-6 multi-branch-DAG
+    lesson): ``deg`` and ``oriented`` are each referenced three times
+    below (both endpoint joins + the final output; both wedge sides +
+    the closure side), and the original per-corner union referenced
+    ``tris`` three more — un-materialized, the wedge join re-evaluated
+    up to 9× and the profiled cold run launched ~95 near-empty AQE jobs
+    whose scheduling/codegen overhead dwarfed the actual compute.
+    Both subtrees are checkpoint-materialized once (the
+    connected_components/kcore discipline: localCheckpoint in local
+    mode, reliable ``checkpoint()`` on a cluster), and the per-corner
+    counts fold into ONE pass via explode instead of a 3-way union.
+    Checkpointed values are the computed values — results unchanged.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = ckpt(und.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
 
     # Attach both endpoint degrees, orient low (deg, id) -> high.
     e = (
@@ -142,10 +165,12 @@ def triangle_counts(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("src") < F.col("dst"))
     )
-    oriented = e.select(
-        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
-        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
-        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    oriented = ckpt(
+        e.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+            F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
     )
 
     e1 = oriented.select(
@@ -161,11 +186,10 @@ def triangle_counts(pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
 
-    corners = (
-        tris.select(F.col("a").alias("n"))
-        .union(tris.select(F.col("b").alias("n")))
-        .union(tris.select(F.col("c").alias("n")))
-    )
+    # One pass over the triangle set: explode the three corners instead
+    # of a 3-way union of projections (which re-ran the wedge join per
+    # branch). Same multiset of corner rows, same counts.
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("n"))
     tri_per_node = corners.groupBy("n").agg(F.count(F.lit(1)).alias("n_tri"))
 
     out = (

@@ -65,8 +65,20 @@ def _trained_merges(
 ) -> list[bpe.Merge]:
     key = (spark.sparkContext.applicationId, sf_dir, n_merges, incremental)
     if key not in _MERGES_CACHE:
-        train = bpe.train_merges_auto if incremental else bpe.train_merges
-        _MERGES_CACHE[key] = train(_seeded_words(spark, sf_dir), n_merges)
+        # r14 optimization: BOTH paths train via train_merges_auto. The
+        # naive train_merges ran one full pair-recount JOB PER MERGE
+        # over a growing replace chain (8 merges → ~28 jobs; 164 s
+        # first-touch in the r14 baseline bench under host contention);
+        # auto collapses training to ONE bounded collect + driver-local
+        # merge maintenance (falling back to the distributed
+        # incremental loop past DRIVER_SYMBOL_LIMIT). All trainers are
+        # bit-equal — same counts, same tie-break (tests/test_bpe.py) —
+        # so the learned merges and every downstream query result are
+        # unchanged; ``incremental`` stays in the cache key only to
+        # keep the two query families' training passes distinct.
+        _MERGES_CACHE[key] = bpe.train_merges_auto(
+            _seeded_words(spark, sf_dir), n_merges
+        )
     return _MERGES_CACHE[key]
 
 

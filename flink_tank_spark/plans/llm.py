@@ -69,8 +69,12 @@ DOC_DEDUP_STATS_SQL = dedent("""
 # --------------------------------------------------------------------------
 
 def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_from_shingled(
-        _shingled_docs(spark, sf_dir), n_perms=4
+    # lanes 0-3 of the shared 8-lane signature stage are byte-identical
+    # to the 4-perm signature (same digest, same slices), so reading the
+    # persisted stage spends zero extra hashing in any session that also
+    # runs the LSH pipeline (the gate always does).
+    return _minhash_sigs8(spark, sf_dir).select(
+        "doc_id", "mh_0", "mh_1", "mh_2", "mh_3"
     ).orderBy("doc_id")
 
 
@@ -121,6 +125,25 @@ def _shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sigs8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: the 8-lane MinHash signature table (doc_id,
+    mh_0..mh_7) over the persisted shingle stage. Persisted separately
+    because the LSH candidate join references the signature subtree
+    THREE times (bucket-size cap + both self-join sides) — unpersisted,
+    the md5 pass over every shingle ran 3× per pairs build (r14 profile:
+    the three documents-scan stages carried ~90 % of doc_triangles' cold
+    task-time). One row per doc — strictly smaller than the shingle
+    stage it derives from."""
+    return shared.stage(
+        spark,
+        "doc_minhash_sigs8",
+        sf_dir,
+        lambda: dedup.minhash_from_shingled(
+            _shingled_docs(spark, sf_dir), n_perms=8
+        ),
+    )
+
+
 def _lsh_verified_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_bucket_size: int = 64
 ) -> DataFrame:
@@ -136,6 +159,7 @@ def _lsh_verified_pairs(
             threshold=threshold,
             max_bucket_size=max_bucket_size,
             shingled=_shingled_docs(spark, sf_dir),
+            sigs=_minhash_sigs8(spark, sf_dir),
         )
 
     return shared.stage(
@@ -2220,11 +2244,14 @@ MM_DECODE_SQL = dedent("""
 def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the encode/decode round trip is per-row Python codec work
     # over mapInPandas — a single-split corpus would pin it on ONE
-    # Python worker (no-op on a many-split scan)
+    # Python worker (no-op on a many-split scan).
+    # r14: encode+decode run FUSED in one Arrow crossing
+    # (multimodal.wav_roundtrip_decoded) — same _wav_container /
+    # _decode_one codec calls per row, identical rows out, but the
+    # container no longer ships between two Python stages.
     docs = spread_partitions(load_table(spark, sf_dir, "documents"))
-    media = multimodal.encode_wav(docs, "doc_id", "text")
     return (
-        multimodal.decode_real(media)
+        multimodal.wav_roundtrip_decoded(docs, "doc_id", "text")
         .select(
             "media_id", "format", "n_channels", "sample_width",
             "frame_rate", "n_frames",
@@ -2546,9 +2573,7 @@ def doc_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared stages (shingles, verified pairs), so the only new work is
     two broadcast-size joins against the signature table."""
     pairs = _lsh_verified_pairs(spark, sf_dir)
-    sigs = dedup.minhash_from_shingled(
-        _shingled_docs(spark, sf_dir), n_perms=8
-    )
+    sigs = _minhash_sigs8(spark, sf_dir)
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{p}").alias(f"_a{p}") for p in range(8)],

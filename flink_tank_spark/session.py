@@ -30,6 +30,16 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
     Respects ``SPARK_GRAFT_CPUS``; defaults to all local cores.
     """
     n = cpus or default_parallelism()
+    # The worker daemon (spark_daemon.py) is exec'd as `python -m`, so
+    # the package root must be importable from the daemon subprocess —
+    # the JVM (and its python children) inherit PYTHONPATH from this
+    # process's environment at gateway launch.
+    _pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _pkg_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _pkg_root + ((os.pathsep + _pp) if _pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -37,6 +47,21 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES, not by core count
+        # (guide §2.2): the default parallelismFirst=true floors AQE
+        # coalescing at defaultParallelism, so every KB-sized exchange
+        # still launched 32 tasks whose per-task launch/JIT overhead
+        # dominated small-SF stages (r14 profile: dozens of 32-task
+        # stages with run≫cpu on <1 MB shuffles). byte-based coalescing
+        # is also the correct 100 TB behavior — partitions track
+        # advisoryPartitionSizeInBytes (8 MB local default keeps
+        # MB-scale shuffles parallel; conf/spark-defaults-100tb.conf
+        # raises it to 128 MB for the cluster).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Local test files are single-digit-MB single parquet files; the
@@ -48,6 +73,19 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Worker daemon with numpy/pandas/pyarrow pre-imported before the
+        # fork loop (spark_daemon.py): a cold worker's first Arrow batch
+        # paid ~8 s of import on this VM family (× up to `n` concurrent
+        # first-spawns); pre-import makes forked workers inherit warm
+        # modules via copy-on-write. Same effect per executor on a real
+        # cluster. SPARK_GRAFT_PLAIN_DAEMON=1 restores the stock daemon
+        # (A/B measurement hook).
+        .config(
+            "spark.python.daemon.module",
+            "pyspark.daemon"
+            if os.environ.get("SPARK_GRAFT_PLAIN_DAEMON")
+            else "flink_tank_spark.spark_daemon",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
