@@ -230,7 +230,16 @@ def lsh_candidate_pairs(
     cap are dropped entirely before the self-join — the standard LSH
     guardrail at corpus scale.
     """
-    stacked = lsh_bucket_rows(signatures, id_col, rows_per_band)
+    # Materialize the (id, bucket) rows once (r14, guide §2.4): this
+    # table is referenced up to three times below (bucket-size cap +
+    # both self-join sides), and without a checkpoint the whole
+    # signature subtree re-evaluated per reference — for callers that
+    # do NOT pass a pre-persisted signature table (e.g. the curation
+    # job) that meant three full md5 passes over the corpus. Bounded:
+    # one row per (doc, band).
+    stacked = lsh_bucket_rows(signatures, id_col, rows_per_band).localCheckpoint(
+        eager=False
+    )
     if max_bucket_size is not None:
         sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
         stacked = stacked.join(

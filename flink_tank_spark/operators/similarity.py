@@ -900,6 +900,11 @@ def srp_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # Rescore join strategy stays AQE's call (r14 note): the candidate
+    # table is NOT bounded small — the measured candidate fraction is
+    # ~0.33 of the corpus per query — so a pinned broadcast would OOM
+    # at 100 TB; at bench SFs AQE's runtime size check already converts
+    # this sort-merge join to a broadcast join on its own.
     scored = (
         cand.join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
         .join(c, "neighbor_id")

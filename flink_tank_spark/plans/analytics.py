@@ -40,15 +40,21 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     window = F.expr("interval 4 hours")
 
+    # t1/t2 are each referenced twice (the next step's join + their own
+    # scalar count) — materialized once via checkpoint (r14, guide
+    # §2.4) so each step's filtered events scan + aggregation runs a
+    # single time instead of once per reference. Both tables are
+    # per-user (bounded far below the event volume at any scale).
     t1 = ev.filter(F.col("event_type") == FUNNEL_STEPS[0]).groupBy("user_id").agg(
         F.min("ts").alias("t1")
-    )
+    ).localCheckpoint(eager=False)
     t2 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
         .join(t1, "user_id")
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     t3 = (
         ev.filter(F.col("event_type") == FUNNEL_STEPS[2])

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from textwrap import dedent
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_tank_spark.functions.numeric import dsum, sql_dsum
@@ -50,30 +50,41 @@ def scd2_apply(dim: DataFrame, updates: DataFrame) -> DataFrame:
     broadcast would become the OOM at 100 TB that the size-based
     threshold avoids — at bench SFs the optimizer still picks
     broadcast; past the threshold it flips to the shuffle join both
-    sides are hash-partitionable for."""
+    sides are hash-partitionable for.
+
+    Execution shape (r14, guide §2.4): ONE pass. The original 3-way
+    union of filtered projections referenced the join (and its whole
+    updates-aggregate chain) three times — un-persisted, Spark
+    re-evaluated the chain per branch (~15 exchanges, 16 AQE jobs for
+    the as-of query). Here each joined row emits its version rows
+    through one explode — untouched keys one row, updated keys the
+    closed + current pair — the same row multiset in one evaluation."""
     joined = dim.join(updates, "custkey", "left")
-    untouched = joined.filter(F.col("new_acctbal").isNull()).select(
-        "custkey", "c_name", "c_mktsegment",
-        F.col("acctbal"),
-        "valid_from",
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+
+    def _ver(acctbal: Column, valid_from: Column, valid_to: Column, cur: bool):
+        return F.struct(
+            acctbal.alias("acctbal"),
+            valid_from.alias("valid_from"),
+            valid_to.alias("valid_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    no_ts = F.lit(None).cast("timestamp")
+    vers = F.when(
+        F.col("new_acctbal").isNull(),
+        F.array(_ver(F.col("acctbal"), F.col("valid_from"), no_ts, True)),
+    ).otherwise(
+        F.array(
+            _ver(F.col("acctbal"), F.col("valid_from"), F.col("eff_ts"), False),
+            _ver(F.col("new_acctbal"), F.col("eff_ts"), no_ts, True),
+        )
     )
-    closed = joined.filter(F.col("new_acctbal").isNotNull()).select(
+    return joined.select(
+        "custkey", "c_name", "c_mktsegment", F.explode(vers).alias("_v")
+    ).select(
         "custkey", "c_name", "c_mktsegment",
-        F.col("acctbal"),
-        "valid_from",
-        F.col("eff_ts").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+        "_v.acctbal", "_v.valid_from", "_v.valid_to", "_v.is_current",
     )
-    opened = joined.filter(F.col("new_acctbal").isNotNull()).select(
-        "custkey", "c_name", "c_mktsegment",
-        F.col("new_acctbal").alias("acctbal"),
-        F.col("eff_ts").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return untouched.unionByName(closed).unionByName(opened)
 
 
 def _scd2_post_image(spark: SparkSession, sf_dir: str) -> DataFrame:
