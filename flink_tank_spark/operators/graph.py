@@ -40,6 +40,7 @@ def pagerank_scaled(
     edges: DataFrame,
     id_col: str = "doc_id",
     iters: int = 5,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank over an undirected edge list.
 
@@ -53,13 +54,28 @@ def pagerank_scaled(
     a convergence loop: rank queries want a reproducible snapshot, and
     five damped iterations already separate hubs from leaves. The plan
     depth is linear in ``iters`` (each round references the previous
-    ranks once), so no checkpoint truncation is needed at this depth —
-    unlike CC's fixpoint loop whose rounds self-reference twice.
+    ranks once) — but the loop REFERENCES ``nodes`` iters+1 times and
+    ``edges_d`` once per round, and un-materialized those subtrees
+    re-evaluate per reference (profiled: six separate 64-task scan
+    stages of the node list in one cold build). They are
+    checkpoint-materialized once (the triangle_counts/kcore discipline:
+    localCheckpoint in local mode, reliable ``checkpoint()`` on a
+    cluster via ``reliable_checkpoint``); checkpointed values are the
+    computed values, so results are unchanged.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
+
+    nodes = ckpt(nodes.select(F.col(id_col)))
+    deg = ckpt(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     # Degree rides along with each edge so the per-iteration work is one
     # join against ranks + one aggregation; built once, reused per round.
-    edges_d = edges.join(deg, "src")
+    edges_d = ckpt(edges.join(deg, "src"))
 
     ranks = nodes.select(
         F.col(id_col), F.lit(PR_SCALE).cast("long").alias("pr_scaled")
