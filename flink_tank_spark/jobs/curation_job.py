@@ -94,7 +94,9 @@ def curation_flags(
     # 2. near-dup: component canon survives — the SAME pipeline (and
     # constants) the oracle-certified doc_dedup_groups/doc_dedup_corpus
     # queries run, single-sourced in operators/dedup.lsh_near_dup_pairs.
-    pairs = dedup.lsh_near_dup_pairs(docs).select("id_a", "id_b")
+    pairs = dedup.lsh_near_dup_pairs(
+        docs, reliable_checkpoint=reliable_checkpoint
+    ).select("id_a", "id_b")
     dropped_nd = (
         dedup.connected_components(pairs, reliable_checkpoint=reliable_checkpoint)
         .filter(F.col("canon_id") < F.col("doc_id"))

@@ -219,6 +219,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """MinHash-LSH blocking: docs sharing any band bucket become
     candidate pairs. Scale shape: explode to (band, bucket, doc), join
@@ -236,9 +237,15 @@ def lsh_candidate_pairs(
     # signature subtree re-evaluated per reference — for callers that
     # do NOT pass a pre-persisted signature table (e.g. the curation
     # job) that meant three full md5 passes over the corpus. Bounded:
-    # one row per (doc, band).
-    stacked = lsh_bucket_rows(signatures, id_col, rows_per_band).localCheckpoint(
-        eager=False
+    # one row per (doc, band). ``reliable_checkpoint`` swaps in
+    # ``checkpoint()`` (the connected_components/pagerank cluster
+    # discipline: executor loss must not strand the materialization);
+    # checkpointed values are the computed values either way.
+    stacked = lsh_bucket_rows(signatures, id_col, rows_per_band)
+    stacked = (
+        stacked.checkpoint(eager=False)
+        if reliable_checkpoint
+        else stacked.localCheckpoint(eager=False)
     )
     if max_bucket_size is not None:
         sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
@@ -265,6 +272,7 @@ def lsh_near_dup_pairs(
     text_col: str = "text",
     shingled: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → MinHash → LSH
     blocking (bucket-capped) → exact Jaccard rescore ≥ ``threshold``.
@@ -294,7 +302,11 @@ def lsh_near_dup_pairs(
     if sigs is None:
         sigs = minhash_from_shingled(shingled, id_col=id_col, n_perms=n_perms)
     cands = lsh_candidate_pairs(
-        sigs, id_col=id_col, rows_per_band=rows_per_band, max_bucket_size=max_bucket_size
+        sigs,
+        id_col=id_col,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+        reliable_checkpoint=reliable_checkpoint,
     )
     return rescore_jaccard(cands, shingled, id_col=id_col).filter(
         F.col("jaccard") >= threshold

@@ -259,6 +259,31 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
+def test_lsh_pairs_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoint=True swaps the candidate stage's
+    localCheckpoint for checkpoint() (cluster mode: the r14 bucket-rows
+    materialization must survive executor loss); pairs are identical to
+    the default local path."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate: J=1.0, guaranteed LSH pair
+            (3, "a completely different document about spark joins"),
+        ],
+        ["doc_id", "text"],
+    )
+    local = {
+        (r.id_a, r.id_b) for r in dedup.lsh_near_dup_pairs(docs).collect()
+    }
+    reliable = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_near_dup_pairs(docs, reliable_checkpoint=True).collect()
+    }
+    assert reliable == local and (1, 2) in reliable
+
+
 def test_repetition_stats_on_constructed_docs(spark):
     """Known repetition values: 'a a a a' is 75% duplicate words and
     2/3 duplicate 2-grams; a fully distinct doc scores 0.0 everywhere."""
