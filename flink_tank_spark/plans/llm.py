@@ -3199,12 +3199,33 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_from_shingles(sh)
 
 
-def source_overlap_from_shingles(sh: DataFrame) -> DataFrame:
+def source_overlap_from_shingles(
+    sh: DataFrame, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Finalize: pairwise overlap from a DISTINCT (source, g) shingle
     table. Shared verbatim by the batch query above and the streaming
     view (streaming/source_overlap.py) — parity is structural, the
-    vocab_cov.py pattern."""
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    vocab_cov.py pattern.
+
+    ``sh`` is referenced four times below (both self-join sides + the
+    two sizes broadcasts) — un-materialized, the whole upstream
+    explode+distinct re-evaluated per reference (profiled at sf0.1:
+    four identical 3.7 M-row map stages in one cold build, 23 jobs).
+    Checkpoint-materialized once (r14, guide §2.4 — the established
+    graph/LSH discipline; ``reliable_checkpoint`` swaps in
+    ``checkpoint()`` for cluster deployments). ``sizes`` likewise backs
+    two broadcasts and is one bounded row per source. Checkpointed
+    values are the computed values — results unchanged."""
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=False)
+            if reliable_checkpoint
+            else df.localCheckpoint(eager=False)
+        )
+
+    sh = _ckpt(sh)
+    sizes = _ckpt(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n")))
     common = (
         sh.select(F.col("source").alias("source_a"), "g")
         .join(sh.select(F.col("source").alias("source_b"), "g"), "g")
