@@ -277,7 +277,7 @@ def ivf_assign(
     )
 
 
-def kmeans_centroids(
+def kmeans_centroids_plan(
     vectors: DataFrame,
     k: int = 8,
     iters: int = 2,
@@ -285,6 +285,14 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd k-means in pure DataFrame ops → (centroid_id, cv).
+
+    REFERENCE implementation (and the oracle-SQL mirror's shape): kept so
+    tests can pin the fused trainer (:func:`kmeans_centroids`) bit-equal
+    to the plan-based construction. Production callers use
+    :func:`kmeans_centroids`, which computes the SAME values with one
+    fused Arrow crossing per iteration instead of this nested
+    broadcast-join → window → posexplode chain (whose physical plan
+    re-nests per iteration — the dominant cost of the IVF/PQ queries).
 
     Designed to be ORACLE-REPRODUCIBLE (and cluster-reproducible), which
     rules out k-means||'s random seeding and raw-double means:
@@ -332,6 +340,162 @@ def kmeans_centroids(
             ).alias("cv")
         )
     return cent
+
+
+def _lloyd_iteration(
+    vectors: DataFrame,
+    cents: list[tuple],
+    vec_col: str,
+    metric: str,
+) -> list[tuple]:
+    """One fused Lloyd iteration: assignment + per-cell fixed-point mean
+    partials in a SINGLE Arrow crossing over only the vector column, then
+    the exact davg finish in JVM aggregation. Returns the new
+    [(centroid_id, [mean...]), ...] rows (bounded: ≤ k entries).
+
+    Bit-identity with the plan-based reference (pinned in
+    tests/test_llm_ops.py::test_kmeans_fused_matches_plan_reference):
+
+    - cosine scores: the per-term ``floor(x·y·1e12 + 0.5)`` values are
+      integral doubles with |Σ| ≪ 2^53, so numpy's summation order gives
+      the same exact total as the JVM fold (the dot_vectorized /
+      sqdist_vectorized argument), and the final
+      ``(Σ/SCALE) / (vnorm·cnorm)`` is the identical IEEE op sequence;
+    - tie-breaks: centroids are scored in ascending centroid_id order and
+      np.argmax/argmin take the FIRST max/min — exactly the reference's
+      ``ORDER BY score, centroid_id`` row_number pick;
+    - means: per-batch partial sums of ``floor(val·1e6 + 0.5)`` are exact
+      int64 (|val| ~1e0 ⇒ ~1e10 per 10k-row batch); the JVM then sums the
+      partials through exact DECIMAL and applies davg's own
+      ``cast(double) / 1e6 / count`` — identical operands, identical ops,
+      at ANY scale (partials overflow-safe far past 100 TB).
+    """
+    from flink_tank_spark.functions import numeric
+
+    cents = sorted(cents, key=lambda r: r[0])
+    cids = [r[0] for r in cents]
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in cents])
+    if metric == "cosine":
+        cn = np.sqrt(np.floor(C * C * SCALE + 0.5).sum(axis=1) / SCALE)
+        keep_c = cn > 0
+        cids = [c for c, k_ in zip(cids, keep_c) if k_]
+        C, cn = C[keep_c], cn[keep_c]
+    if len(cids) == 0:
+        return []
+    cid_arr = list(cids)
+    nscale = numeric.SCALE
+
+    def partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.stack(pdf["_v"].to_numpy()).astype(_np.float64, copy=False)
+            if metric == "cosine":
+                vn = _np.sqrt(_np.floor(V * V * SCALE + 0.5).sum(axis=1) / SCALE)
+                keep = vn > 0
+                V, vnk = V[keep], vn[keep]
+                if V.shape[0] == 0:
+                    continue
+                sims = (
+                    _np.floor(V[:, None, :] * C[None, :, :] * SCALE + 0.5).sum(axis=2)
+                    / SCALE
+                    / (vnk[:, None] * cn[None, :])
+                )
+                best = _np.argmax(sims, axis=1)
+            else:
+                d = V[:, None, :] - C[None, :, :]
+                dist = _np.floor(d * d * SCALE + 0.5).astype(_np.int64).sum(axis=2)
+                best = _np.argmin(dist, axis=1)
+            sv = _np.floor(V * nscale + 0.5).astype(_np.int64)
+            rows = []
+            for j in _np.unique(best):
+                sel = sv[best == j]
+                ps = sel.sum(axis=0)
+                n = int(sel.shape[0])
+                cid = cid_arr[int(j)]
+                rows.extend(
+                    (cid, int(dnum), int(ps[dnum]), n) for dnum in range(ps.shape[0])
+                )
+            if rows:
+                yield _pd.DataFrame(rows, columns=["centroid_id", "dim", "psum", "cnt"])
+
+    part_df = vectors.select(
+        as_double_array(F.col(vec_col)).alias("_v")
+    ).mapInPandas(partials, schema="centroid_id long, dim int, psum long, cnt long")
+    # davg finish, verbatim ops: SUM(exact decimal) → cast double → /SCALE → /count
+    agg = (
+        part_df.groupBy("centroid_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("psum").cast("decimal(30,0)")).cast("double")
+                / F.lit(nscale)
+                / F.sum("cnt")
+            ).alias("mval")
+        )
+        .collect()
+    )
+    by_cell: dict = {}
+    for r in agg:
+        by_cell.setdefault(r["centroid_id"], {})[r["dim"]] = r["mval"]
+    out = []
+    for cid in sorted(by_cell):
+        dims = by_cell[cid]
+        out.append((cid, [dims[d] for d in sorted(dims)]))
+    return out
+
+
+def _train_centroids_driver(
+    vectors: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    metric: str,
+) -> DataFrame:
+    """Driver-coordinated Lloyd loop shared by :func:`kmeans_centroids`
+    (cosine) and :func:`kmeans_centroids_l2`. Per iteration it runs ONE
+    distributed job (the fused crossing of :func:`_lloyd_iteration`) and
+    collects only the k×dim mean rows — a BOUNDED driver collect (k ≤ 16,
+    dim ≤ 64 here; centroids are broadcast-sized by design at any corpus
+    scale), the same guide-§5 envelope as the BPE trainer's bounded
+    collect. The corpus itself never leaves the executors."""
+    seeds = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+    )
+    schema = seeds.schema
+    cents = [(r["centroid_id"], list(r["cv"])) for r in seeds.collect()]
+    for _ in range(iters):
+        cents = _lloyd_iteration(vectors, cents, vec_col, metric)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(cents, schema=schema)
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means → (centroid_id, cv), bit-identical to
+    :func:`kmeans_centroids_plan` (the documented reference construction
+    and oracle mirror — see its docstring for the determinism design) but
+    executed as a driver-coordinated loop: one fused Arrow crossing per
+    iteration instead of a per-iteration broadcast-join → window →
+    posexplode plan that re-nests inside every later iteration's
+    broadcast. Plan effect on emb_ivf_kmeans_topk: the trained centroids
+    enter the final assignment as a LocalTableScan, so the query plan
+    carries ONE assignment pass instead of the nested training tree
+    (12 → ≤2 Python nodes); emb_pq_topk drops ~4× more."""
+    return _train_centroids_driver(vectors, k, iters, id_col, vec_col, "cosine")
 
 
 def cell_blocked_pairs(
@@ -562,7 +726,7 @@ def l2_assign(
     )
 
 
-def kmeans_centroids_l2(
+def kmeans_centroids_l2_plan(
     vectors: DataFrame,
     k: int = 16,
     iters: int = 2,
@@ -570,10 +734,11 @@ def kmeans_centroids_l2(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic Lloyd k-means under L2 → (centroid_id, cv). Same
-    oracle-reproducible construction as the cosine :func:`kmeans_centroids`
-    (k smallest-id seeds, fixed-point means via davg, array_sort
-    recomposition) with the assignment metric swapped to exact
-    fixed-point squared L2."""
+    oracle-reproducible construction as the cosine
+    :func:`kmeans_centroids_plan` (k smallest-id seeds, fixed-point means
+    via davg, array_sort recomposition) with the assignment metric
+    swapped to exact fixed-point squared L2. REFERENCE implementation
+    kept for bit-equality pinning of :func:`kmeans_centroids_l2`."""
     from flink_tank_spark.functions.numeric import davg
 
     cent = (
@@ -597,6 +762,23 @@ def kmeans_centroids_l2(
             ).alias("cv")
         )
     return cent
+
+
+def kmeans_centroids_l2(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means under L2, bit-identical to
+    :func:`kmeans_centroids_l2_plan` but driver-coordinated with one
+    fused Arrow crossing per iteration (see :func:`kmeans_centroids`).
+    The L2 reference joins the assignment back to ``vectors`` for the
+    means — no zero-norm filter on either side — which the fused crossing
+    reproduces by computing assignment and scaled means from the SAME
+    in-batch rows."""
+    return _train_centroids_driver(vectors, k, iters, id_col, vec_col, "l2")
 
 
 def pq_reconstruct(

@@ -209,6 +209,38 @@ def test_kmeans_seeds_from_k_smallest_ids_on_sparse_ids(spark):
     assert got == [1000, 1007, 1014, 1021]
 
 
+def test_kmeans_fused_matches_plan_reference(spark, sf_dir):
+    """The driver-coordinated fused Lloyd trainers (one Arrow crossing
+    per iteration) must be BIT-EQUAL to the plan-based reference
+    constructions — same seeds, same fixed-point assignment tie-breaks,
+    same davg means — for both metrics, across k/iters shapes, and when
+    a zero-norm vector lands in the cosine seed set (it must drop out
+    identically)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def rows(df):
+        return sorted((r.centroid_id, list(r.cv)) for r in df.collect())
+
+    for k, iters in [(8, 2), (3, 1)]:
+        assert rows(similarity.kmeans_centroids(emb, k=k, iters=iters)) == rows(
+            similarity.kmeans_centroids_plan(emb, k=k, iters=iters)
+        ), ("cosine", k, iters)
+    sub = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    assert rows(similarity.kmeans_centroids_l2(sub, k=16, iters=2)) == rows(
+        similarity.kmeans_centroids_l2_plan(sub, k=16, iters=2)
+    ), "l2"
+    # zero-norm seed edge: smallest id is a zero vector -> excluded from
+    # every assignment pass, so its cell starves and drops out of cent_1.
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame([(-1, [0.0] * dim)], "vec_id long, embedding array<double>")
+    embz = zero.unionByName(
+        emb.select("vec_id", similarity.as_double_array(F.col("embedding")).alias("embedding"))
+    )
+    a = rows(similarity.kmeans_centroids(embz, k=4, iters=2))
+    assert a == rows(similarity.kmeans_centroids_plan(embz, k=4, iters=2))
+    assert -1 not in [c for c, _ in a]
+
+
 def test_similarity_layer_has_no_nested_loop_join(spark, sf_dir):
     """Blocking means equi joins everywhere: no BroadcastNestedLoopJoin
     may appear in the near-dup or top-k plans."""
