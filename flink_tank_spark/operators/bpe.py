@@ -44,6 +44,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_tank_spark import materialize
+
 WORD_REGEX = r"([a-z]+)"
 END_MARK = "</w>"
 
@@ -215,7 +217,8 @@ def train_merges_incremental(
 
     Lineage control: the rewrite is one chained ``replace`` projection
     per step over the persisted base; every ``checkpoint_every`` steps
-    the chain is truncated with ``localCheckpoint(eager=True)`` so the
+    the chain is truncated with ``materialize.ckpt(eager=True)`` (local
+    checkpoint, or reliable under SPARK_GRAFT_RELIABLE_CKPT) so the
     per-job evaluation depth — and Catalyst's analysis time — stays
     bounded (the k-means/CC lesson from operators/similarity.py). On a
     real cluster swap in reliable ``checkpoint()`` exactly as GraphX
@@ -288,7 +291,7 @@ def train_merges_incremental(
                         stats["argmax_sec"] += time.perf_counter() - _t0
         cur = cur.withColumn("syms", new_syms)
         if step % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
+            cur = materialize.ckpt(cur, eager=True)
     return merges
 
 
@@ -452,7 +455,7 @@ def train_merges_incremental_batched(
         since_checkpoint += len(new_merges)
         rounds_since += 1
         if since_checkpoint >= checkpoint_every or rounds_since >= 8:
-            cur = cur.localCheckpoint(eager=True)
+            cur = materialize.ckpt(cur, eager=True)
             since_checkpoint = 0
             rounds_since = 0
     return merges

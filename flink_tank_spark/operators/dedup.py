@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from flink_tank_spark import materialize
+
 from flink_tank_spark.operators.text import (
     lsh_band_buckets,
     shingles_from_words,
@@ -219,7 +221,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     rows_per_band: int = 2,
     max_bucket_size: int | None = None,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocking: docs sharing any band bucket become
     candidate pairs. Scale shape: explode to (band, bucket, doc), join
@@ -239,14 +241,14 @@ def lsh_candidate_pairs(
     # job) that meant three full md5 passes over the corpus. Bounded:
     # one row per (doc, band). ``reliable_checkpoint`` swaps in
     # ``checkpoint()`` (the connected_components/pagerank cluster
-    # discipline: executor loss must not strand the materialization);
-    # checkpointed values are the computed values either way.
+    # discipline: executor loss must not strand the materialization;
+    # requires a checkpoint dir — ``spark.checkpoint.dir`` conf,
+    # ``SPARK_GRAFT_CKPT_DIR`` env, or setCheckpointDir — see
+    # flink_tank_spark/materialize.py; None = the session-level
+    # SPARK_GRAFT_RELIABLE_CKPT policy); checkpointed values are the
+    # computed values either way.
     stacked = lsh_bucket_rows(signatures, id_col, rows_per_band)
-    stacked = (
-        stacked.checkpoint(eager=False)
-        if reliable_checkpoint
-        else stacked.localCheckpoint(eager=False)
-    )
+    stacked = materialize.ckpt(stacked, reliable=reliable_checkpoint)
     if max_bucket_size is not None:
         sizes = stacked.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
         stacked = stacked.join(
@@ -272,7 +274,7 @@ def lsh_near_dup_pairs(
     text_col: str = "text",
     shingled: DataFrame | None = None,
     sigs: DataFrame | None = None,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pair detection: shingle → MinHash → LSH
     blocking (bucket-capped) → exact Jaccard rescore ≥ ``threshold``.
@@ -314,7 +316,7 @@ def lsh_near_dup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, iters: int = 30, reliable_checkpoint: bool = False
+    pairs: DataFrame, iters: int = 30, reliable_checkpoint: bool | None = None
 ) -> DataFrame:
     """Duplicate-group resolution: connected components over a near-dup
     pair graph via min-label propagation — (doc_id, canon_id) where
@@ -340,19 +342,18 @@ def connected_components(
     ``reliable_checkpoint``: iterative lineage control. ``False`` (local
     mode / tests): ``localCheckpoint`` — executor-storage truncation,
     cheap but lost on executor failure. ``True`` (cluster): reliable
-    ``checkpoint()`` to the configured checkpoint dir (required: call
-    ``spark.sparkContext.setCheckpointDir`` first) — the same per-
-    iteration discipline GraphX/Pregel applies, survives executor loss.
+    ``checkpoint()`` to the configured checkpoint dir (required:
+    ``spark.checkpoint.dir`` conf / ``SPARK_GRAFT_CKPT_DIR`` env /
+    ``setCheckpointDir`` — materialize.py applies the env fallback) —
+    the same per-iteration discipline GraphX/Pregel applies, survives
+    executor loss. ``None`` (default): the session-level
+    ``SPARK_GRAFT_RELIABLE_CKPT`` policy decides (materialize.py).
     """
     # Lineage control matters twice here: labels_i references labels_{i-1}
     # twice and edges once, so an untruncated loop builds a 2^iters-node
     # plan (112 s in Catalyst analysis alone on a 25-pair graph).
     def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-        return (
-            df.checkpoint(eager=eager)
-            if reliable_checkpoint
-            else df.localCheckpoint(eager=eager)
-        )
+        return materialize.ckpt(df, reliable=reliable_checkpoint, eager=eager)
 
     # Lazy: edges materialize with the first boundary job, not at build.
     edges = ckpt(

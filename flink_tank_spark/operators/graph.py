@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_tank_spark import materialize
+
 PR_SCALE = 1_000_000  # scaled fixed-point: 1.0 == 1e6
 PR_BASE = 150_000  # (1 - d) * SCALE with d = 0.85
 
@@ -40,7 +42,7 @@ def pagerank_scaled(
     edges: DataFrame,
     id_col: str = "doc_id",
     iters: int = 5,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration damped PageRank over an undirected edge list.
 
@@ -65,11 +67,7 @@ def pagerank_scaled(
     """
 
     def ckpt(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=False)
-            if reliable_checkpoint
-            else df.localCheckpoint(eager=False)
-        )
+        return materialize.ckpt(df, reliable=reliable_checkpoint)
 
     nodes = ckpt(nodes.select(F.col(id_col)))
     deg = ckpt(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
@@ -118,7 +116,7 @@ CC_SCALE = 1_000_000  # clustering coefficient ppm: 1.0 == 1e6
 
 
 def triangle_counts(
-    pairs: DataFrame, id_col: str = "doc_id", reliable_checkpoint: bool = False
+    pairs: DataFrame, id_col: str = "doc_id", reliable_checkpoint: bool | None = None
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected edge list (``id_a`` < ``id_b``, one row per edge).
@@ -160,11 +158,7 @@ def triangle_counts(
     """
 
     def ckpt(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=False)
-            if reliable_checkpoint
-            else df.localCheckpoint(eager=False)
-        )
+        return materialize.ckpt(df, reliable=reliable_checkpoint)
 
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -233,7 +227,7 @@ def kcore(
     k: int = 2,
     id_col: str = "doc_id",
     iters: int = 40,
-    reliable_checkpoint: bool = False,
+    reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     nodes whose CURRENT degree is below ``k`` until none remain; the
@@ -261,11 +255,7 @@ def kcore(
     """
 
     def ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
-        return (
-            df.checkpoint(eager=eager)
-            if reliable_checkpoint
-            else df.localCheckpoint(eager=eager)
-        )
+        return materialize.ckpt(df, reliable=reliable_checkpoint, eager=eager)
 
     edges = ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(

@@ -23,6 +23,7 @@ from flink_tank_spark.functions.numeric import sql_davg
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import dedup, multimodal, similarity, text
 from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark import materialize
 from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.registry import QuerySpec
 
@@ -387,8 +388,25 @@ def _word_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: retrieval.term_statistics(
             _word_postings(spark, sf_dir),
-            retrieval.corpus_stats(load_table(spark, sf_dir, "documents")),
+            _word_corpus_stats(spark, sf_dir),
         ),
+    )
+
+
+def _word_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: the 1-row (n_docs, avgdl) corpus stats. Without it
+    every BM25 rep re-scanned the full documents TEXT column just to
+    recompute this bounded constant (r15, guide §2.4: the third and last
+    piece of the materialized retrieval index after postings and
+    term stats — per-batch retrieval work now touches the corpus only
+    through the persisted postings)."""
+    from flink_tank_spark.operators import retrieval
+
+    return shared.stage(
+        spark,
+        "doc_word_corpus_stats",
+        sf_dir,
+        lambda: retrieval.corpus_stats(load_table(spark, sf_dir, "documents")),
     )
 
 
@@ -404,6 +422,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     return retrieval.bm25_topk(
         docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
         term_stats=_word_term_stats(spark, sf_dir),
+        stats=_word_corpus_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
@@ -544,6 +563,7 @@ def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     return retrieval.bm25_wand_topk(
         docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
         term_stats=_word_term_stats(spark, sf_dir),
+        stats=_word_corpus_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
@@ -566,6 +586,7 @@ def doc_bm25_wand_batch64(
     return retrieval.bm25_wand_topk(
         docs, query_ids=range(64), k=k, posts=_word_postings(spark, sf_dir),
         term_stats=_word_term_stats(spark, sf_dir),
+        stats=_word_corpus_stats(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
@@ -3200,7 +3221,7 @@ def doc_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def source_overlap_from_shingles(
-    sh: DataFrame, reliable_checkpoint: bool = False
+    sh: DataFrame, reliable_checkpoint: bool | None = None
 ) -> DataFrame:
     """Finalize: pairwise overlap from a DISTINCT (source, g) shingle
     table. Shared verbatim by the batch query above and the streaming
@@ -3213,16 +3234,15 @@ def source_overlap_from_shingles(
     four identical 3.7 M-row map stages in one cold build, 23 jobs).
     Checkpoint-materialized once (r14, guide §2.4 — the established
     graph/LSH discipline; ``reliable_checkpoint`` swaps in
-    ``checkpoint()`` for cluster deployments). ``sizes`` likewise backs
+    ``checkpoint()`` for cluster deployments, and the default ``None``
+    resolves from the session-level ``SPARK_GRAFT_RELIABLE_CKPT``
+    policy — materialize.py — so the registry entry point is
+    cluster-safe without per-call plumbing). ``sizes`` likewise backs
     two broadcasts and is one bounded row per source. Checkpointed
     values are the computed values — results unchanged."""
 
     def _ckpt(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=False)
-            if reliable_checkpoint
-            else df.localCheckpoint(eager=False)
-        )
+        return materialize.ckpt(df, reliable=reliable_checkpoint)
 
     sh = _ckpt(sh)
     sizes = _ckpt(sh.groupBy("source").agg(F.count(F.lit(1)).alias("n")))

@@ -24,13 +24,22 @@ everything (tests / long-running services / before memory-hungry jobs).
 
 At 100 TB the same structure holds — the persisted stages are either
 per-doc maps (shingle sets: corpus-sized but MEMORY_AND_DISK, evictable)
-or tiny derived tables (near-dup pairs, centroids); on a cluster,
-replace persist with a parquet materialization of the stage output if
-executor churn makes cache recomputation too costly.
+or tiny derived tables (near-dup pairs, centroids); on a cluster, set
+``SPARK_GRAFT_STAGE_DIR`` (r15, the cluster-safe materialization switch
+— companion to materialize.py's SPARK_GRAFT_RELIABLE_CKPT): each stage
+is then written to parquet under ``<dir>/<applicationId>/<name>`` on
+first use and read back, so executor churn cannot evict it and cache
+pressure never competes with execution memory (guide §5). The path is
+keyed by applicationId — a fresh run always rebuilds from the inputs
+(NO cross-run result reuse; this is durability of a within-session
+intermediate, exactly what persist provided, not precomputation).
+Local default unchanged: in-memory persist.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
@@ -66,7 +75,17 @@ def stage(
         return hit[1]
     if hit is not None:
         _drop(key)
-    df = builder().persist(StorageLevel.MEMORY_AND_DISK)
+    stage_dir = os.environ.get("SPARK_GRAFT_STAGE_DIR")
+    if stage_dir:
+        # Cluster mode: parquet-materialize the stage (survives executor
+        # loss, no cache pressure). Session-scoped path — a rebuild with
+        # different params overwrites it; a new application rebuilds.
+        safe = re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        path = os.path.join(stage_dir, spark.sparkContext.applicationId, safe)
+        builder().write.mode("overwrite").parquet(path)
+        df = spark.read.parquet(path)
+    else:
+        df = builder().persist(StorageLevel.MEMORY_AND_DISK)
     _cache[key] = (params, df)
     return df
 
