@@ -497,6 +497,12 @@ def bm25_wand_parts(
     on pure orchestration). Values are unchanged (the gate certifies
     both settings); the cached state is a few KB per call.
     """
+    # A caller-supplied stats table (the shared session stage) must NOT
+    # be persisted here: release_wand_parts would then unpersist the
+    # SHARED stage after the first batch and every later batch would
+    # silently recompute it (r15). Only frames this call derives are
+    # cached/released.
+    stats_external = stats is not None
     stats, qterms, mposts, dfreq = _matched_postings(
         docs, query_ids, id_col, text_col, posts, term_stats, stats
     )
@@ -520,10 +526,12 @@ def bm25_wand_parts(
     persisted: list[DataFrame] = []
     if cache:
         qterms = qterms.persist()
-        stats = stats.persist()
         df_ub = df_ub.persist()
         dfreq = dfreq.persist()
-        persisted += [qterms, stats, df_ub, dfreq]
+        persisted += [qterms, df_ub, dfreq]
+        if not stats_external:
+            stats = stats.persist()
+            persisted.append(stats)
         # mposts is corpus-sized but feeds FIVE branches (seeds, θ
         # rescore, df/UB agg, candidate generation, final rescore);
         # without a persist each branch replays the postings build.
