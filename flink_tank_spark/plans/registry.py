@@ -39,67 +39,15 @@ class QuerySpec:
 # The driver harness runs the registry in insertion order under a
 # cumulative time budget and truncates at the tail (~50 rows/round), so
 # queries whose newest driver-certified CORRECTNESS row is the STALEST
-# run FIRST (order is otherwise meaningless to the gate). Round-14
+# run FIRST (order is otherwise meaningless to the gate). Round-15
 # rotation (computed from the union of all CORRECTNESS_r*.json after
-# round 13: 50 certed r13, 43 r12, 44 r11, 14 r10): the one NEW query
-# leads (never driver-certified), then the 14 round-10 certs (r13
-# verdict #4), then the full round-11 block — 59 queries; the driver
-# budget (~50) certifies the head and the r11 tail rolls to next
-# round, leaving r11 the stalest cert anywhere.
+# round 14: 50 certed r14, 50 r13, 43 r12, 9 r11, none older): the 9
+# remaining round-11 certs lead, then the full round-12 block — 52
+# queries; the driver budget (~50) certifies the head and the short
+# r12 tail rolls to next round, leaving nothing older than r12
+# certified anywhere.
 FRONT_OF_LINE = (
-    # NEW this round — never certified
-    "doc_source_overlap",
-    # newest driver cert is round 10
-    "doc_quality",
-    "emb_knn_label_purity",
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "mm_decode",
-    "emb_srp_topk",
-    "emb_srp_recall",
-    "ev_zorder_extents",
-    "emb_profile_dims",
-    "doc_simhash_near_dups",
-    "doc_weighted_sample",
-    "doc_chunk_windows",
-    "doc_dsir_weights",
-    "doc_vocab_coverage",
-    # newest driver cert is round 11
-    "agg_grouping_sets",
-    "doc_bm25_topk",
-    "doc_bm25_wand",
-    "doc_bm25_wand_batch64",
-    "doc_bpe_merges256",
-    "doc_bpe_tokens256",
-    "doc_contamination",
-    "doc_ngram_freq",
-    "doc_pack_chunks",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_split_assign",
-    "doc_token_stats",
-    "doc_top_terms",
-    "emb_ivf_kmeans_topk",
-    "emb_ivf_recall",
-    "emb_quantize_int8",
-    "emb_srp_recall_mp",
-    "emb_srp_topk_mp",
-    "ev_cep_match",
-    "ev_enrich",
-    "ev_funnel_conversion",
-    "ev_gap_fill",
-    "ev_hll_merge_days",
-    "ev_hll_user_days",
-    "ev_pivot_type_counts",
-    "ev_retention_cohorts",
-    "ev_value_quantiles",
-    "ev_value_quantiles_merged",
-    "mm_frame_stats",
-    "mm_resize",
-    "mm_wav_roundtrip",
-    "q11_important_stock",
-    "q16_parts_suppliers",
-    "q17_small_quantity",
+    # newest driver cert is round 11 (the stalest anywhere after r14)
     "q18_large_volume_customers",
     "q1_pricing_summary",
     "q20_excess_shipments",
@@ -109,6 +57,50 @@ FRONT_OF_LINE = (
     "win_moving_avg",
     "win_order_gaps",
     "win_price_position",
+    # newest driver cert is round 12
+    "agg_cube_status_priority",
+    "agg_rollup_region_nation",
+    "dim_scd2_asof_join",
+    "dim_scd2_customer",
+    "doc_bigram_fluency",
+    "doc_bpe_merges",
+    "doc_bpe_tokens",
+    "doc_clean_boilerplate",
+    "doc_dedup_stats",
+    "doc_dsir_topk",
+    "doc_fingerprint",
+    "doc_fuzzy_near_dups",
+    "doc_idf_rarity",
+    "doc_mix_reweight",
+    "doc_pii_scrub",
+    "doc_pmi_pairs",
+    "doc_profile_text",
+    "doc_span_dedup",
+    "doc_split_ks",
+    "doc_zipf_ranks",
+    "emb_pq_topk",
+    "emb_split_drift",
+    "emb_two_stage_topk",
+    "ev_cms_merge_days",
+    "ev_daily_trend",
+    "ev_hourly_top_users",
+    "ev_kmv_overlap_types",
+    "ev_session_stats",
+    "ev_trimmed_mean",
+    "ev_type_transitions",
+    "ev_value_deciles",
+    "ev_value_mad",
+    "join_bloom_prune",
+    "mm_audio_decimate",
+    "part_skyline",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "tbl_corr_lineitem",
+    "win_running_total",
+    "win_top_orders_per_cust",
 )
 
 
