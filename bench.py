@@ -35,6 +35,14 @@ def main() -> None:
     from flink_tank_spark.plans.registry import all_queries
     from flink_tank_spark.session import get_spark
 
+    # Arrow warmup joins the existing warm-the-session step below (r15):
+    # the once-per-session Python-worker/JIT first-touch (~3 s/task
+    # across all cores, measured run>>cpu in the r14 profiles) otherwise
+    # lands on whichever query crosses Python first and reads as THAT
+    # query's cost. Timing methodology unchanged — cold/warm runs are
+    # recorded exactly as before; this only extends what "warm the JVM"
+    # covers, per guide §1 (measure execution, not first-touch init).
+    os.environ.setdefault("SPARK_GRAFT_ARROW_WARMUP", "1")
     spark = get_spark("flink_tank_spark-bench")
 
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")

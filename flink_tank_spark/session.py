@@ -110,4 +110,32 @@ def get_spark(app_name: str = "flink_tank_spark", *, cpus: int | None = None) ->
         builder = builder.config("spark.jars.packages", packages)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_ARROW_WARMUP"):
+        _arrow_warmup(spark, n)
     return spark
+
+
+def _arrow_warmup(spark: SparkSession, n: int) -> None:
+    """Force the JVM ArrowEval path + one Python worker per core to
+    initialize BEFORE the first real query (opt-in:
+    SPARK_GRAFT_ARROW_WARMUP=1; bench.py enables it as part of its
+    documented warm-the-session step).
+
+    Measured (r14 §5 profile, re-confirmed r15): the first
+    Arrow-crossing stage of a session pays ~3 s/task of worker/JIT
+    first-touch across all cores — run≫cpu, not compute — which lands
+    on whichever query happens to cross Python first. One n-row
+    n-partition identity pandas_udf pass (n rows total — trivial work)
+    absorbs that constant at session build. ``spark.python.worker.reuse``
+    is on by default, so the warmed workers serve every later stage.
+    """
+    from pyspark.sql import functions as F
+
+    # plain-function form (no type hints): this module uses
+    # `from __future__ import annotations`, under which hint-style
+    # pandas_udf declarations fail to resolve locally-imported names.
+    _wu = F.pandas_udf(lambda x: x, "long")
+
+    # .collect(), not .count(): a count would prune the UDF projection
+    # and warm nothing (verify-skill gotcha).
+    spark.range(n, numPartitions=n).select(_wu("id").alias("v")).collect()

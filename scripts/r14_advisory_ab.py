@@ -43,6 +43,11 @@ def run_bench(queries: str, advisory: str) -> dict:
         text=True,
         timeout=1800,
     )
+    if out.returncode != 0 or not out.stdout.strip():
+        raise RuntimeError(
+            f"bench.py failed (rc={out.returncode}, advisory={advisory}): "
+            f"{out.stderr[-2000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
