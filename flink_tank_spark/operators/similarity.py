@@ -781,6 +781,122 @@ def kmeans_centroids_l2(
     return _train_centroids_driver(vectors, k, iters, id_col, vec_col, "l2")
 
 
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m_sub: int = 4,
+    sub_dim: int = 16,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[DataFrame]:
+    """Train ALL ``m_sub`` per-subspace L2 codebooks in ONE fused Lloyd
+    loop: one seeds collect + one corpus pass per iteration covering
+    every subspace, instead of per-subspace training (which cost
+    m_sub x (1 + iters) corpus-scanning jobs — 8 scans + 4 seed collects
+    for the PQ default; now iters scans + 1). The subspaces are
+    independent slices, so each one's assignment/means inside the shared
+    crossing are exactly :func:`kmeans_centroids_l2`'s — bit-equality
+    pinned in tests/test_llm_ops.py::test_pq_codebooks_match_per_subspace_trainer.
+
+    Returns one (centroid_id, cv) DataFrame per subspace, same as
+    calling :func:`kmeans_centroids_l2` on each slice."""
+    from flink_tank_spark.functions import numeric
+
+    spark = vectors.sparkSession
+    seeds = (
+        vectors.orderBy(F.col(id_col))
+        .limit(codes)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double_array(F.col(vec_col)).alias("cv"),
+        )
+    )
+    schema = seeds.schema
+    seed_rows = seeds.collect()
+    # cents[m]: sorted [(cid, subvector)] — slicing the k smallest-id
+    # seeds equals seeding on the sliced table (same ids, sliced values)
+    cents: list[list[tuple]] = [
+        [
+            (r["centroid_id"], list(r["cv"])[m * sub_dim : (m + 1) * sub_dim])
+            for r in seed_rows
+        ]
+        for m in range(m_sub)
+    ]
+    nscale = numeric.SCALE
+
+    for _ in range(iters):
+        per_sub = []
+        for m in range(m_sub):
+            rows = sorted(cents[m], key=lambda r: r[0])
+            per_sub.append(
+                (
+                    [r[0] for r in rows],
+                    np.stack([np.asarray(r[1], dtype=np.float64) for r in rows]),
+                )
+            )
+
+        def partials(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = _np.stack(pdf["_v"].to_numpy()).astype(_np.float64, copy=False)
+                rows = []
+                for m in range(m_sub):
+                    cids, C = per_sub[m]
+                    if len(cids) == 0:
+                        continue
+                    Vm = V[:, m * sub_dim : (m + 1) * sub_dim]
+                    d = Vm[:, None, :] - C[None, :, :]
+                    dist = _np.floor(d * d * SCALE + 0.5).astype(_np.int64).sum(axis=2)
+                    best = _np.argmin(dist, axis=1)
+                    sv = _np.floor(Vm * nscale + 0.5).astype(_np.int64)
+                    for j in _np.unique(best):
+                        sel = sv[best == j]
+                        ps = sel.sum(axis=0)
+                        n = int(sel.shape[0])
+                        cid = cids[int(j)]
+                        rows.extend(
+                            (m, cid, int(dnum), int(ps[dnum]), n)
+                            for dnum in range(ps.shape[0])
+                        )
+                if rows:
+                    yield _pd.DataFrame(
+                        rows, columns=["m", "centroid_id", "dim", "psum", "cnt"]
+                    )
+
+        part_df = vectors.select(
+            as_double_array(F.col(vec_col)).alias("_v")
+        ).mapInPandas(
+            partials, schema="m int, centroid_id long, dim int, psum long, cnt long"
+        )
+        agg = (
+            part_df.groupBy("m", "centroid_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("psum").cast("decimal(30,0)")).cast("double")
+                    / F.lit(nscale)
+                    / F.sum("cnt")
+                ).alias("mval")
+            )
+            .collect()
+        )
+        by_sub: dict = {m: {} for m in range(m_sub)}
+        for r in agg:
+            by_sub[r["m"]].setdefault(r["centroid_id"], {})[r["dim"]] = r["mval"]
+        cents = [
+            [
+                (cid, [by_sub[m][cid][d] for d in sorted(by_sub[m][cid])])
+                for cid in sorted(by_sub[m])
+            ]
+            for m in range(m_sub)
+        ]
+    return [spark.createDataFrame(cents[m], schema=schema) for m in range(m_sub)]
+
+
 def pq_reconstruct(
     vectors: DataFrame,
     m_sub: int = 4,
@@ -798,18 +914,19 @@ def pq_reconstruct(
     tables left implicit. Storage story at 100 TB: the codes table is
     M log2(codes) bits/vector (4 bytes here vs 256) and the codebooks
     are M×codes×sub_dim doubles — broadcast-sized at any corpus."""
+    books = pq_train_codebooks(
+        vectors, m_sub=m_sub, sub_dim=sub_dim, codes=codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
     out = None
     for m in range(m_sub):
         sub = vectors.select(
             id_col,
             F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim).alias(vec_col),
         )
-        book = kmeans_centroids_l2(
-            sub, k=codes, iters=iters, id_col=id_col, vec_col=vec_col
-        )
         part = (
-            l2_assign(sub, book, id_col=id_col, vec_col=vec_col)
-            .join(F.broadcast(book), "centroid_id")
+            l2_assign(sub, books[m], id_col=id_col, vec_col=vec_col)
+            .join(F.broadcast(books[m]), "centroid_id")
             .select(id_col, F.col("cv").alias(f"_p{m}"))
         )
         out = part if out is None else out.join(part, id_col)

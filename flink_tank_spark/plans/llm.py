@@ -1667,14 +1667,20 @@ def emb_pq_topk(
     reconstruct→score→rerank pipeline is bit-reproducible and
     oracle-gated — not just the scoring stage."""
     emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
-    recon = similarity.pq_reconstruct(emb).select(
-        "vec_id", F.col("rvec").alias("embedding")
-    )
     queries = emb.filter(F.col("vec_id") < 10)
-    coarse = shared.stage(
-        spark, "emb_pq_coarse", (sf_dir, coarse_k),
-        lambda: similarity.cosine_topk(recon, queries, k=coarse_k),
-    )
+
+    # The PQ train->encode->reconstruct chain lives INSIDE the stage
+    # builder (r15): the fused Lloyd trainers run their iteration jobs
+    # at DataFrame-construction time, so building recon outside the
+    # lambda retrained all four codebooks on every rep even when the
+    # staged coarse table was already cached (profiled: 45 warm jobs).
+    def _coarse() -> DataFrame:
+        recon = similarity.pq_reconstruct(emb).select(
+            "vec_id", F.col("rvec").alias("embedding")
+        )
+        return similarity.cosine_topk(recon, queries, k=coarse_k)
+
+    coarse = shared.stage(spark, "emb_pq_coarse", (sf_dir, coarse_k), _coarse)
     adc_top = coarse.filter(F.col("rk") <= k).select(
         F.col("query_id").alias("p_qid"), F.col("neighbor_id").alias("p_nid")
     )

@@ -241,6 +241,20 @@ def test_kmeans_fused_matches_plan_reference(spark, sf_dir):
     assert -1 not in [c for c, _ in a]
 
 
+def test_pq_codebooks_match_per_subspace_trainer(spark, sf_dir):
+    """The fused multi-subspace PQ trainer (one corpus pass per Lloyd
+    iteration covering every subspace) must be BIT-EQUAL, per subspace,
+    to the reference per-slice L2 trainer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_train_codebooks(emb, m_sub=4, sub_dim=16, codes=16, iters=2)
+    for m in range(4):
+        sub = emb.select("vec_id", F.slice("embedding", m * 16 + 1, 16).alias("embedding"))
+        ref = similarity.kmeans_centroids_l2_plan(sub, k=16, iters=2)
+        a = sorted((r.centroid_id, list(r.cv)) for r in books[m].collect())
+        b = sorted((r.centroid_id, list(r.cv)) for r in ref.collect())
+        assert a == b, f"subspace {m}"
+
+
 def test_similarity_layer_has_no_nested_loop_join(spark, sf_dir):
     """Blocking means equi joins everywhere: no BroadcastNestedLoopJoin
     may appear in the near-dup or top-k plans."""
