@@ -1140,6 +1140,8 @@ def srp_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = 0,
+    c_prep: DataFrame | None = None,
+    c_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Banded SRP-LSH approximate cosine top-k with exact rerank.
 
@@ -1152,6 +1154,16 @@ def srp_topk(
     Work is Σ band-bucket² join output, linear in the corpus for any
     fixed band population; never an all-pairs product.
 
+    ``c_prep`` / ``c_keys`` (r15): optionally supply the prepared corpus
+    table (neighbor_id, cv, cn — zero-norm rows already dropped) and the
+    exploded (neighbor_id, band_key) index, e.g. session-staged by
+    plans/srp.py. "The hash IS the index" cuts both ways: a deployment
+    materializes the band-key table once and serves every query batch
+    from it instead of re-hashing the corpus per batch (the lsh
+    ``sigs=`` / retrieval ``posts=`` pattern). Values are identical —
+    these are the same expressions, just persisted. When supplied they
+    MUST have been built with the same n_planes/n_bands/dim.
+
     Quality envelope (honesty note, measured in emb_srp_recall): on
     clustered corpora where true neighbors sit at cos ≥ 0.8 (per-plane
     agreement ≥ 0.80), 6 bands × 4 rows hits ≥ 0.95 of them. The
@@ -1163,7 +1175,7 @@ def srp_topk(
     """
     from pyspark.sql.window import Window as W
 
-    c = (
+    c = c_prep if c_prep is not None else (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(F.col(vec_col)).alias("cv"),
@@ -1179,12 +1191,13 @@ def srp_topk(
         .withColumn("qn", norm(F.col("qv")))
         .filter(F.col("qn") > 0)
     )
-    c_keys = c.select(
-        "neighbor_id",
-        F.explode(srp_band_keys(F.col("cv"), n_planes, n_bands, dim)).alias(
-            "band_key"
-        ),
-    )
+    if c_keys is None:
+        c_keys = c.select(
+            "neighbor_id",
+            F.explode(srp_band_keys(F.col("cv"), n_planes, n_bands, dim)).alias(
+                "band_key"
+            ),
+        )
     q_key_col = (
         srp_probe_keys(F.col("qv"), n_planes, n_bands, dim, n_probes)
         if n_probes > 0

