@@ -19,7 +19,7 @@ Contract (see repo root README):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -132,10 +132,32 @@ def all_queries() -> dict[str, QuerySpec]:
         for spec in module.QUERIES:
             if spec.name in registry:
                 raise ValueError(f"duplicate query name {spec.name!r}")
-            registry[spec.name] = spec
+            registry[spec.name] = _prepared(spec)
     unknown = [n for n in FRONT_OF_LINE if n not in registry]
     if unknown:
         raise ValueError(f"FRONT_OF_LINE names not in registry: {unknown}")
     ordered = {n: registry.pop(n) for n in FRONT_OF_LINE}
     ordered.update(registry)
     return ordered
+
+
+def _prepared(spec: QuerySpec) -> QuerySpec:
+    """Prepared-query plan cache (r15, guide §5): re-invoking a registry
+    query re-ran its full Python-side DataFrame construction — measured
+    at 0.4–1.6 s of py4j round-trips per rep on the heavy plans (the
+    WAND DAG: 2,122 gateway calls; doc_dedup_groups: the CC convergence
+    loop) — to produce an identical plan. The registry entry point now
+    memoizes the BUILT DataFrame per (application, query, sf_dir)
+    through plans/shared.plan: results are NOT cached — every action on
+    the returned frame re-executes its plan — only the construction is
+    skipped, the same contract a prepared statement gives a SQL engine.
+    Direct calls to the underlying plan functions (tests, scripts) are
+    untouched, and shared.DISABLE bypasses the cache for plan audits."""
+    from flink_tank_spark.plans import shared
+
+    fn = spec.spark
+
+    def run(spark, sf_dir: str):
+        return shared.plan(spark, "q:" + spec.name, (sf_dir,), lambda: fn(spark, sf_dir))
+
+    return replace(spec, spark=run)

@@ -96,26 +96,37 @@ def plan(
     params: Any,
     builder: Callable[[], DataFrame],
 ) -> DataFrame:
-    """Memoize a BUILT DataFrame (the plan object) per session — WITHOUT
-    persisting its result. Re-collecting the returned DataFrame
-    re-executes the whole plan every time; the only thing skipped on a
-    hit is re-running the Python-side construction. Motivation (r15,
-    measured): building the WAND retrieval DAG costs 1.5–2 s of py4j
-    round-trips (2,122 gateway calls) PER REP — pure driver-side
-    re-construction of an identical plan. Same keying/replacement
-    semantics as :func:`stage`; entries share the cache (distinct
-    namespace) and are dropped by :func:`clear`."""
+    """Memoize a query's ANALYZED LOGICAL PLAN per session and return a
+    FRESH Dataset over it on every call — the prepared-statement
+    contract. Motivation (r15, measured): building the WAND retrieval
+    DAG costs 1.5–2 s of py4j round-trips (2,122 gateway calls) PER REP
+    — pure driver-side re-construction of an identical plan.
+
+    Returning the SAME DataFrame object would be faster still, but
+    dishonestly so: a re-collected DataFrame reuses its QueryExecution's
+    materialized AQE shuffle stages, so repeat runs skip nearly all
+    execution (measured: tbl_profile_lineitem 2.7 s fresh vs 0.085 s
+    same-object) — result caching in disguise. ``Dataset.ofRows`` over
+    the cached analyzed plan creates a new QueryExecution each call:
+    every exchange re-executes, only the Python-side construction is
+    skipped. Same keying/replacement semantics as :func:`stage`;
+    entries share the cache and are dropped by :func:`clear`."""
     if DISABLE:
         return builder()
     key = (spark.sparkContext.applicationId, "plan:" + name)
     hit = _cache.get(key)
     if hit is not None and hit[0] == params:
-        return hit[1]
-    if hit is not None:
-        _drop(key)
-    df = builder()
-    _cache[key] = (params, df)
-    return df
+        cached = hit[1]
+    else:
+        if hit is not None:
+            _drop(key)
+        cached = builder()
+        _cache[key] = (params, cached)
+    jplan = cached._jdf.queryExecution().analyzed()
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, jplan
+    )
+    return DataFrame(jdf, spark)
 
 
 def _drop(key: tuple[str, str]) -> None:
